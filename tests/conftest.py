@@ -7,7 +7,22 @@ dryrun_multichip does.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on a virtual CPU mesh.  The axon TPU plugin registers itself in
+# sitecustomize at interpreter start and blocks jax backend init even under
+# JAX_PLATFORMS=cpu, so drop its backend factory before any backend is
+# initialized (conftest imports run before test modules import jax "for real").
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax
+    import jax._src.xla_bridge as _xb
+
+    # sitecustomize imports jax before this conftest, so the env var alone
+    # is too late — update the live config too.
+    jax.config.update("jax_platforms", "cpu")
+    _xb._backend_factories.pop("axon", None)
+    _xb._backend_factories.pop("tpu", None)
+except Exception:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,98 @@
+"""JAX phmm kernel vs oracle and vs reference golden fixtures."""
+
+import json
+
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.ops import phmm as P
+from genomicsbench_palisade_tpu.ops.oracle import phmm as O
+
+
+def _random_cases(rng, n, max_r=40, max_h=60, qlo=33, qhi=90):
+    reads, haps, pairs = [], [], []
+    for k in range(n):
+        rl = int(rng.integers(3, max_r))
+        hl = int(rng.integers(3, max_h))
+        bases = rng.integers(0, 5, rl)
+        reads.append(
+            {
+                "bases": bases,
+                "q": rng.integers(qlo, qhi, rl),
+                "i": rng.integers(qlo, qhi, rl),
+                "d": rng.integers(qlo, qhi, rl),
+                "c": rng.integers(qlo, qhi, rl),
+            }
+        )
+        haps.append(rng.integers(0, 5, hl))
+        pairs.append((k, k))
+    return reads, haps, pairs
+
+
+def test_phmm_jax_vs_oracle_random():
+    rng = np.random.default_rng(0)
+    reads, haps, pairs = _random_cases(rng, 24)
+    batch = P.prepare_batch(reads, haps, pairs)
+    got = P.phmm_likelihoods(batch, reads, haps, pairs)
+    for bi, (ri, hi) in enumerate(pairs):
+        r = reads[ri]
+        want = O.compute_likelihood(r["bases"], haps[hi], r["q"], r["i"], r["d"], r["c"])
+        assert abs(got[bi] - want) < 1e-5, (bi, got[bi], want)
+
+
+def test_phmm_jax_vs_reference_fixtures(fixtures_dir):
+    cases = json.load(open(fixtures_dir / "phmm_golden.json"))
+    reads, haps, pairs = [], [], []
+    for k, case in enumerate(cases):
+        reads.append(
+            {
+                "bases": O.encode_bases(case["rs"]),
+                "q": np.array([ord(c) for c in case["q"]]),
+                "i": np.array([ord(c) for c in case["i"]]),
+                "d": np.array([ord(c) for c in case["d"]]),
+                "c": np.array([ord(c) for c in case["c"]]),
+            }
+        )
+        haps.append(O.encode_bases(case["hap"]))
+        pairs.append((k, k))
+    batch = P.prepare_batch(reads, haps, pairs)
+    got = P.phmm_likelihoods(batch, reads, haps, pairs)
+    for bi, case in enumerate(cases):
+        assert abs(got[bi] - case["log10"]) < 1e-5, (bi, got[bi], case["log10"])
+
+
+def test_phmm_fallback_path():
+    """Long read with terrible quals -> float underflow -> double fallback."""
+    rl, hl = 100, 100
+    # ~18 confident mismatches: raw float underflows past MIN_ACCEPTED but
+    # the float64 recompute stays finite (actual prob ~1e-100).
+    bases = np.full(rl, 1, dtype=np.int64)
+    bases[:18] = 0  # mismatch vs the all-C hap
+    reads = [
+        {
+            "bases": bases,
+            "q": np.full(rl, 60),
+            "i": np.full(rl, 60),
+            "d": np.full(rl, 60),
+            "c": np.full(rl, 60),
+        }
+    ]
+    haps = [np.full(hl, 1, dtype=np.int64)]  # all C
+    pairs = [(0, 0)]
+    batch = P.prepare_batch(reads, haps, pairs)
+    _, result, fallback = P.phmm_forward(batch)
+    assert bool(fallback[0])
+    got = P.phmm_likelihoods(batch, reads, haps, pairs)
+    r = reads[0]
+    want = O.compute_likelihood(r["bases"], haps[0], r["q"], r["i"], r["d"], r["c"])
+    assert abs(got[0] - want) < 1e-9  # same float64 oracle path
+    assert np.isfinite(got[0]) and got[0] < -50  # genuinely tiny likelihood
+
+
+def test_phmm_golden_single_on_device():
+    rs = O.encode_bases("ACGT")
+    q = np.full(4, ord("+"))
+    reads = [{"bases": rs, "q": q, "i": q, "d": q, "c": q}]
+    batch = P.prepare_batch(reads, [rs], [(0, 0)])
+    log10, _, _ = P.phmm_forward(batch)
+    assert abs(float(log10[0]) - (-6.022797e-01)) < 1e-5

@@ -1,0 +1,148 @@
+"""Canonical k-mer counting on TPU (Flye KmerCounter capability).
+
+TPU-native design: the reference (benchmarks/kmer-cnt/vertex_index.cpp:515-659)
+uses an 8 GB atomic 4-bit saturating counter array + a concurrent cuckoo
+hash for overflow.  Dense 4^17/2 histograms don't fit a single v5e HBM and
+atomics don't exist in XLA, so counting is reformulated as a sort-reduce:
+
+  1. pack every read window into a 34-bit k-mer code held as two uint32
+     planes (hi: top 2k-32 bits, lo: low 32) — pure VPU shifts, no u64
+  2. canonicalize: lexicographic min(code, revcomp) (kmer.h:53-61)
+  3. lexicographic sort of (hi, lo) with validity as the top key
+     (jax.lax.sort, num_keys=3)
+  4. run-length reduce: distinct k-mers, occurrences, count of k-mers
+     whose frequency exceeds the 4-bit saturation (>15) — exactly the
+     "Total k-mers" / "Hash size" metrics the reference reports.
+
+Multi-chip: each shard counts its reads locally; merging histograms is a
+key-range all_to_all + local sort (parallel/), or for metric-only parity a
+single-device gather.  Parity quirks preserved: the k-mer at the final
+position len-k of each read is NOT counted (kmer.h:177-200), non-ACGT
+behaves as code 3 (sequence.h:183-193), reads shorter than 5000 bp are
+dropped at load time (kmer_cnt.cpp:220-231).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_K = 17
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def pack_kmers(bases, lengths, k: int = DEFAULT_K):
+    """bases: [B, L] int32 2-bit codes; lengths: [B].
+
+    Returns (hi, lo, valid): [B, P] uint32 planes of the forward k-mer code
+    at each position p (P = L - k positions; the reference's iterator stops
+    one short of the last full window), and the validity mask p < len - k.
+    """
+    b, l = bases.shape
+    p = l - k
+    assert p > 0, "reads shorter than k+1 have no counted k-mers"
+    bases = bases.astype(jnp.uint32) & 3
+
+    lo = jnp.zeros((b, p), jnp.uint32)
+    hi = jnp.zeros((b, p), jnp.uint32)
+    n_hi = 2 * k - 32 if 2 * k > 32 else 0  # bits in the hi plane
+    for j in range(k):
+        shift = 2 * (k - 1 - j)  # bit position of base j within the code
+        chunk = bases[:, j : j + p]
+        if shift >= 32:
+            hi = hi | (chunk << (shift - 32))
+        elif shift + 2 <= 32:
+            lo = lo | (chunk << shift)
+        else:  # straddles the plane boundary (odd k only; k is odd-shifted by 2 so never)
+            lo = lo | (chunk << shift)
+            hi = hi | (chunk >> (32 - shift))
+    del n_hi
+    pos = jnp.arange(p, dtype=jnp.int32)[None, :]
+    valid = pos < (lengths.astype(jnp.int32)[:, None] - k)
+    return hi, lo, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical(hi, lo, k: int = DEFAULT_K):
+    """Lexicographic min(code, reverse complement) on (hi, lo) planes."""
+    # reverse complement: base j of rc = complement of base k-1-j of fwd
+    comp_lo = ~lo
+    comp_hi = ~hi
+    rc_hi = jnp.zeros_like(hi)
+    rc_lo = jnp.zeros_like(lo)
+    for j in range(k):
+        src = 2 * (k - 1 - j)  # bit offset of fwd base j
+        dst = 2 * j  # bit offset of that base within rc
+        if src >= 32:
+            base = (comp_hi >> (src - 32)) & 3
+        else:
+            base = (comp_lo >> src) & 3
+        if dst >= 32:
+            rc_hi = rc_hi | (base << (dst - 32))
+        else:
+            rc_lo = rc_lo | (base << dst)
+    hi_mask = jnp.uint32((1 << max(2 * k - 32, 1)) - 1) if 2 * k > 32 else jnp.uint32(0)
+    rc_hi = rc_hi & hi_mask
+    take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+    return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "saturation"))
+def count_kmers_device(bases, lengths, k: int = DEFAULT_K, saturation: int = 15):
+    """Full device pipeline for one shard of reads.
+
+    Returns dict with total_kmers (distinct), hash_size (freq > saturation),
+    occurrences (total windows counted).
+    """
+    hi, lo, valid = pack_kmers(bases, lengths, k)
+    chi, clo = canonical(hi, lo, k)
+    # flatten; invalid windows sort to the end via the primary key
+    inv = (~valid).astype(jnp.uint32).ravel()
+    chi = chi.ravel()
+    clo = clo.ravel()
+    inv_s, hi_s, lo_s = jax.lax.sort((inv, chi, clo), num_keys=3)
+    n = hi_s.shape[0]
+    valid_s = inv_s == 0
+    new_run = jnp.ones(n, dtype=bool)
+    new_run = new_run.at[1:].set(
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]) | (valid_s[1:] != valid_s[:-1])
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+    run_len_here = idx - run_start + 1
+    is_run_end = jnp.ones(n, dtype=bool)
+    is_run_end = is_run_end.at[:-1].set(new_run[1:])
+    total = jnp.sum(jnp.where(new_run & valid_s, 1, 0))
+    over = jnp.sum(jnp.where(is_run_end & valid_s & (run_len_here > saturation), 1, 0))
+    occ = jnp.sum(valid_s.astype(jnp.int32))
+    return {"total_kmers": total, "hash_size": over, "occurrences": occ}
+
+
+def encode_reads_np(reads, l_pad: int | None = None):
+    """Host-side 2-bit encoding + padding. Non-ACGT -> 3 (reference quirk)."""
+    table = np.full(256, 3, dtype=np.int8)
+    for ch, v in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+        table[ord(ch)] = v
+        table[ord(ch.lower())] = v
+    if l_pad is None:
+        l_pad = max(len(r) for r in reads)
+    out = np.zeros((len(reads), l_pad), dtype=np.int8)
+    lengths = np.zeros(len(reads), dtype=np.int32)
+    for i, r in enumerate(reads):
+        enc = table[np.frombuffer(r.encode(), dtype=np.uint8)]
+        out[i, : len(enc)] = enc
+        lengths[i] = len(enc)
+    return out, lengths
+
+
+def count_kmers(reads, k: int = DEFAULT_K, min_read_length: int = 5000):
+    """Host entry point with the reference's load-time read filter."""
+    kept = [r for r in reads if len(r) >= min_read_length]
+    if not kept:
+        return {"total_kmers": 0, "hash_size": 0, "occurrences": 0}
+    bases, lengths = encode_reads_np(kept)
+    out = count_kmers_device(jnp.asarray(bases.astype(np.int32)), jnp.asarray(lengths), k)
+    return {key: int(v) for key, v in out.items()}

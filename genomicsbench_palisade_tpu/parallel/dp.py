@@ -1,0 +1,127 @@
+"""Data-parallel kernel wrappers with explicit collectives (shard_map).
+
+Patterns (SURVEY.md §2.4 TPU-native equivalents):
+  * phmm/bsw/chain: pure DP — batch dim sharded over the mesh, no
+    cross-device traffic inside the step.
+  * kmer counting: DP + key-range redistribution — each shard packs and
+    canonicalizes its reads, k-mers are routed to their owner shard by the
+    top bits of the code (ppermute-free all_to_all), counted locally by
+    sort-reduce, and the scalar metrics merged with psum.  This replaces
+    the reference's shared atomic counter array (vertex_index.cpp:575-595)
+    with disjoint per-shard key ranges.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import kmer as kmer_ops
+from ..ops import phmm as phmm_ops
+
+
+def phmm_forward_sharded(mesh: Mesh, batch: dict, axis: str = "dp"):
+    """Batch-sharded phmm forward; returns (log10, raw, fallback) sharded."""
+
+    specs = {k: P(axis) for k in batch}
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    def step(b):
+        return phmm_ops.phmm_forward(b)
+
+    return step(batch)
+
+
+def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp"):
+    """Distributed canonical k-mer counting with key-range all_to_all.
+
+    bases: [B, L] int32 (B divisible by mesh size), lengths: [B].
+    Returns dict of replicated scalar metrics (total_kmers, hash_size,
+    occurrences) identical to ops.kmer.count_kmers_device on the full set.
+    """
+    ndev = mesh.devices.size
+    bits = max((ndev - 1).bit_length(), 0)
+    code_bits = 2 * k
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def step(b, ln):
+        hi, lo, valid = kmer_ops.pack_kmers(b, ln, k)
+        chi, clo = kmer_ops.canonical(hi, lo, k)
+        inv = (~valid).astype(jnp.uint32).ravel()
+        chi, clo = chi.ravel(), clo.ravel()
+        n_loc = chi.shape[0]
+        # owner shard = top `bits` bits of the code; invalid windows keep
+        # their current shard (owner irrelevant, they carry inv=1)
+        if bits == 0:
+            owner = jnp.zeros(n_loc, jnp.uint32)
+        elif code_bits > 32:
+            hi_bits = code_bits - 32
+            shift = code_bits - bits
+            if shift >= 32:
+                owner = chi >> (shift - 32)
+            else:
+                owner = (chi << (bits - hi_bits)) | (clo >> shift)
+        else:
+            owner = clo >> (code_bits - bits)
+        owner = jnp.minimum(owner, ndev - 1)
+        # sort locally by owner so each destination's k-mers are contiguous
+        owner_s, inv_s, hi_s, lo_s = jax.lax.sort(
+            (owner, inv, chi, clo), num_keys=1, is_stable=False
+        )
+        # per-destination slice starts/counts
+        dest_ids = jnp.arange(ndev, dtype=jnp.uint32)
+        starts = jnp.searchsorted(owner_s, dest_ids, side="left")
+        ends = jnp.searchsorted(owner_s, dest_ids, side="right")
+        counts = ends - starts
+        # build padded [ndev, n_loc] send buffers
+        pos = jax.lax.broadcasted_iota(jnp.int32, (ndev, n_loc), 1)
+        gather_idx = jnp.minimum(starts[:, None] + pos, n_loc - 1)
+        send_hi = hi_s[gather_idx]
+        send_lo = lo_s[gather_idx]
+        send_inv = jnp.where(pos < counts[:, None], inv_s[gather_idx], jnp.uint32(1))
+        recv_hi = jax.lax.all_to_all(send_hi, axis, 0, 0, tiled=False)
+        recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=False)
+        recv_inv = jax.lax.all_to_all(send_inv, axis, 0, 0, tiled=False)
+        # local sort-reduce over this shard's key range
+        inv2 = recv_inv.ravel()
+        hi2 = recv_hi.ravel()
+        lo2 = recv_lo.ravel()
+        inv_r, hi_r, lo_r = jax.lax.sort((inv2, hi2, lo2), num_keys=3)
+        n = hi_r.shape[0]
+        valid_r = inv_r == 0
+        new_run = jnp.ones(n, dtype=bool)
+        new_run = new_run.at[1:].set(
+            (hi_r[1:] != hi_r[:-1]) | (lo_r[1:] != lo_r[:-1]) | (valid_r[1:] != valid_r[:-1])
+        )
+        idx = jnp.arange(n, dtype=jnp.int32)
+        run_start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+        run_len = idx - run_start + 1
+        is_end = jnp.ones(n, dtype=bool)
+        is_end = is_end.at[:-1].set(new_run[1:])
+        total = jnp.sum(jnp.where(new_run & valid_r, 1, 0))
+        over = jnp.sum(jnp.where(is_end & valid_r & (run_len > 15), 1, 0))
+        occ = jnp.sum(valid_r.astype(jnp.int32))
+        # scalar psum merges across disjoint key ranges
+        total = jax.lax.psum(total, axis)
+        over = jax.lax.psum(over, axis)
+        occ = jax.lax.psum(occ, axis)
+        return total, over, occ
+
+    total, over, occ = step(bases, lengths)
+    return {"total_kmers": total, "hash_size": over, "occurrences": occ}

@@ -1,0 +1,56 @@
+"""Multi-device (virtual 8-CPU mesh) sharded kernels vs single-device."""
+
+import jax
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.ops import kmer as K
+from genomicsbench_palisade_tpu.ops import phmm as P
+from genomicsbench_palisade_tpu.ops.oracle import kmer as KO
+from genomicsbench_palisade_tpu.parallel import dp, mesh as M
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual cpu devices"
+    return M.make_mesh(8)
+
+
+def test_phmm_sharded_matches_single(mesh8):
+    rng = np.random.default_rng(0)
+    reads, haps, pairs = [], [], []
+    for k in range(16):
+        rl, hl = int(rng.integers(5, 30)), int(rng.integers(5, 40))
+        reads.append(
+            {
+                "bases": rng.integers(0, 4, rl),
+                "q": rng.integers(33, 60, rl),
+                "i": rng.integers(33, 60, rl),
+                "d": rng.integers(33, 60, rl),
+                "c": rng.integers(33, 60, rl),
+            }
+        )
+        haps.append(rng.integers(0, 4, hl))
+        pairs.append((k, k))
+    batch = P.prepare_batch(reads, haps, pairs)
+    want, _, _ = map(np.asarray, P.phmm_forward(batch))
+    sharded, n = M.shard_batch(batch, mesh8)
+    got, _, _ = map(np.asarray, dp.phmm_forward_sharded(mesh8, sharded))
+    np.testing.assert_allclose(got[:n], want, rtol=0, atol=0)
+
+
+def test_kmer_sharded_matches_oracle(mesh8):
+    rng = np.random.default_rng(9)
+    unit = "".join(rng.choice(list("ACGT"), 30))
+    reads = [unit * 10 for _ in range(3)] + [
+        "".join(rng.choice(list("ACGT"), 200)) for _ in range(13)
+    ]
+    k = 17
+    want = KO.count_kmers(reads, k=k, min_read_length=10)
+    bases, lengths = K.encode_reads_np(reads)
+    got = dp.count_kmers_sharded(
+        mesh8, np.asarray(bases, np.int32), lengths, k=k
+    )
+    assert int(got["total_kmers"]) == want["total_kmers"]
+    assert int(got["hash_size"]) == want["hash_size"]
+    assert int(got["occurrences"]) == sum(want["counter"].values())

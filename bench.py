@@ -15,7 +15,8 @@ import numpy as np
 
 # Baseline: first recorded 1-chip TPU run of this framework (BASELINE.json
 # published{} is empty — "our 1-chip runs become the baseline").
-BASELINE_GCUPS = None  # set after the first recorded run
+# 2026-08-16, v5e 1 chip, pallas wavefront kernel, chained-execution timing.
+BASELINE_GCUPS = 5.8
 
 
 def main():
@@ -51,15 +52,16 @@ def main():
     import jax
 
     batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
-    # compile + warmup
+    # compile + warmup; NB on the axon relay block_until_ready does not
+    # actually block, so completion is forced by fetching an output to host.
     out = phmm_forward_pallas(batch)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = phmm_forward_pallas(batch)
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # chained executions, one final host fetch
     dt = (time.perf_counter() - t0) / iters
 
     cells = b * rl * hl

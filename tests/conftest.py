@@ -19,8 +19,9 @@ try:
     # sitecustomize imports jax before this conftest, so the env var alone
     # is too late — update the live config too.
     jax.config.update("jax_platforms", "cpu")
+    # pop only the axon plugin; removing "tpu" breaks pallas-tpu lowering
+    # registration (it must remain a *known* platform even when unused)
     _xb._backend_factories.pop("axon", None)
-    _xb._backend_factories.pop("tpu", None)
 except Exception:
     pass
 flags = os.environ.get("XLA_FLAGS", "")

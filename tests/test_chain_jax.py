@@ -1,0 +1,59 @@
+"""chain JAX kernel: exact integer parity vs fixtures and the oracle."""
+
+import json
+
+import numpy as np
+
+from genomicsbench_palisade_tpu.ops import chain as C
+from genomicsbench_palisade_tpu.ops.oracle import chain as CO
+
+
+def test_chain_vs_reference_fixtures(fixtures_dir):
+    calls = json.load(open(fixtures_dir / "chain_golden.json"))
+    for call in calls[:12]:  # keep CI fast; full set checked offline
+        x = np.array([int(v) for v in call["x"]], dtype=np.uint64)
+        y = np.array([int(v) for v in call["y"]], dtype=np.uint64)
+        prep = C.prepare_call(
+            x, y, call["avg_qspan"], call["max_dist_x"], call["max_dist_y"], call["bw"]
+        )
+        scores, parents, _ = C.chain_call(prep)
+        np.testing.assert_array_equal(scores, call["scores"])
+        np.testing.assert_array_equal(parents, call["parents"])
+
+
+def test_chain_break_path_dense():
+    """Dense anchors triggering the max_skip break on ~95% of anchors."""
+    rng = np.random.default_rng(123)
+    n = 600
+    pos = np.cumsum(rng.integers(0, 4, n)).astype(np.uint64)
+    qpos = (pos.astype(np.int64) + rng.integers(-30, 30, n)).clip(0).astype(np.uint64)
+    span = rng.integers(10, 20, n).astype(np.uint64)
+    y = (span << np.uint64(32)) | (qpos & np.uint64(0xFFFFFFFF))
+    call = CO.ChainCall(
+        n=n, avg_qspan=float(span.mean()), max_dist_x=5000, max_dist_y=5000,
+        bw=500, n_segs=1, x=pos, y=y,
+    )
+    want = CO.chain_dp(call)
+    prep = C.prepare_call(pos, y, call.avg_qspan)
+    scores, parents, peaks = C.chain_call(prep)
+    np.testing.assert_array_equal(scores, want["scores"])
+    np.testing.assert_array_equal(parents, want["parents"])
+    np.testing.assert_array_equal(peaks, want["peak_scores"])
+
+
+def test_chain_tiny_and_gap_table():
+    # single anchor and two-anchor chains
+    for xs, ys in [
+        ([100], [(15 << 32) | 50]),
+        ([100, 150], [(15 << 32) | 50, (15 << 32) | 100]),
+        ([100, 100], [(15 << 32) | 50, (15 << 32) | 60]),  # dr == 0 skip
+    ]:
+        x = np.array(xs, dtype=np.uint64)
+        y = np.array(ys, dtype=np.uint64)
+        call = CO.ChainCall(n=len(xs), avg_qspan=20.0, max_dist_x=5000,
+                            max_dist_y=5000, bw=500, n_segs=1, x=x, y=y)
+        want = CO.chain_dp(call)
+        prep = C.prepare_call(x, y, 20.0)
+        scores, parents, peaks = C.chain_call(prep)
+        np.testing.assert_array_equal(scores, want["scores"])
+        np.testing.assert_array_equal(parents, want["parents"])

@@ -1,0 +1,96 @@
+"""fmi driver: `python -m genomicsbench_palisade_tpu.cli.fmi <index> <reads> <batch> <minSeed> <threads>`.
+
+Mirrors benchmarks/fmi/fmi.cpp:57-434: loads the FM index, reads all
+queries, 2-bit-encodes, runs the 3-phase SMEM pipeline per batch, prints
+per-batch num_smem1/2/3 and the global totalSmems (the parity metric),
+optionally the PRINT_OUTPUT interval dump.
+
+Index argument: a `.npz` (this framework's converted format), a
+`.bwt.2bit.64` file (bwa-mem2 binary index), or a FASTA to build from.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..index import fmi_index as FI
+from ..io.fastq import read_all
+from ..ops import fmi_pipeline as FP
+from ..ops.oracle.fmi import encode_read
+
+
+def load_index(path: str):
+    if path.endswith(".npz"):
+        didx = FI.load_npz(path)
+    elif path.endswith(".bwt.2bit.64"):
+        didx = FI.load_bwt2bit64(path)
+    else:
+        seq = "".join(s for _n, s, _q in read_all(path))
+        didx = FI.build_from_sequence(seq.upper().replace("N", "A"))
+    return didx
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="fmi")
+    ap.add_argument("index")
+    ap.add_argument("reads")
+    ap.add_argument("batch_size", type=int, nargs="?", default=512)
+    ap.add_argument("min_seed_len", type=int, nargs="?", default=19)
+    ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
+    ap.add_argument("--print-output", action="store_true")
+    ap.add_argument("--limit", type=int, default=None, help="max reads")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    didx = load_index(args.index)
+    index = {k: jnp.asarray(v) for k, v in didx.as_device_arrays().items()}
+
+    seqs = [s for _n, s, _q in read_all(args.reads, limit=args.limit)]
+    num_reads = len(seqs)
+    max_rl = max(len(s) for s in seqs)
+    print(f"numReads = {num_reads}, max_readlength = {max_rl}, "
+          f"min_readlength = {min(len(s) for s in seqs)}")
+
+    t0 = time.perf_counter()
+    total = 0
+    all_out = []
+    for start in range(0, num_reads, args.batch_size):
+        chunk = seqs[start : start + args.batch_size]
+        enc = np.full((len(chunk), max_rl), 4, np.int32)
+        rl = np.zeros(len(chunk), np.int32)
+        for i, s in enumerate(chunk):
+            e = encode_read(s)
+            enc[i, : len(e)] = e
+            rl[i] = len(e)
+        out, n1, n2, n3, ovf = FP.fmi_pipeline_batch(
+            index, enc, rl, min_seed_len=args.min_seed_len, rid_base=start
+        )
+        if ovf:
+            print(f"WARNING: match-buffer overflow in batch {start // args.batch_size}",
+                  file=sys.stderr)
+        print(f"num_smem1: {n1}, num_smem2: {n2}, num_smem3: {n3}")
+        total += n1 + n2 + n3
+        if args.print_output:
+            all_out.append(out)
+    dt = time.perf_counter() - t0
+    print(f"Consumed: {dt:.4f} sec")
+    print(f"totalSmems = {total}")
+    if args.print_output:
+        prev_rid = -1
+        for out in all_out:
+            for rid, m, n in zip(out["rid"], out["m"], out["n"]):
+                if rid != prev_rid:
+                    for j in range(prev_rid + 1, rid + 1):
+                        print(f"{j}:")
+                prev_rid = int(rid)
+                print(f"[{m},{n + 1}]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

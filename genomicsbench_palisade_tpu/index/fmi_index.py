@@ -1,0 +1,131 @@
+"""FM-index build/load and conversion to the TPU device layout.
+
+Reference index format `.bwt.2bit.64` (tools/bwa-mem2/src/FMI_search.cpp
+:176-356 build_fm_index, :469-588 load_index):
+    int64   ref_seq_len              (= 2*L + 1, fwd + revcomp + sentinel)
+    int64   count[5]                 (cumulative, pre-sentinel-adjustment)
+    CP_OCC  cp_occ[(ref_seq_len>>6)+1]   struct: int64 cp_count[4];
+                                          uint64 one_hot_bwt_str[4]
+    int8    sa_ms_byte[ref_seq_len]  (or compressed every 8th entry)
+    uint32  sa_ls_word[ref_seq_len]
+    int64   sentinel_index
+
+Device layout: cp_count as int64 [blocks, 4] (or int32 for small indexes)
+and the one-hot planes split into two uint32 words per (block, base):
+hi = block positions 0..31 (bits 63..32), lo = positions 32..63 — TPU has
+no native u64, popcounts run on u32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.oracle import fmi as fmi_oracle
+
+CP_SHIFT = 6
+CP_MASK = 63
+
+
+@dataclass
+class DeviceFmIndex:
+    ref_seq_len: int
+    count: np.ndarray  # [5] (sentinel-adjusted, +1)
+    sentinel_index: int
+    cp_count: np.ndarray  # [blocks, 4] int
+    one_hot_hi: np.ndarray  # [blocks, 4] uint32 (block positions 0..31)
+    one_hot_lo: np.ndarray  # [blocks, 4] uint32 (block positions 32..63)
+    sa_ms_byte: np.ndarray | None = None
+    sa_ls_word: np.ndarray | None = None
+    idx_dtype: type = np.int64
+
+    def as_device_arrays(self):
+        dt = self.idx_dtype
+        return {
+            "count": self.count.astype(dt),
+            "cp_count": self.cp_count.astype(dt),
+            "one_hot_hi": self.one_hot_hi,
+            "one_hot_lo": self.one_hot_lo,
+            "sentinel_index": dt(self.sentinel_index),
+        }
+
+
+def from_oracle_index(idx: fmi_oracle.FmIndex, idx_dtype=np.int32) -> DeviceFmIndex:
+    """Convert a (tiny, test-sized) oracle index to the device layout."""
+    one_hot = idx.one_hot  # [blocks, 4] uint64, MSB-first
+    hi = (one_hot >> np.uint64(32)).astype(np.uint32)
+    lo = (one_hot & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return DeviceFmIndex(
+        ref_seq_len=idx.ref_seq_len,
+        count=idx.count.copy(),  # already sentinel-adjusted by the oracle
+        sentinel_index=idx.sentinel_index,
+        cp_count=idx.cp_count.copy(),
+        one_hot_hi=hi,
+        one_hot_lo=lo,
+        sa_ms_byte=None,
+        sa_ls_word=None,
+        idx_dtype=idx_dtype,
+    )
+
+
+def build_from_sequence(forward_seq: str, idx_dtype=np.int32) -> DeviceFmIndex:
+    return from_oracle_index(fmi_oracle.build_index(forward_seq), idx_dtype)
+
+
+def load_bwt2bit64(path: str, sa_compression: bool = False, load_sa: bool = False) -> DeviceFmIndex:
+    """Load the reference's binary `.bwt.2bit.64` index (64-byte CP_OCC
+    records: 4x int64 cp_count + 4x uint64 one-hot planes)."""
+    with open(path, "rb") as f:
+        ref_seq_len = int(np.fromfile(f, dtype=np.int64, count=1)[0])
+        count = np.fromfile(f, dtype=np.int64, count=5) + 1  # sentinel adj
+        blocks = (ref_seq_len >> CP_SHIFT) + 1
+        raw = np.fromfile(f, dtype=np.uint64, count=blocks * 8).reshape(blocks, 8)
+        cp_count = raw[:, :4].view(np.int64)
+        one_hot = raw[:, 4:]
+        hi = (one_hot >> np.uint64(32)).astype(np.uint32)
+        lo = (one_hot & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        sa_ms = sa_ls = None
+        n_sa = ((ref_seq_len >> 3) + 1) if sa_compression else ref_seq_len
+        if load_sa:
+            sa_ms = np.fromfile(f, dtype=np.int8, count=n_sa)
+            sa_ls = np.fromfile(f, dtype=np.uint32, count=n_sa)
+        else:
+            f.seek(n_sa * 1 + n_sa * 4, 1)
+        sentinel = int(np.fromfile(f, dtype=np.int64, count=1)[0])
+    return DeviceFmIndex(
+        ref_seq_len=ref_seq_len,
+        count=count,
+        sentinel_index=sentinel,
+        cp_count=cp_count,
+        one_hot_hi=hi,
+        one_hot_lo=lo,
+        sa_ms_byte=sa_ms,
+        sa_ls_word=sa_ls,
+        idx_dtype=np.int64,
+    )
+
+
+def save_npz(idx: DeviceFmIndex, path: str):
+    np.savez_compressed(
+        path,
+        ref_seq_len=idx.ref_seq_len,
+        count=idx.count,
+        sentinel_index=idx.sentinel_index,
+        cp_count=idx.cp_count,
+        one_hot_hi=idx.one_hot_hi,
+        one_hot_lo=idx.one_hot_lo,
+    )
+
+
+def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
+    z = np.load(path)
+    return DeviceFmIndex(
+        ref_seq_len=int(z["ref_seq_len"]),
+        count=z["count"],
+        sentinel_index=int(z["sentinel_index"]),
+        cp_count=z["cp_count"],
+        one_hot_hi=z["one_hot_hi"],
+        one_hot_lo=z["one_hot_lo"],
+        idx_dtype=idx_dtype,
+    )

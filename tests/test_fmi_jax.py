@@ -1,0 +1,91 @@
+"""fmi device kernels: exact parity vs the oracle on tiny indexes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.index import fmi_index as FI
+from genomicsbench_palisade_tpu.ops import fmi as F
+from genomicsbench_palisade_tpu.ops import fmi_pipeline as FP
+from genomicsbench_palisade_tpu.ops.oracle import fmi as FO
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(9)
+    unit = "".join(rng.choice(list("ACGT"), 120))
+    fwd = (unit * 5) + "".join(rng.choice(list("ACGT"), 400))
+    oidx = FO.build_index(fwd)
+    didx = FI.from_oracle_index(oidx, np.int32)
+    index = {k: jnp.asarray(v) for k, v in didx.as_device_arrays().items()}
+    reads = []
+    for _ in range(24):
+        ln = int(rng.integers(40, 151))
+        st0 = int(rng.integers(0, len(fwd) - ln))
+        r = fwd[st0 : st0 + ln]
+        r = "".join(
+            ch if rng.random() > 0.03 else rng.choice(list("ACGTN")) for ch in r
+        )
+        reads.append(r)
+    l_max = max(len(r) for r in reads)
+    enc = np.full((len(reads), l_max), 4, np.int32)
+    rl = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        e = FO.encode_read(r)
+        enc[i, : len(e)] = e
+        rl[i] = len(e)
+    return oidx, index, fwd, reads, enc, rl
+
+
+def test_backward_ext_matches_oracle(setup):
+    oidx, index, fwd, *_ = setup
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        plen = int(rng.integers(1, 10))
+        start = int(rng.integers(0, len(fwd) - plen))
+        codes = [FO._CODE[c] for c in fwd[start : start + plen]]
+        a0 = codes[-1]
+        sm = {
+            "rid": 0, "m": 0, "n": 0,
+            "k": int(oidx.count[a0]),
+            "l": int(oidx.count[3 - a0]),
+            "s": int(oidx.count[a0 + 1] - oidx.count[a0]),
+        }
+        k = jnp.array([sm["k"]]); l = jnp.array([sm["l"]]); s = jnp.array([sm["s"]])
+        for a in reversed(codes[:-1]):
+            sm = FO.backward_ext(oidx, sm, a)
+            k, l, s = F.backward_ext(index, k, l, s, jnp.array([a]))
+            assert (int(k[0]), int(l[0]), int(s[0])) == (sm["k"], sm["l"], sm["s"])
+
+
+def test_all_pos_matches_oracle(setup):
+    oidx, index, fwd, reads, enc, rl = setup
+    b = len(reads)
+    bufs, counts, ovf = F.smems_all_pos_batch(
+        index, jnp.asarray(enc), jnp.asarray(rl), jnp.ones(b, jnp.int32), 19
+    )
+    bufs = {k: np.asarray(v) for k, v in bufs.items()}
+    counts = np.asarray(counts)
+    assert not np.asarray(ovf).any()
+    for i, r in enumerate(reads):
+        want = FO.get_smems_all_pos(oidx, FO.encode_read(r), 1, 19, 0)
+        got = [
+            tuple(int(bufs[f][i, p]) for f in ("m", "n", "k", "l", "s"))
+            for p in range(counts[i])
+        ]
+        assert got == [(w["m"], w["n"], w["k"], w["l"], w["s"]) for w in want], i
+
+
+def test_full_pipeline_matches_oracle(setup):
+    oidx, index, fwd, reads, enc, rl = setup
+    got, n1, n2, n3, ovf = FP.fmi_pipeline_batch(index, enc, rl)
+    want, w1, w2, w3 = FO.fmi_pipeline(oidx, [FO.encode_read(r) for r in reads])
+    assert (n1, n2, n3) == (w1, w2, w3)
+    assert n2 > 0  # the repetitive reference must exercise the reseed phase
+    assert not ovf
+    gl = list(
+        zip(got["rid"].tolist(), got["m"].tolist(), got["n"].tolist(),
+            got["k"].tolist(), got["l"].tolist(), got["s"].tolist())
+    )
+    wl = [(w["rid"], w["m"], w["n"], w["k"], w["l"], w["s"]) for w in want]
+    assert gl == wl

@@ -1,0 +1,78 @@
+"""poa driver: `python -m genomicsbench_palisade_tpu.cli.poa -s <fasta>`.
+
+Mirrors benchmarks/poa/msa_spoa_omp.cpp:96-500: reads a FASTA where a
+header whose second character is '0' starts a new batch/window, builds a
+POA graph per window (convex NW, m=2 x=-4 o1=-4 e1=-2 o2=-24 e2=-1),
+prints each window's consensus.  Windows run in device lock-step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def read_batches(path):
+    """msa_spoa_omp.cpp readFile: '>0...' headers delimit batches."""
+    batches = []
+    cur = None
+    with open(path) as f:
+        header = None
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line.startswith(">"):
+                header = line
+                if len(line) > 1 and line[1] == "0":
+                    if cur:
+                        batches.append(cur)
+                    cur = []
+            else:
+                if cur is None:
+                    cur = []
+                cur.append(line)
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="poa")
+    ap.add_argument("-s", "--seq-file", required=True)
+    ap.add_argument("-t", "--threads", type=int, default=1, help="ignored")
+    ap.add_argument("-m", type=int, default=2)
+    ap.add_argument("-x", type=int, default=4)
+    ap.add_argument("-o", type=str, default="4,24")
+    ap.add_argument("-e", type=str, default="2,1")
+    ap.add_argument("--oracle", action="store_true", help="host-only path")
+    args = ap.parse_args(argv)
+
+    o1, _, o2 = args.o.partition(",")
+    e1, _, e2 = args.e.partition(",")
+    params = (
+        args.m, -args.x, -int(o1), -int(e1), -int(o2 or 24), -int(e2 or 1)
+    )
+
+    batches = read_batches(args.seq_file)
+    print(f"Number of batches: {len(batches)}")
+    t0 = time.perf_counter()
+    if args.oracle:
+        from ..ops.oracle.poa import PoaParams, msa_consensus
+
+        p = PoaParams(*params)
+        consensus = [msa_consensus(b, p) for b in batches]
+    else:
+        from ..ops.poa import msa_consensus_batch
+
+        consensus = msa_consensus_batch(batches, params)
+    dt = time.perf_counter() - t0
+    for i, cons in enumerate(consensus):
+        print(f"batches[{i}].consensus_seq: {cons}")
+    print(f"Runtime: {dt:.2f} sec")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

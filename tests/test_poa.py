@@ -1,0 +1,60 @@
+"""POA: oracle self-consistency + JAX DP/traceback parity vs the oracle."""
+
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.ops import poa as P
+from genomicsbench_palisade_tpu.ops.oracle import poa as PO
+
+
+def _noisy_batches(rng, n_windows=4, sub=0.08, indel=0.04):
+    batches, truths = [], []
+    for _ in range(n_windows):
+        truth = "".join(rng.choice(list("ACGT"), int(rng.integers(30, 70))))
+        seqs = []
+        for _ in range(int(rng.integers(3, 8))):
+            r = []
+            for ch in truth:
+                u = rng.random()
+                if u < indel:
+                    continue
+                r.append(ch if u > sub + indel else rng.choice(list("ACGT")))
+                if u > 1 - indel:
+                    r.append(rng.choice(list("ACGT")))
+            seqs.append("".join(r))
+        batches.append(seqs)
+        truths.append(truth)
+    return batches, truths
+
+
+def test_oracle_identical_and_noisy():
+    s = "ACGTACGTTGCAACGT"
+    assert PO.msa_consensus([s] * 5) == s
+    rng = np.random.default_rng(0)
+    batches, truths = _noisy_batches(rng, 3, sub=0.05, indel=0.03)
+    for seqs, truth in zip(batches, truths):
+        cons = PO.msa_consensus(seqs)
+        # consensus should recover the truth at these noise levels
+        assert cons == truth, (cons, truth)
+
+
+def test_jax_alignment_matches_oracle():
+    rng = np.random.default_rng(1)
+    batches, _ = _noisy_batches(rng, 5)
+    graphs = [PO.PoaGraph() for _ in batches]
+    maxr = max(len(b) for b in batches)
+    for k in range(maxr):
+        idxs = [i for i, b in enumerate(batches) if k < len(b)]
+        alns = P.align_batch([graphs[i] for i in idxs], [batches[i][k] for i in idxs])
+        for i, aln in zip(idxs, alns):
+            want = PO.convex_nw_align(batches[i][k], graphs[i])
+            assert aln == want, (i, k)
+            graphs[i].add_alignment(want, batches[i][k])
+
+
+def test_jax_consensus_end_to_end():
+    rng = np.random.default_rng(2)
+    batches, _ = _noisy_batches(rng, 4)
+    got = P.msa_consensus_batch(batches)
+    want = [PO.msa_consensus(b) for b in batches]
+    assert got == want

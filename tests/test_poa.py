@@ -36,8 +36,17 @@ def test_oracle_identical_and_noisy():
         cons = PO.msa_consensus(seqs)
         # consensus should essentially recover the truth at this noise level
         # (exact recovery is not guaranteed for every window)
-        matches = sum(a == b for a, b in zip(cons, truth))
-        assert matches >= 0.85 * len(truth), (cons, truth)
+        assert _edit_distance(cons, truth) <= max(3, 0.1 * len(truth)), (cons, truth)
+
+
+def _edit_distance(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def test_jax_alignment_matches_oracle():

@@ -1,0 +1,57 @@
+"""pileup driver: `python -m genomicsbench_palisade_tpu.cli.pileup <bam> <region> <threads>`.
+
+Mirrors benchmarks/pileup/medaka_counts.c:498-560: splits the region into
+100 kb chunks, computes the medaka counts matrix per chunk (num_homop=5),
+prints each chunk's matrix in print_pileup_data format.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+from ..io.bam import read_bam
+from ..ops.pileup import calculate_pileup, print_pileup
+
+CHUNK_LEN = 100000
+
+
+def parse_region(region: str):
+    m = re.match(r"^(.+?)(?::(\d+)-(\d+))?$", region)
+    chrom = m.group(1)
+    start = int(m.group(2)) - 1 if m.group(2) else 0
+    end = int(m.group(3)) if m.group(3) else None
+    return chrom, start, end
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pileup")
+    ap.add_argument("bam")
+    ap.add_argument("region")
+    ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
+    ap.add_argument("--num-homop", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    chrom, start, end = parse_region(args.region)
+    refs, records = read_bam(args.bam)
+    names = [n for n, _l in refs]
+    if chrom not in names:
+        print(f"Reference {chrom} not in BAM", file=sys.stderr)
+        return 1
+    chrom_id = names.index(chrom)
+    if end is None:
+        end = refs[chrom_id][1]
+
+    t0 = time.perf_counter()
+    for cs in range(start, end, CHUNK_LEN):
+        ce = min(cs + CHUNK_LEN, end)
+        res = calculate_pileup(records, chrom_id, cs, ce, num_homop=args.num_homop)
+        print_pileup(res, num_homop=args.num_homop)
+    print(f"Kernel time: {time.perf_counter() - t0:.3f} sec", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

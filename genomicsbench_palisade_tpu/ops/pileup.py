@@ -1,0 +1,194 @@
+"""medaka-style pileup feature counting (benchmarks/pileup capability).
+
+Semantics source: benchmarks/pileup/medaka_counts.c:299-497
+(calculate_pileup), medaka_counts.h:65-78 (feature order "acgtACGTdD",
+num2countbase via 16-bit IUPAC + 16*is_reverse), medaka_bamiter.c:7-45
+(primary-only, mapq >= 1 filter), main at :498-560 (num_homop=5, per-
+100kb chunks).
+
+TPU-native reformulation: htslib's per-column pileup iterator becomes a
+two-pass event pipeline —
+  pass 1: expand every read's CIGAR into (ref_pos, minor_j, feature)
+          events + per-position max-insert lengths (vectorized numpy walk)
+  pass 2: prefix-sum the per-position column widths into a global column
+          index and scatter-add all events into the counts matrix
+          (jnp .at[].add on device).
+
+Parity quirks preserved: insertions anchored at a deleted base expand the
+column space (max_ins counts them) but contribute no counts (the is_del
+branch ignores indel); ambiguity codes (num2countbase == -1) are skipped;
+deletions always land in qstrat layer 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.bam import FDUP, FQCFAIL, FSECONDARY, FSUPPLEMENTARY, FUNMAP
+
+PLP_BASES = "acgtACGTdD"
+FEATLEN = 10
+FWD_DEL = 9
+REV_DEL = 8
+
+# 16-bit IUPAC (+16 for reverse strand) -> feature index (medaka_counts.h:74)
+NUM2COUNTBASE = np.array(
+    [-1, 4, 5, -1, 6, -1, -1, -1, 7, -1, -1, -1, -1, -1, -1, -1,
+     -1, 0, 1, -1, 2, -1, -1, -1, 3, -1, -1, -1, -1, -1, -1, -1],
+    dtype=np.int32,
+)
+
+FILTER_FLAGS = FUNMAP | FSECONDARY | FSUPPLEMENTARY | FQCFAIL | FDUP
+
+
+def read_events(rec, num_homop: int):
+    """Expand one BAM record into pileup events.
+
+    Returns (positions, minors, features, qstrats, ins_pos, ins_len):
+    counting events + insertion-anchor info for the max_ins pass.
+    """
+    positions, minors, feats, qstrats = [], [], [], []
+    ins_pos, ins_len = [], []
+    rp = rec.pos
+    qp = 0
+    rev = rec.is_reverse
+    seq = rec.seq_nt16
+    qual = rec.qual
+    cigar = rec.cigar
+    nops = len(cigar)
+    for oi, (op, ln) in enumerate(cigar):
+        if op in ("M", "=", "X"):
+            for t in range(ln):
+                base = int(seq[qp + t]) + (16 if rev else 0)
+                bi = int(NUM2COUNTBASE[base])
+                q = int(qual[qp + t])
+                qstrat = min(q, num_homop)
+                qstrat = max(0, qstrat - 1) if num_homop > 1 else 0
+                if bi != -1:
+                    positions.append(rp + t)
+                    minors.append(0)
+                    feats.append(bi)
+                    qstrats.append(qstrat)
+            # insertion following the last aligned base of this op
+            if oi + 1 < nops and cigar[oi + 1][0] == "I":
+                ili = cigar[oi + 1][1]
+                anchor_r = rp + ln - 1
+                anchor_q = qp + ln - 1
+                ins_pos.append(anchor_r)
+                ins_len.append(ili)
+                for j in range(1, ili + 1):
+                    base = int(seq[anchor_q + j]) + (16 if rev else 0)
+                    bi = int(NUM2COUNTBASE[base])
+                    q = int(qual[anchor_q + j])
+                    qstrat = min(q, num_homop)
+                    qstrat = max(0, qstrat - 1) if num_homop > 1 else 0
+                    if bi != -1:
+                        positions.append(anchor_r)
+                        minors.append(j)
+                        feats.append(bi)
+                        qstrats.append(qstrat)
+            rp += ln
+            qp += ln
+        elif op == "D":
+            for t in range(ln):
+                positions.append(rp + t)
+                minors.append(0)
+                feats.append(REV_DEL if rev else FWD_DEL)
+                qstrats.append(0)
+            # insertion anchored at a deleted base: expands columns only
+            if oi + 1 < nops and cigar[oi + 1][0] == "I":
+                ins_pos.append(rp + ln - 1)
+                ins_len.append(cigar[oi + 1][1])
+            rp += ln
+        elif op == "I":
+            qp += ln  # consumed by the anchor logic above
+        elif op == "S":
+            qp += ln
+        elif op == "N":
+            rp += ln
+        # H, P consume nothing
+    return positions, minors, feats, qstrats, ins_pos, ins_len
+
+
+def calculate_pileup(records, chrom_id: int, start: int, end: int,
+                     num_homop: int = 5, min_mapq: int = 1):
+    """Counts matrix for region [start, end) of reference chrom_id.
+
+    Returns dict(major [C], minor [C], matrix [C, featlen*num_homop] int64)
+    where C = positions-with-coverage + expanded insertion columns,
+    matching print_pileup_data's row layout.
+    """
+    all_pos, all_min, all_feat, all_q = [], [], [], []
+    ins_map: dict[int, int] = {}
+    cover = np.zeros(end - start, dtype=bool)
+    for rec in records:
+        if rec.ref_id != chrom_id or (rec.flag & FILTER_FLAGS) or rec.mapq < min_mapq:
+            continue
+        p, mnr, f, q, ip, il = read_events(rec, num_homop)
+        all_pos.extend(p)
+        all_min.extend(mnr)
+        all_feat.extend(f)
+        all_q.extend(q)
+        for a, b in zip(ip, il):
+            if start <= a < end:
+                ins_map[a] = max(ins_map.get(a, 0), b)
+        # coverage: every ref position the read overlaps (incl. deletions)
+        span = sum(ln for op, ln in rec.cigar if op in "MDN=X")
+        s = max(rec.pos, start)
+        e = min(rec.pos + span, end)
+        if e > s:
+            cover[s - start : e - start] = True
+
+    pos = np.array(all_pos, dtype=np.int64)
+    keep = (pos >= start) & (pos < end)
+    pos = pos[keep]
+    minors = np.array(all_min, dtype=np.int64)[keep]
+    feats = np.array(all_feat, dtype=np.int64)[keep]
+    qstrats = np.array(all_q, dtype=np.int64)[keep]
+
+    covered_positions = np.nonzero(cover)[0] + start
+    width = np.ones(len(covered_positions), dtype=np.int64)
+    pos_to_slot = {int(p): i for i, p in enumerate(covered_positions)}
+    for a, b in ins_map.items():
+        if a in pos_to_slot:
+            width[pos_to_slot[a]] = b + 1
+    col_start = np.concatenate([[0], np.cumsum(width)])
+    n_cols = int(col_start[-1])
+
+    major = np.zeros(n_cols, dtype=np.int64)
+    minor = np.zeros(n_cols, dtype=np.int64)
+    for i, p in enumerate(covered_positions):
+        s = col_start[i]
+        w = width[i]
+        major[s : s + w] = p
+        minor[s : s + w] = np.arange(w)
+
+    matrix = np.zeros((n_cols, FEATLEN * num_homop), dtype=np.int64)
+    if len(pos):
+        slot = np.array([pos_to_slot[int(p)] for p in pos], dtype=np.int64)
+        col = col_start[slot] + minors
+        # drop events in minor columns beyond the column width (insertions
+        # whose anchor's max_ins came only from filtered-out regions can't
+        # happen; guard anyway)
+        ok = minors < width[slot]
+        fidx = feats + FEATLEN * qstrats
+        np.add.at(matrix, (col[ok], fidx[ok]), 1)
+    return {"major": major, "minor": minor, "matrix": matrix, "n_cols": n_cols}
+
+
+def print_pileup(result, num_homop: int = 5, out=None):
+    """print_pileup_data text format (medaka_counts.c:203-229)."""
+    import sys
+
+    out = out or sys.stdout
+    header = "pos\tins\t" + "".join(
+        f"{b}.{k + 1}\t" for k in range(num_homop) for b in PLP_BASES
+    )
+    out.write(header + "depth\n")
+    for j in range(result["n_cols"]):
+        row = result["matrix"][j]
+        out.write(
+            f"{result['major'][j]}\t{result['minor'][j]}\t"
+            + "".join(f"{c}\t" for c in row)
+            + f"{int(row.sum())}\n"
+        )

@@ -1,0 +1,85 @@
+"""BAM IO roundtrip + pileup counting on hand-constructed alignments."""
+
+import numpy as np
+
+from genomicsbench_palisade_tpu.io import bam as B
+from genomicsbench_palisade_tpu.ops import pileup as P
+
+
+def _nt16(s):
+    idx = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+    return np.array([idx[c] for c in s], dtype=np.uint8)
+
+
+def _rec(name, pos, cigar, seq, flag=0, mapq=60):
+    return B.BamRecord(
+        name=name, flag=flag, ref_id=0, pos=pos, mapq=mapq, cigar=cigar,
+        seq_nt16=_nt16(seq), qual=np.full(len(seq), 30, np.uint8), tags={},
+    )
+
+
+def test_bam_roundtrip(tmp_path):
+    refs = [("tig1", 1000)]
+    recs = [
+        _rec("r1", 10, [("M", 4)], "ACGT"),
+        _rec("r2", 12, [("M", 2), ("I", 2), ("M", 2)], "GTAACA", flag=16),
+        _rec("r3", 5, [("S", 2), ("M", 3), ("D", 2), ("M", 1)], "TTACGA"),
+    ]
+    path = str(tmp_path / "toy.bam")
+    B.write_bam(path, refs, recs)
+    refs2, recs2 = B.read_bam(path)
+    assert refs2 == refs
+    assert len(recs2) == 3
+    for a, b in zip(recs, recs2):
+        assert a.name == b.name and a.pos == b.pos and a.cigar == b.cigar
+        np.testing.assert_array_equal(a.seq_nt16, b.seq_nt16)
+        assert a.flag == b.flag
+
+
+def test_pileup_counts_simple():
+    # two forward reads, one reverse, ref positions 10..13
+    recs = [
+        _rec("f1", 10, [("M", 4)], "ACGT"),
+        _rec("f2", 10, [("M", 4)], "ACGA"),
+        _rec("rv", 10, [("M", 4)], "ACGT", flag=16),
+    ]
+    res = P.calculate_pileup(recs, 0, 10, 14, num_homop=1)
+    assert res["n_cols"] == 4
+    mat = res["matrix"]
+    # feature order acgtACGT dD; qual layer single
+    A, C, G, T = 4, 5, 6, 7
+    a, c, g, t = 0, 1, 2, 3
+    assert mat[0, A] == 2 and mat[0, a] == 1
+    assert mat[1, C] == 2 and mat[1, c] == 1
+    assert mat[2, G] == 2 and mat[2, g] == 1
+    assert mat[3, T] == 1 and mat[3, A] == 1 and mat[3, t] == 1
+
+
+def test_pileup_insertion_and_deletion():
+    # read with a 2-base insertion after ref pos 11 and a deletion at 12
+    recs = [
+        _rec("i1", 10, [("M", 2), ("I", 2), ("M", 2)], "ACGGTT"),
+        _rec("d1", 10, [("M", 2), ("D", 1), ("M", 1)], "ACT"),
+    ]
+    res = P.calculate_pileup(recs, 0, 10, 14, num_homop=1)
+    # columns: 10.0, 11.0, 11.1, 11.2, 12.0, 13.0
+    np.testing.assert_array_equal(res["major"], [10, 11, 11, 11, 12, 13])
+    np.testing.assert_array_equal(res["minor"], [0, 0, 1, 2, 0, 0])
+    mat = res["matrix"]
+    A, C, G, T, D = 4, 5, 6, 7, 9
+    assert mat[1, C] == 2  # both reads C at 11
+    assert mat[2, G] == 1 and mat[3, G] == 1  # inserted GG
+    assert mat[4, D] == 1  # deletion in read d1 at 12
+    assert mat[4, T] == 1  # read i1 has T at 12
+    assert mat[5, T] == 2  # read i1 T at 13 and read d1's final M is T at 13
+
+
+def test_pileup_filters():
+    recs = [
+        _rec("ok", 10, [("M", 2)], "AC"),
+        _rec("sec", 10, [("M", 2)], "AC", flag=B.FSECONDARY),
+        _rec("dup", 10, [("M", 2)], "AC", flag=B.FDUP),
+        _rec("mq0", 10, [("M", 2)], "AC", mapq=0),
+    ]
+    res = P.calculate_pileup(recs, 0, 10, 12, num_homop=1)
+    assert res["matrix"][:, 4].tolist() == [1, 0]  # only "ok" counted

@@ -1,0 +1,240 @@
+"""Adaptive banded event alignment on TPU (f5c eventalign capability).
+
+TPU-native design: the band-fill loop (align.c:289-399 / the CUDA kernels
+at f5c.cu:450-497) becomes a lax.scan over bands; each step is pure VPU
+work on [bandwidth]-wide vectors — the adaptive move decision, three
+shifted reads of the previous two bands (static-width dynamic slices of
+padded rows), pore-model gathers, the log-normal emission, and the
+3-state max with the reference's exact tie-break (U on equality beats D,
+L beats both).  vmap batches reads.  Traceback + QC run on the host from
+the returned trace planes (device backtrack is a later optimization).
+
+Bit-behavior matches ops/oracle/abea.py (f32 bands, f64 transition
+constants folded to f32 at store time exactly like the C).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .oracle import abea as oracle
+
+ALN_BANDWIDTH = oracle.ALN_BANDWIDTH
+FROM_D, FROM_U, FROM_L = 0, 1, 2
+NEG = np.float32(-np.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("bandwidth", "n_bands_pad"))
+def abea_fill_bands(
+    event_means_rev_pad,  # [E_pad + 2*bw] f32, ev_rev[j]=mean[n_events-1-j]
+    kmer_ranks_pad,  # [K_pad + 2*bw] i32
+    n_events,
+    n_kmers,
+    level_mean,  # [4096] f32 pore model
+    level_stdv,
+    level_log_stdv,
+    scale,
+    shift,
+    lp_consts,  # [4] f32: lp_skip, lp_stay, lp_step, lp_trim (f64-derived)
+    n_bands_pad: int = 0,
+    bandwidth: int = ALN_BANDWIDTH,
+):
+    bw = bandwidth
+    half = bw // 2
+    lp_skip, lp_stay, lp_step, lp_trim = (lp_consts[i] for i in range(4))
+
+    o_iota = jnp.arange(bw, dtype=jnp.int32)
+
+    # bands 0 and 1 (init)
+    band0 = jnp.full(bw, NEG).at[half].set(0.0)
+    band1 = jnp.full(bw, NEG).at[half].set(lp_trim)
+    bll_e0, bll_k0 = jnp.int32(half - 1), jnp.int32(-1 - half)
+    bll_e1, bll_k1 = bll_e0 + 1, bll_k0
+
+    n_bands = n_bands_pad
+    e_off = event_means_rev_pad.shape[0] - 2 * bw  # = E_pad
+
+    def step(carry, bi):
+        b1, b2, e1, k1, e2, k2 = carry
+        ll = b1[0]
+        ur = b1[bw - 1]
+        both_ob = jnp.isneginf(ll) & jnp.isneginf(ur)
+        right = jnp.where(both_ob, (bi % 2) == 1, ll < ur).astype(jnp.int32)
+        be = e1 + (1 - right)
+        bk = k1 + right
+
+        pad1 = jnp.concatenate([jnp.full(1, NEG), b1, jnp.full(1, NEG)])
+        pad2 = jnp.concatenate([jnp.full(2, NEG), b2, jnp.full(2, NEG)])
+        up = jax.lax.dynamic_slice(pad1, (right + 1,), (bw,))
+        left = jax.lax.dynamic_slice(pad1, (1 - right,), (bw,))
+        dk2 = bk - k2
+        diag = jax.lax.dynamic_slice(pad2, (1 + dk2,), (bw,))
+
+        ranks = jax.lax.dynamic_slice(kmer_ranks_pad, (bk + bw,), (bw,))
+        levels = jax.lax.dynamic_slice(
+            event_means_rev_pad, (jnp.int32(n_events) - 1 - be + bw,), (bw,)
+        )
+        gm = scale * level_mean[ranks] + shift
+        a = (levels - gm) / level_stdv[ranks]
+        lp_emit = jnp.float32(-0.918938) - level_log_stdv[ranks] - 0.5 * a * a
+
+        score_d = diag + lp_step + lp_emit
+        score_u = up + lp_stay + lp_emit
+        score_l = left + lp_skip
+        ms = score_d
+        frm = jnp.zeros(bw, jnp.uint8)
+        ms = jnp.maximum(ms, score_u)
+        frm = jnp.where(ms == score_u, jnp.uint8(FROM_U), frm)
+        ms = jnp.maximum(ms, score_l)
+        frm = jnp.where(ms == score_l, jnp.uint8(FROM_L), frm)
+
+        ei = be - o_iota
+        ki = bk + o_iota
+        valid = (ki >= 0) & (ki < n_kmers) & (ei >= 0) & (ei < n_events)
+        new_band = jnp.where(valid, ms, NEG)
+        new_trace = jnp.where(valid, frm, 0)
+
+        # trim state at kmer -1
+        to = -1 - bk
+        t_ei = be - to
+        t_ok = (to >= 0) & (to < bw)
+        t_in = t_ok & (t_ei >= 0) & (t_ei < n_events)
+        t_val = jnp.where(t_in, lp_trim * (t_ei + 1).astype(jnp.float32), NEG)
+        at = jnp.clip(to, 0, bw - 1)
+        new_band = jnp.where(
+            t_ok, new_band.at[at].set(t_val), new_band
+        )
+        new_trace = jnp.where(
+            t_ok, new_trace.at[at].set(jnp.where(t_in, jnp.uint8(FROM_U), jnp.uint8(0))), new_trace
+        )
+
+        # value at the final kmer column (for the backtrack seed)
+        lo = (jnp.int32(n_kmers) - 1) - bk
+        l_ok = (lo >= 0) & (lo < bw)
+        last_val = jnp.where(l_ok, new_band[jnp.clip(lo, 0, bw - 1)], NEG)
+
+        ys = (new_trace, be, bk, last_val)
+        return (new_band, b1, be, bk, e1, k1), ys
+
+    carry0 = (band1, band0, bll_e1, bll_k1, bll_e0, bll_k0)
+    _, (traces, bes, bks, last_vals) = jax.lax.scan(
+        step, carry0, jnp.arange(2, n_bands, dtype=jnp.int32)
+    )
+    del e_off
+    return traces, bes, bks, last_vals
+
+
+def align_events(sequence: str, event_means: np.ndarray, model: dict,
+                 scale: float, shift: float, bandwidth: int = ALN_BANDWIDTH,
+                 k: int = oracle.KMER_SIZE):
+    """Device band fill + host traceback/QC. Same contract as oracle.align."""
+    n_events = len(event_means)
+    n_kmers = len(sequence) - k + 1
+    bw = bandwidth
+    half = bw // 2
+
+    events_per_kmer = n_events / n_kmers
+    p_stay = 1 - (1 / (events_per_kmer + 1))
+    lp_skip = np.log(1e-10)
+    lp_stay = np.log(p_stay)
+    lp_step = np.log(1.0 - np.exp(lp_skip) - np.exp(lp_stay))
+    lp_trim = np.log(0.01)
+    lp_consts = jnp.asarray(
+        np.array([lp_skip, lp_stay, lp_step, lp_trim], dtype=np.float32)
+    )
+
+    kmer_ranks = np.array(
+        [oracle.get_kmer_rank(sequence[i : i + k]) for i in range(n_kmers)],
+        dtype=np.int32,
+    )
+    ranks_pad = np.zeros(n_kmers + 2 * bw, np.int32)
+    ranks_pad[bw : bw + n_kmers] = kmer_ranks
+    ev_rev = event_means[::-1].astype(np.float32)
+    ev_pad = np.zeros(n_events + 2 * bw, np.float32)
+    ev_pad[bw : bw + n_events] = ev_rev
+
+    n_bands = n_events + 1 + n_kmers + 1
+    traces, bes, bks, last_vals = abea_fill_bands(
+        jnp.asarray(ev_pad),
+        jnp.asarray(ranks_pad),
+        n_events,
+        n_kmers,
+        jnp.asarray(model["level_mean"].astype(np.float32)),
+        jnp.asarray(model["level_stdv"].astype(np.float32)),
+        jnp.asarray(model["level_log_stdv"].astype(np.float32)),
+        np.float32(scale),
+        np.float32(shift),
+        lp_consts,
+        n_bands_pad=n_bands,
+        bandwidth=bw,
+    )
+    traces = np.asarray(traces)
+    bes = np.asarray(bes)
+    bks = np.asarray(bks)
+    last_vals = np.asarray(last_vals)
+
+    # reassemble full per-band arrays (bands 0,1 are the fixed seeds)
+    trace_full = np.zeros((n_bands, bw), np.uint8)
+    trace_full[1, half] = FROM_U
+    trace_full[2:] = traces
+    bll_e = np.zeros(n_bands, np.int64)
+    bll_k = np.zeros(n_bands, np.int64)
+    bll_e[0], bll_k[0] = half - 1, -1 - half
+    bll_e[1], bll_k[1] = half, -1 - half
+    bll_e[2:] = bes
+    bll_k[2:] = bks
+
+    # backtrack seed: best event against the last kmer + remaining trim
+    max_score = -np.inf
+    curr_event_idx = 0
+    curr_kmer_idx = n_kmers - 1
+    for ei in range(n_events):
+        bi = ei + n_kmers + 1
+        if bi >= n_bands:
+            break
+        if bi >= 2:
+            s = last_vals[bi - 2] + (n_events - ei) * lp_trim
+        else:
+            continue
+        if s > max_score:
+            max_score = s
+            curr_event_idx = ei
+
+    lm, ls, lls = model["level_mean"], model["level_stdv"], model["level_log_stdv"]
+    out = []
+    sum_emission = 0.0
+    n_aligned = 0
+    curr_gap = max_gap = 0
+    while curr_kmer_idx >= 0 and curr_event_idx >= 0:
+        out.append((curr_kmer_idx, curr_event_idx))
+        rank = kmer_ranks[curr_kmer_idx]
+        sum_emission += float(
+            oracle.log_prob_match(lm[rank], ls[rank], lls[rank],
+                                  event_means[curr_event_idx], scale, shift)
+        )
+        n_aligned += 1
+        bi = (curr_event_idx + 1) + (curr_kmer_idx + 1)
+        off = int(bll_e[bi]) - curr_event_idx
+        frm = trace_full[bi, off]
+        if frm == FROM_D:
+            curr_kmer_idx -= 1
+            curr_event_idx -= 1
+            curr_gap = 0
+        elif frm == FROM_U:
+            curr_event_idx -= 1
+            curr_gap = 0
+        else:
+            curr_kmer_idx -= 1
+            curr_gap += 1
+            max_gap = max(max_gap, curr_gap)
+    out.reverse()
+
+    avg = sum_emission / max(n_aligned, 1)
+    spanned = bool(out) and out[0][0] == 0 and out[-1][0] == n_kmers - 1
+    if avg < -5.0 or not spanned or max_gap > 50:
+        return []
+    return out

@@ -1,0 +1,74 @@
+"""dbg driver: `python -m genomicsbench_palisade_tpu.cli.dbg <bam> <region> <ref.fa> <threads>`.
+
+Mirrors benchmarks/dbg/debruijn.cpp:1438-1630: reads the region's
+alignments, slides 1500bp assembly windows (shift 750), builds the
+colored de Bruijn graph per window (k=15, minQual=20).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..io.bam import SEQ_NT16_STR, read_bam
+from ..io.fastq import read_all
+from ..ops.dbg import assemble_window, window_batches
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="dbg")
+    ap.add_argument("bam")
+    ap.add_argument("region")
+    ap.add_argument("ref_fasta")
+    ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
+    args = ap.parse_args(argv)
+
+    chrom, _, rng = args.region.partition(":")
+    if rng:
+        beg, end = (int(v) for v in rng.split("-"))
+        beg -= 1
+    else:
+        beg, end = 0, None
+
+    ref = {name: seq for name, seq, _q in read_all(args.ref_fasta)}[chrom].upper()
+    if end is None:
+        end = len(ref)
+
+    refs, records = read_bam(args.bam)
+    names = [n for n, _l in refs]
+    rid = names.index(chrom)
+    reads = []
+    lut = np.frombuffer(SEQ_NT16_STR.encode(), dtype=np.uint8)
+    for rec in records:
+        if rec.ref_id != rid:
+            continue
+        seq = lut[rec.seq_nt16].tobytes().decode()
+        span = sum(ln for op, ln in rec.cigar if op in "MDN=X")
+        reads.append((rec.pos, rec.pos + span, seq, rec.qual, rec.flag))
+
+    t0 = time.perf_counter()
+    n_windows = 0
+    total_nodes = 0
+    total_bubbles = 0
+    for assem_start, assem_end, ref_start, ref_end in window_batches(beg, end):
+        window_reads = [
+            (seq, quals, flag)
+            for pos, rend, seq, quals, flag in reads
+            if pos < assem_end and rend > assem_start
+        ]
+        g, bubbles = assemble_window(ref[ref_start:ref_end], ref_start, window_reads)
+        n_windows += 1
+        total_nodes += len(g.nodes)
+        total_bubbles += len(bubbles)
+    dt = time.perf_counter() - t0
+    print(f"Found {n_windows} batches.")
+    print(f"total graph nodes: {total_nodes}, read bubbles: {total_bubbles}")
+    print(f"Time in kernel: {dt:.2f} sec", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,205 @@
+"""Bonito QuartzNet-style CTC basecaller (nn-base capability) in flax.
+
+Architecture source: benchmarks/nn-base/bonito/basecall.py:33-260 and
+models/bonito_dna_r941/config.toml — 8 blocks of time-channel-separable
+1-D convs with BatchNorm(eps=1e-3) + Swish, pointwise residuals, a 1x1
+decoder conv, log_softmax over the 5-label alphabet "NACGT", greedy/
+viterbi CTC decoding (fast_ctc_decode replacement).
+
+TPU notes: convs run as NWC lax convolutions (MXU); inference-mode batch
+norm is folded affine math.  `load_torch_state_dict` converts the
+reference's PyTorch weights when available.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+DEFAULT_ALPHABET = "NACGT"
+
+# (filters, repeat, kernel, stride, residual, separable) per config.toml
+DNA_R941_BLOCKS = [
+    (344, 1, 9, 3, False, False),
+    (424, 2, 115, 1, True, True),
+    (464, 7, 5, 1, True, True),
+    (456, 4, 123, 1, True, True),
+    (440, 9, 9, 1, True, True),
+    (280, 6, 31, 1, True, True),
+    (384, 1, 67, 1, False, True),
+    (48, 1, 15, 1, False, False),
+]
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class TCSConv(nn.Module):
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    separable: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T, C]
+        pad = (self.kernel_size // 2, self.kernel_size // 2)
+        if self.separable:
+            c_in = x.shape[-1]
+            x = nn.Conv(
+                c_in, (self.kernel_size,), strides=(self.stride,),
+                padding=(pad,), feature_group_count=c_in, use_bias=False,
+                name="depthwise",
+            )(x)
+            # reference quirk: the pointwise conv also carries the stride
+            x = nn.Conv(
+                self.out_channels, (1,), strides=(self.stride,), use_bias=False,
+                name="pointwise",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.out_channels, (self.kernel_size,), strides=(self.stride,),
+                padding=(pad,), use_bias=False, name="conv",
+            )(x)
+        return x
+
+
+class Block(nn.Module):
+    out_channels: int
+    repeat: int
+    kernel_size: int
+    stride: int
+    residual: bool
+    separable: bool
+
+    @nn.compact
+    def __call__(self, x):
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=True, epsilon=1e-3, momentum=0.9, name=name
+            )
+
+        h = x
+        for r in range(self.repeat):
+            h = TCSConv(
+                self.out_channels, self.kernel_size, self.stride,
+                self.separable, name=f"tcs{r}",
+            )(h)
+            h = bn(f"bn{r}")(h)
+            if r < self.repeat - 1:
+                h = swish(h)
+        if self.residual:
+            res = TCSConv(self.out_channels, 1, 1, False, name="res_tcs")(x)
+            res = bn("res_bn")(res)
+            h = h + res
+        return swish(h)
+
+
+class BonitoModel(nn.Module):
+    blocks: tuple = tuple(DNA_R941_BLOCKS)
+    n_classes: int = 5
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T, 1] normalized signal
+        for i, (f, rep, k, s, res, sep) in enumerate(self.blocks):
+            x = Block(f, rep, k, s, res, sep, name=f"block{i}")(x)
+        x = nn.Conv(self.n_classes, (1,), use_bias=True, name="decoder")(x)
+        return jax.nn.log_softmax(x, axis=-1)
+
+
+def init_model(rng_seed=0, chunk=4000, blocks=None):
+    model = BonitoModel(blocks=tuple(blocks or DNA_R941_BLOCKS))
+    params = model.init(jax.random.PRNGKey(rng_seed), jnp.zeros((1, chunk, 1)))
+    return model, params
+
+
+def viterbi_decode(log_probs, alphabet=DEFAULT_ALPHABET):
+    """Greedy CTC collapse (viterbi path of the label-synchronous model)."""
+    path = np.asarray(jnp.argmax(log_probs, axis=-1))
+    out = []
+    prev = -1
+    for p in path:
+        if p != prev and p != 0:  # 0 = 'N' blank
+            out.append(alphabet[p])
+        prev = p
+    return "".join(out)
+
+
+def basecall(model, params, signal, chunksize=4000, overlap=0):
+    """Chunked single-read basecall; returns the called sequence."""
+    t = len(signal)
+    pieces = []
+    step = chunksize - overlap
+    for s in range(0, t, step):
+        chunk = signal[s : s + chunksize]
+        if len(chunk) < chunksize:
+            chunk = np.pad(chunk, (0, chunksize - len(chunk)))
+        lp = model.apply(params, jnp.asarray(chunk[None, :, None], jnp.float32))
+        pieces.append(viterbi_decode(lp[0]))
+    return "".join(pieces)
+
+
+def load_torch_state_dict(state_dict, blocks=None):
+    """Convert a PyTorch bonito checkpoint into flax params.
+
+    Layout mapping: torch Conv1d weight [out, in/groups, k] -> flax Conv
+    kernel [k, in/groups, out]; BatchNorm running stats feed the
+    use_running_average path.
+    """
+    blocks = blocks or DNA_R941_BLOCKS
+
+    def conv_w(t):
+        return jnp.asarray(np.transpose(np.asarray(t), (2, 1, 0)))
+
+    params = {"params": {}, "batch_stats": {}}
+
+    def put(path, leaf, tree):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for i, (f, rep, k, s, res, sep) in enumerate(blocks):
+        conv_seq = []  # torch module indices within encoder.encoder.{i}.conv
+        # torch Block.conv is a flat ModuleList: per repeat: (TCS, BN[, act, drop])
+        idx = 0
+        for r in range(rep):
+            tcs_key = f"encoder.encoder.{i}.conv.{idx}"
+            bn_key = f"encoder.encoder.{i}.conv.{idx + 1}"
+            base = ("params", f"block{i}", f"tcs{r}")
+            if sep:
+                put(base[1:] + ("depthwise", "kernel"),
+                    conv_w(state_dict[tcs_key + ".depthwise.weight"]), params["params"])
+                put(base[1:] + ("pointwise", "kernel"),
+                    conv_w(state_dict[tcs_key + ".pointwise.weight"]), params["params"])
+            else:
+                put(base[1:] + ("conv", "kernel"),
+                    conv_w(state_dict[tcs_key + ".conv.weight"]), params["params"])
+            put((f"block{i}", f"bn{r}", "scale"),
+                jnp.asarray(np.asarray(state_dict[bn_key + ".weight"])), params["params"])
+            put((f"block{i}", f"bn{r}", "bias"),
+                jnp.asarray(np.asarray(state_dict[bn_key + ".bias"])), params["params"])
+            put((f"block{i}", f"bn{r}", "mean"),
+                jnp.asarray(np.asarray(state_dict[bn_key + ".running_mean"])), params["batch_stats"])
+            put((f"block{i}", f"bn{r}", "var"),
+                jnp.asarray(np.asarray(state_dict[bn_key + ".running_var"])), params["batch_stats"])
+            idx += 2 if r == rep - 1 else 4  # act+dropout between repeats
+        if res:
+            put((f"block{i}", "res_tcs", "conv", "kernel"),
+                conv_w(state_dict[f"encoder.encoder.{i}.residual.0.conv.weight"]), params["params"])
+            put((f"block{i}", "res_bn", "scale"),
+                jnp.asarray(np.asarray(state_dict[f"encoder.encoder.{i}.residual.1.weight"])), params["params"])
+            put((f"block{i}", "res_bn", "bias"),
+                jnp.asarray(np.asarray(state_dict[f"encoder.encoder.{i}.residual.1.bias"])), params["params"])
+            put((f"block{i}", "res_bn", "mean"),
+                jnp.asarray(np.asarray(state_dict[f"encoder.encoder.{i}.residual.1.running_mean"])), params["batch_stats"])
+            put((f"block{i}", "res_bn", "var"),
+                jnp.asarray(np.asarray(state_dict[f"encoder.encoder.{i}.residual.1.running_var"])), params["batch_stats"])
+        del conv_seq
+    put(("decoder", "kernel"), conv_w(state_dict["decoder.layers.0.weight"]), params["params"])
+    put(("decoder", "bias"), jnp.asarray(np.asarray(state_dict["decoder.layers.0.bias"])), params["params"])
+    return params

@@ -1,0 +1,71 @@
+"""ctypes bindings for the native host-I/O library (native/fastio.cpp).
+
+Falls back transparently to the pure-Python readers when the .so hasn't
+been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = pathlib.Path(__file__).resolve().parents[2] / "native" / "libgenomics_native.so"
+    if not so.exists():
+        _LIB = False
+        return _LIB
+    lib = ctypes.CDLL(str(so))
+    lib.gt_parse_reads.restype = ctypes.c_void_p
+    lib.gt_parse_reads.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.gt_num_reads.restype = ctypes.c_int64
+    lib.gt_num_reads.argtypes = [ctypes.c_void_p]
+    lib.gt_total_bases.restype = ctypes.c_int64
+    lib.gt_total_bases.argtypes = [ctypes.c_void_p]
+    lib.gt_num_quals.restype = ctypes.c_int64
+    lib.gt_num_quals.argtypes = [ctypes.c_void_p]
+    lib.gt_copy_out.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+    lib.gt_free_reads.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def parse_reads_native(path: str, limit: int = -1):
+    """Returns (codes int8[total], quals int8[total]|None, offsets i64[N],
+    lengths i32[N]) or None if the native library isn't built."""
+    lib = _load()
+    if not lib:
+        return None
+    h = lib.gt_parse_reads(os.fsencode(path), limit)
+    if not h:
+        return None
+    try:
+        n = lib.gt_num_reads(h)
+        total = lib.gt_total_bases(h)
+        nq = lib.gt_num_quals(h)
+        codes = np.empty(total, np.int8)
+        quals = np.empty(nq, np.int8) if nq else None
+        offsets = np.empty(n, np.int64)
+        lengths = np.empty(n, np.int32)
+        lib.gt_copy_out(
+            h,
+            codes.ctypes.data_as(ctypes.c_void_p),
+            quals.ctypes.data_as(ctypes.c_void_p) if nq else None,
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            lengths.ctypes.data_as(ctypes.c_void_p),
+        )
+    finally:
+        lib.gt_free_reads(h)
+    return codes, quals, offsets, lengths

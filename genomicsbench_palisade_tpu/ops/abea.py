@@ -147,14 +147,23 @@ def align_events(sequence: str, event_means: np.ndarray, model: dict,
         np.array([lp_skip, lp_stay, lp_step, lp_trim], dtype=np.float32)
     )
 
+    # bucket padded shapes to multiples of 256 so mixed-length read sets
+    # reuse one compiled kernel (shape-exact padding recompiled per read
+    # length — ~40 s each on a real chip); the scan's extra bands fall
+    # outside [0, n_events) x [0, n_kmers) and are masked to -inf, and the
+    # host traceback below only reads the real n_bands rows
+    def _bucket(n, q=256):
+        return -(-n // q) * q
+
+    e_buck, k_buck = _bucket(n_events), _bucket(n_kmers)
     kmer_ranks = np.array(
         [oracle.get_kmer_rank(sequence[i : i + k]) for i in range(n_kmers)],
         dtype=np.int32,
     )
-    ranks_pad = np.zeros(n_kmers + 2 * bw, np.int32)
+    ranks_pad = np.zeros(k_buck + 2 * bw, np.int32)
     ranks_pad[bw : bw + n_kmers] = kmer_ranks
     ev_rev = event_means[::-1].astype(np.float32)
-    ev_pad = np.zeros(n_events + 2 * bw, np.float32)
+    ev_pad = np.zeros(e_buck + 2 * bw, np.float32)
     ev_pad[bw : bw + n_events] = ev_rev
 
     n_bands = n_events + 1 + n_kmers + 1
@@ -169,13 +178,13 @@ def align_events(sequence: str, event_means: np.ndarray, model: dict,
         np.float32(scale),
         np.float32(shift),
         lp_consts,
-        n_bands_pad=n_bands,
+        n_bands_pad=e_buck + k_buck + 2,
         bandwidth=bw,
     )
-    traces = np.asarray(traces)
-    bes = np.asarray(bes)
-    bks = np.asarray(bks)
-    last_vals = np.asarray(last_vals)
+    traces = np.asarray(traces)[: n_bands - 2]
+    bes = np.asarray(bes)[: n_bands - 2]
+    bks = np.asarray(bks)[: n_bands - 2]
+    last_vals = np.asarray(last_vals)[: n_bands - 2]
 
     # reassemble full per-band arrays (bands 0,1 are the fixed seeds)
     trace_full = np.zeros((n_bands, bw), np.uint8)

@@ -203,3 +203,80 @@ def load_torch_state_dict(state_dict, blocks=None):
     put(("decoder", "kernel"), conv_w(state_dict["decoder.layers.0.weight"]), params["params"])
     put(("decoder", "bias"), jnp.asarray(np.asarray(state_dict["decoder.layers.0.bias"])), params["params"])
     return params
+
+
+# ---------------------------------------------------------------------------
+# host-side signal preprocessing + chunking (basecall.py:296-398)
+# ---------------------------------------------------------------------------
+
+MODEL_STRIDE = DNA_R941_BLOCKS[0][3]  # block 0 stride (config stride=3)
+
+
+def med_mad(x, factor=1.4826):
+    """Median and scaled median absolute deviation (basecall.py:391-397)."""
+    med = np.median(x)
+    mad = np.median(np.absolute(x - med)) * factor
+    return med, mad
+
+
+def norm_by_noisiest_section(signal, samples=100, threshold=6.0):
+    """medmad-normalize using the widest high-noise region
+    (basecall.py:367-388)."""
+    from scipy.signal import find_peaks
+
+    signal = np.asarray(signal, dtype=np.float32)
+    thr = signal.std() / threshold
+    noise = np.ones(signal.shape)
+    for idx in np.arange(signal.shape[0] // samples):
+        window = slice(idx * samples, (idx + 1) * samples)
+        noise[window] = np.where(signal[window].std() > thr, 1, 0)
+    noise[0] = 0
+    noise[-1] = 0
+    peaks, info = find_peaks(noise, width=(None, None))
+    if len(peaks):
+        widest = np.argmax(info["widths"])
+        med, mad = med_mad(
+            signal[info["left_bases"][widest]: info["right_bases"][widest]]
+        )
+    else:
+        med, mad = med_mad(signal)
+    return (signal - med) / mad
+
+
+def chunk_signal(raw, chunksize, overlap):
+    """Overlapping chunks [N, chunksize] (basecall.py chunk(), :295-305)."""
+    raw = np.asarray(raw, dtype=np.float32)
+    if chunksize > 0 and raw.shape[0] > chunksize:
+        step = chunksize - overlap
+        num_chunks = raw.shape[0] // step + 1
+        tmp = np.zeros(num_chunks * step, dtype=raw.dtype)
+        tmp[: raw.shape[0]] = raw
+        n_windows = (len(tmp) - chunksize) // step + 1
+        idx = np.arange(n_windows)[:, None] * step + np.arange(chunksize)[None, :]
+        return tmp[idx]
+    return raw[None, :]
+
+
+def stitch(predictions, overlap_out):
+    """Stitch chunked posteriors (basecall.py stitch(), :308-316)."""
+    predictions = np.asarray(predictions)
+    if predictions.shape[0] == 1:
+        return predictions[0]
+    if overlap_out == 0:
+        return np.concatenate(list(predictions))
+    pieces = [predictions[0, :-overlap_out]]
+    for i in range(1, predictions.shape[0] - 1):
+        pieces.append(predictions[i][overlap_out:-overlap_out])
+    pieces.append(predictions[-1][overlap_out:])
+    return np.concatenate(pieces)
+
+
+def basecall_read(model, params, signal, chunksize=4000, overlap=0,
+                  stride=MODEL_STRIDE):
+    """Full single-read pipeline: chunk -> ONE batched forward (MXU) ->
+    stitch posteriors -> viterbi decode (basecall.py main(), :600-620)."""
+    chunks = chunk_signal(signal, chunksize, overlap)
+    lp = model.apply(params, jnp.asarray(chunks[:, :, None]))
+    posteriors = stitch(np.asarray(lp), overlap // stride // 2)
+    posteriors = posteriors[: len(signal)]
+    return viterbi_decode(posteriors)

@@ -119,7 +119,9 @@ def save_npz(idx: DeviceFmIndex, path: str):
 
 
 def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
-    z = np.load(path)
+    z = np.load(path, allow_pickle=True)
+    sa_ms = z["sa_ms_byte"] if "sa_ms_byte" in z.files and z["sa_ms_byte"].size else None
+    sa_ls = z["sa_ls_word"] if "sa_ls_word" in z.files and z["sa_ls_word"].size else None
     return DeviceFmIndex(
         ref_seq_len=int(z["ref_seq_len"]),
         count=z["count"],
@@ -127,5 +129,7 @@ def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
         cp_count=z["cp_count"],
         one_hot_hi=z["one_hot_hi"],
         one_hot_lo=z["one_hot_lo"],
+        sa_ms_byte=sa_ms,
+        sa_ls_word=sa_ls,
         idx_dtype=idx_dtype,
     )

@@ -69,3 +69,28 @@ def parse_reads_native(path: str, limit: int = -1):
     finally:
         lib.gt_free_reads(h)
     return codes, quals, offsets, lengths
+
+
+def sais(codes: np.ndarray) -> np.ndarray | None:
+    """Suffix array of int8/uint8 codes in [0, 255) via native SA-IS.
+
+    Returns int64[n], or None when the native library isn't built.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_sais_ready"):
+        lib.gt_sais_u8.restype = ctypes.c_int
+        lib.gt_sais_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib._sais_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    shifted = codes + 1  # reserve 0 for the internal sentinel
+    n = len(shifted)
+    sa = np.empty(n, np.int64)
+    k = int(shifted.max()) + 1 if n else 1
+    rc = lib.gt_sais_u8(shifted.ctypes.data, n, k, sa.ctypes.data)
+    if rc != 0:
+        return None
+    return sa

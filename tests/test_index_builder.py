@@ -1,0 +1,89 @@
+"""FM-index builder: SA-IS + vectorized assembly vs the oracle builder."""
+
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.index import builder as IB
+from genomicsbench_palisade_tpu.index import fmi_index as FI
+from genomicsbench_palisade_tpu.io import native
+from genomicsbench_palisade_tpu.ops.oracle import fmi as FO
+
+
+def _rand_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+@pytest.mark.parametrize("n", [13, 64, 65, 257, 1000])
+def test_build_arrays_matches_oracle(n):
+    rng = np.random.default_rng(n)
+    seq = _rand_seq(rng, n)
+    want = FO.build_index(seq)
+    codes = IB._CODE_TABLE[np.frombuffer(seq.encode(), np.uint8)]
+    got = IB.build_arrays(codes)
+    assert got.ref_seq_len == want.ref_seq_len
+    assert got.sentinel_index == want.sentinel_index
+    np.testing.assert_array_equal(got.count, want.count)
+    np.testing.assert_array_equal(got.cp_count, want.cp_count)
+    np.testing.assert_array_equal(
+        got.one_hot_hi, (want.one_hot >> np.uint64(32)).astype(np.uint32))
+    np.testing.assert_array_equal(
+        got.one_hot_lo, (want.one_hot & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    # SA arrays reassemble the oracle's suffix array
+    sa = got.sa_ms_byte.astype(np.int64) << 32 | got.sa_ls_word.astype(np.int64)
+    np.testing.assert_array_equal(sa, want.sa)
+
+
+def test_native_sais_agrees_with_doubling():
+    if not native.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.sais(codes), FO.suffix_array(codes.astype(np.int64)))
+
+
+def test_bwt2bit64_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, 300).astype(np.uint8)
+    idx = IB.build_arrays(codes)
+    path = tmp_path / "ref.bwt.2bit.64"
+    IB.write_bwt2bit64(idx, str(path))
+    back = FI.load_bwt2bit64(str(path), load_sa=True)
+    assert back.ref_seq_len == idx.ref_seq_len
+    assert back.sentinel_index == idx.sentinel_index
+    np.testing.assert_array_equal(back.count, idx.count)
+    np.testing.assert_array_equal(back.cp_count, idx.cp_count)
+    np.testing.assert_array_equal(back.one_hot_hi, idx.one_hot_hi)
+    np.testing.assert_array_equal(back.one_hot_lo, idx.one_hot_lo)
+    np.testing.assert_array_equal(back.sa_ms_byte, idx.sa_ms_byte)
+    np.testing.assert_array_equal(back.sa_ls_word, idx.sa_ls_word)
+
+
+def test_fmi_build_cli_and_search(tmp_path, capsys):
+    """Build from FASTA via the CLI, then run SMEM search on the artifact."""
+    rng = np.random.default_rng(2)
+    genome = _rand_seq(rng, 1500)
+    fa = tmp_path / "ref.fa"
+    # two contigs + lowercase + an ambiguous base
+    fa.write_text(f">c1\n{genome[:800]}\n>c2\n{genome[800:].lower()}NACGT\n")
+    from genomicsbench_palisade_tpu.cli.fmi_build import main
+
+    rc = main([str(fa), "-p", str(tmp_path / "idx"), "--bwt2bit"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "* ref_seq_len: " in out and "* sentinel_index: " in out
+    didx = FI.load_npz(str(tmp_path / "idx.npz"))
+    assert didx.ref_seq_len == 2 * (1500 + 5) + 1
+    assert didx.sa_ls_word is not None
+
+    # SMEM parity: oracle search over the same text must agree with an
+    # oracle index built directly (the builder's pac must be identical)
+    codes, _names, _lens = IB.pack_fasta(str(fa))
+    seq_str = "ACGT"
+    text = "".join(seq_str[c] for c in codes)
+    want = FO.build_index(text)
+    np.testing.assert_array_equal(didx.cp_count, want.cp_count)
+    read = text[200:280]
+    smems = FO.get_smems_all_pos(want, np.array(
+        [FO._CODE[c] for c in read], np.int64), min_intv=1, min_seed_len=19)
+    assert len(smems) >= 1

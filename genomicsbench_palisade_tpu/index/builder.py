@@ -59,8 +59,12 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     return sa
 
 
-def build_arrays(forward_codes: np.ndarray) -> DeviceFmIndex:
-    """Full fwd+revcomp FM index with SA sample arrays, vectorized."""
+def build_arrays(forward_codes: np.ndarray, sa_compression: bool = False
+                 ) -> DeviceFmIndex:
+    """Full fwd+revcomp FM index with SA sample arrays, vectorized.
+
+    sa_compression=True keeps every 8th SA entry (SA_COMPX=3, the
+    reference's compressed mode; lookup LF-walks to a sampled row)."""
     fwd = np.asarray(forward_codes, dtype=np.uint8)
     full = np.concatenate([fwd, (3 - fwd[::-1]).astype(np.uint8)])
     pac_len = len(full)
@@ -97,6 +101,7 @@ def build_arrays(forward_codes: np.ndarray) -> DeviceFmIndex:
         one_hot_hi[:, b] = (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3]
         one_hot_lo[:, b] = (w[:, 4] << 24) | (w[:, 5] << 16) | (w[:, 6] << 8) | w[:, 7]
 
+    sa_kept = sa[::8] if sa_compression else sa
     return DeviceFmIndex(
         ref_seq_len=ref_seq_len,
         count=count_raw + 1,  # sentinel adjustment (FMI_search.cpp:763-768)
@@ -104,8 +109,9 @@ def build_arrays(forward_codes: np.ndarray) -> DeviceFmIndex:
         cp_count=cp_count,
         one_hot_hi=one_hot_hi,
         one_hot_lo=one_hot_lo,
-        sa_ms_byte=(sa >> 32).astype(np.int8),
-        sa_ls_word=(sa & 0xFFFFFFFF).astype(np.uint32),
+        sa_ms_byte=(sa_kept >> 32).astype(np.int8),
+        sa_ls_word=(sa_kept & 0xFFFFFFFF).astype(np.uint32),
+        sa_compression=sa_compression,
         idx_dtype=np.int64 if ref_seq_len > 2**31 - 1 else np.int32,
     )
 

@@ -38,6 +38,7 @@ class DeviceFmIndex:
     one_hot_lo: np.ndarray  # [blocks, 4] uint32 (block positions 32..63)
     sa_ms_byte: np.ndarray | None = None
     sa_ls_word: np.ndarray | None = None
+    sa_compression: bool = False  # SA sampled every 8th row (SA_COMPX=3)
     idx_dtype: type = np.int64
 
     def as_device_arrays(self):
@@ -102,6 +103,7 @@ def load_bwt2bit64(path: str, sa_compression: bool = False, load_sa: bool = Fals
         one_hot_lo=lo,
         sa_ms_byte=sa_ms,
         sa_ls_word=sa_ls,
+        sa_compression=sa_compression,
         idx_dtype=np.int64,
     )
 
@@ -133,3 +135,78 @@ def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
         sa_ls_word=sa_ls,
         idx_dtype=idx_dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# suffix-array entry lookup (FMI_search.cpp:1568-1625 get_sa_entry*)
+# ---------------------------------------------------------------------------
+
+def host_occ(idx: DeviceFmIndex, pp: int, c: int) -> int:
+    """# of char c in bwt[0:pp] from the split one-hot planes (GET_OCC)."""
+    blk = pp >> CP_SHIFT
+    y = pp & CP_MASK
+    base = int(idx.cp_count[blk, c])
+    if y == 0:
+        return base
+    hi = int(idx.one_hot_hi[blk, c])
+    lo = int(idx.one_hot_lo[blk, c])
+    if y <= 32:
+        bits = hi >> (32 - y) if y < 32 else hi
+        return base + bits.bit_count()
+    return base + hi.bit_count() + (lo >> (64 - y)).bit_count()
+
+
+def host_bwt_char(idx: DeviceFmIndex, pos: int) -> int:
+    """BWT character at SA row pos (4 = sentinel)."""
+    blk = pos >> CP_SHIFT
+    bit = 1 << (31 - (pos & 31)) if (pos & CP_MASK) < 32 else 1 << (63 - (pos & CP_MASK))
+    plane = "one_hot_hi" if (pos & CP_MASK) < 32 else "one_hot_lo"
+    arr = getattr(idx, plane)
+    for c in range(4):
+        if int(arr[blk, c]) & bit:
+            return c
+    return 4
+
+
+def get_sa_entry(idx: DeviceFmIndex, pos: int) -> int:
+    """Reference coordinate of SA row pos (FMI_search.cpp:1568-1578;
+    compressed variant walks LF to a sampled row, :1621-1625 semantics)."""
+    if idx.sa_ms_byte is None:
+        raise ValueError("index carries no SA arrays")
+    if not idx.sa_compression:
+        return (int(idx.sa_ms_byte[pos]) << 32) + int(idx.sa_ls_word[pos])
+    offset = 0
+    while pos & 7:
+        if pos == idx.sentinel_index:
+            return offset  # SA[sentinel row] = 0
+        c = host_bwt_char(idx, pos)
+        pos = int(idx.count[c]) + host_occ(idx, pos, c)  # LF step
+        offset += 1
+    return (int(idx.sa_ms_byte[pos >> 3]) << 32) + int(idx.sa_ls_word[pos >> 3]) + offset
+
+
+def get_sa_entries(idx: DeviceFmIndex, positions) -> np.ndarray:
+    """Bulk coordinate lookup (get_sa_entries, FMI_search.cpp:1581-1594)."""
+    positions = np.asarray(positions, np.int64)
+    if not idx.sa_compression:
+        return (idx.sa_ms_byte[positions].astype(np.int64) << 32) + \
+            idx.sa_ls_word[positions].astype(np.int64)
+    return np.array([get_sa_entry(idx, int(p)) for p in positions], np.int64)
+
+
+def get_sa_entries_smems(idx: DeviceFmIndex, smem_k, smem_s, max_occ: int):
+    """Per-SMEM subsampled coordinates (FMI_search.cpp:1596-1619): for each
+    interval [k, k+s) take at most max_occ entries with stride s//max_occ.
+    Returns (coords int64[total], counts int32[num_smems])."""
+    coords, counts = [], []
+    for k, s in zip(np.asarray(smem_k, np.int64), np.asarray(smem_s, np.int64)):
+        step = s // max_occ if s > max_occ else 1
+        c = 0
+        j = int(k)
+        hi = int(k + s)
+        while j < hi and c < max_occ:
+            coords.append(get_sa_entry(idx, j))
+            j += int(step)
+            c += 1
+        counts.append(c)
+    return np.asarray(coords, np.int64), np.asarray(counts, np.int32)

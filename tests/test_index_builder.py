@@ -87,3 +87,42 @@ def test_fmi_build_cli_and_search(tmp_path, capsys):
     smems = FO.get_smems_all_pos(want, np.array(
         [FO._CODE[c] for c in read], np.int64), min_intv=1, min_seed_len=19)
     assert len(smems) >= 1
+
+
+def test_sa_entry_lookup_direct_and_compressed():
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 777).astype(np.uint8)
+    full = np.concatenate([codes, (3 - codes[::-1]).astype(np.uint8)])
+    want_idx = IB.build_arrays(codes)
+    # ground-truth SA from the oracle
+    oracle_sa = np.empty(want_idx.ref_seq_len, np.int64)
+    oracle_sa[0] = len(full)
+    oracle_sa[1:] = FO.suffix_array(full.astype(np.int64))
+
+    comp_idx = IB.build_arrays(codes, sa_compression=True)
+    assert len(comp_idx.sa_ls_word) == (want_idx.ref_seq_len >> 3) + 1
+    for pos in list(range(0, 40)) + [100, 555, want_idx.ref_seq_len - 1,
+                                     want_idx.sentinel_index]:
+        want = int(oracle_sa[pos])
+        assert FI.get_sa_entry(want_idx, pos) == want, ("direct", pos)
+        assert FI.get_sa_entry(comp_idx, pos) == want, ("compressed", pos)
+    np.testing.assert_array_equal(
+        FI.get_sa_entries(want_idx, np.arange(want_idx.ref_seq_len)), oracle_sa)
+
+
+def test_sa_entries_smems_locates_read():
+    """An exact read's SMEM coordinates must include its true position."""
+    rng = np.random.default_rng(4)
+    seq = _rand_seq(rng, 2000)
+    codes = IB._CODE_TABLE[np.frombuffer(seq.encode(), np.uint8)]
+    didx = IB.build_arrays(codes)
+    oidx = FO.build_index(seq)
+    read = seq[700:780]
+    smems = FO.get_smems_all_pos(
+        oidx, np.array([FO._CODE[c] for c in read], np.int64),
+        min_intv=1, min_seed_len=19)
+    ks = [m["k"] for m in smems]
+    ss = [m["s"] for m in smems]
+    coords, counts = FI.get_sa_entries_smems(didx, ks, ss, max_occ=16)
+    assert counts.sum() == len(coords)
+    assert 700 in coords.tolist()

@@ -54,3 +54,33 @@ def test_kmer_sharded_matches_oracle(mesh8):
     assert int(got["total_kmers"]) == want["total_kmers"]
     assert int(got["hash_size"]) == want["hash_size"]
     assert int(got["occurrences"]) == sum(want["counter"].values())
+
+
+def test_scaling_harness_runs(mesh8, capsys):
+    """tools/scaling_bench emits well-formed JSON per device point."""
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    import scaling_bench
+
+    rc = scaling_bench.main(["--kernel", "phmm", "--devices", "1,2",
+                             "--batch", "16", "--iters", "1"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().split("\n") if l]
+    recs = [json.loads(l) for l in lines]
+    assert recs[0]["devices"] == 1 and recs[1]["devices"] == 2
+    assert recs[0]["scaling_efficiency"] == 1.0
+    assert recs[-1]["unit"] == "fraction_of_linear"
+
+
+def test_host_local_slice_single_process():
+    from genomicsbench_palisade_tpu.parallel.mesh import host_local_slice
+
+    assert host_local_slice(10) == slice(0, 10)
+
+
+def test_shard_work_imbalance():
+    from genomicsbench_palisade_tpu.parallel.mesh import shard_work_imbalance
+
+    assert shard_work_imbalance([1, 1, 1, 1], 4) == 1.0
+    assert shard_work_imbalance([4, 1, 1, 1], 4) == pytest.approx(16 / 7)

@@ -25,9 +25,9 @@ def main():
 
     rng = np.random.default_rng(0)
     # GenomicsBench phmm small-dataset shape envelope: reads <=250bp,
-    # haps <=302bp (BASELINE.md); bucket to 256/384.  Reads are noisy
+    # haps <=302bp (BASELINE.md); bucket to 256/320.  Reads are noisy
     # subsequences of their haplotype (realistic likelihood regime).
-    b, r_pad, h_pad = 2048, 256, 384
+    b, r_pad, h_pad = 2048, 256, 320
     rl, hl = 250, 302
     reads, haps, pairs = [], [], []
     for i in range(b):

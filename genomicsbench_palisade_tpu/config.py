@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 @dataclass
 class PhmmConfig:
     r_buckets: tuple = (64, 128, 256, 512)
-    h_buckets: tuple = (128, 256, 512)
+    h_buckets: tuple = (128, 192, 256, 320, 384, 512)
     lane_tile: int = 128
     use_pallas: bool = True
 

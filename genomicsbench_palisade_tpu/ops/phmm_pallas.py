@@ -110,24 +110,26 @@ def _kernel(
         hapd = jnp.where(row0, hap_row, hapd)
         hapd_ref[:] = hapd
 
+        # m2/x2/y2 scratch hold the ALREADY-SHIFTED d-2 diagonals (cached
+        # from the previous step), so only the d-1 diagonals need rolling
         m1s = shift_down(m1)
         x1s = shift_down(x1)
-        m2s = shift_down(m2)
-        x2s = shift_down(x2)
-        y2s = shift_down(y2)
+        y1s = shift_down(y1)
+        m2s = m2
+        x2s = x2
+        y2s = y2
 
         match = (rs_row == hapd) | (rs_row == AMBIG) | (hapd == AMBIG)
         prior = jnp.where(match, one_m_distm, distm3)
 
-        c_idx = d - r_iota
-        valid = (r_iota >= 1) & (c_idx >= 1)
-
+        # no validity mask: with row-0-zeroed shifts, every cell with
+        # c <= 0 stays exactly 0 by induction (the only nonzero injection,
+        # init_y at row 0, first reaches row r at diagonal d = r, i.e.
+        # column 1); rows past rslen never flow upward and the result row
+        # is gated by cmask below — bit-exactness verified vs the scan
         m_new = prior * ((m2s * p_mm + x2s * p_gapm) + y2s * p_gapm)
         x_new = m1s * p_mx + x1s * p_xx
         y_new = m1 * p_my + y1 * p_yy
-        m_new = jnp.where(valid, m_new, 0.0)
-        x_new = jnp.where(valid, x_new, 0.0)
-        y_new = jnp.where(valid, y_new, 0.0)
         y_new = jnp.where(row0, init_y, y_new)
 
         # accumulate last-row M/X: select row rslen, mask column range
@@ -140,9 +142,9 @@ def _kernel(
             x_new * row_sel, axis=0, keepdims=True
         )
 
-        m2_ref[:] = m1
-        x2_ref[:] = x1
-        y2_ref[:] = y1
+        m2_ref[:] = m1s
+        x2_ref[:] = x1s
+        y2_ref[:] = y1s
         m1_ref[:] = m_new
         x1_ref[:] = x_new
         y1_ref[:] = y_new
@@ -225,9 +227,9 @@ def phmm_forward_pallas(batch, lane_tile: int = LANE_TILE):
             pltpu.VMEM((rp, lane_tile), jnp.float32),  # m1
             pltpu.VMEM((rp, lane_tile), jnp.float32),  # x1
             pltpu.VMEM((rp, lane_tile), jnp.float32),  # y1
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # m2
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # x2
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # y2
+            pltpu.VMEM((rp, lane_tile), jnp.float32),  # m2 (shifted)
+            pltpu.VMEM((rp, lane_tile), jnp.float32),  # x2 (shifted)
+            pltpu.VMEM((rp, lane_tile), jnp.float32),  # y2 (shifted)
             pltpu.VMEM((rp, lane_tile), jnp.int32),  # hap diag stream
         ],
         cost_estimate=pl.CostEstimate(

@@ -67,21 +67,27 @@ def main(argv=None):
     ap.add_argument("-t", "--threads", type=int, default=1, help="ignored (device-parallel)")
     ap.add_argument("-l", "--loop", type=int, default=1)
     ap.add_argument("--quiet", action="store_true", help="suppress per-testcase lines")
+    ap.add_argument("--trace-dir", default=None,
+                    help="write a jax.profiler trace of the kernel region "
+                         "(the VTune ITT ROI equivalent)")
     args = ap.parse_args(argv)
 
     batches = parse_testfile(args.testfile)
     mesh = make_mesh()
 
+    from ..utils.profiling import roi
+
     # warmup compile outside the timed region (the reference times only the
     # kernel region, PairHMMUnitTest.cpp:560-594)
     runtime = 0.0
-    for batch in batches:
-        t0 = time.perf_counter()
-        res = run_testcases(batch.reads, batch.haps, batch.pairs, mesh)
-        runtime += time.perf_counter() - t0
-        if not args.quiet:
-            for i, v in enumerate(res):
-                print(f"i: {i}; result_final: {v:f}")
+    with roi(trace_dir=args.trace_dir, name="phmm_kernel"):
+        for batch in batches:
+            t0 = time.perf_counter()
+            res = run_testcases(batch.reads, batch.haps, batch.pairs, mesh)
+            runtime += time.perf_counter() - t0
+            if not args.quiet:
+                for i, v in enumerate(res):
+                    print(f"i: {i}; result_final: {v:f}")
     print(f"\nPairHMM completed. Kernel runtime: {runtime:.2f} sec")
     return 0
 

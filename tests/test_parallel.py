@@ -84,3 +84,21 @@ def test_shard_work_imbalance():
 
     assert shard_work_imbalance([1, 1, 1, 1], 4) == 1.0
     assert shard_work_imbalance([4, 1, 1, 1], 4) == pytest.approx(16 / 7)
+
+
+def test_profiling_roi(tmp_path, monkeypatch):
+    """roi() writes an xprof trace when enabled, no-ops when disabled."""
+    import jax.numpy as jnp
+    from genomicsbench_palisade_tpu.utils import profiling as prof
+
+    monkeypatch.delenv(prof.ENV_VAR, raising=False)
+    with prof.roi():  # disabled: pure no-op
+        jnp.zeros(4).block_until_ready()
+    with prof.roi(trace_dir=str(tmp_path), name="phmm"):
+        with prof.annotate("sub"):
+            jnp.ones(8).sum().block_until_ready()
+    import os
+    found = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "profiler trace files should be written"
+    stats = prof.device_memory_stats()
+    assert isinstance(stats, dict)

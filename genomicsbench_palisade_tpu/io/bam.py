@@ -101,7 +101,34 @@ def _parse_tags(buf: bytes) -> dict:
 
 
 def read_bam(path, parse_tags: bool = False):
-    """Returns (references [(name, length)], list[BamRecord])."""
+    """Returns (references [(name, length)], list[BamRecord]).
+
+    Uses the native C++ BGZF+BAM parser (native/bamio.cpp) when built and
+    tags aren't needed; falls back to the pure-Python path."""
+    if not parse_tags:
+        from .native import read_bam_native
+
+        nat = read_bam_native(path)
+        if nat is not None:
+            refs, cols = nat
+            records = []
+            no, co, so = cols["name_off"], cols["cigar_off"], cols["seq_off"]
+            names, cig, seq, qual = (
+                cols["names"], cols["cigar"], cols["seq_nt16"], cols["qual"])
+            for i in range(len(cols["ref_id"])):
+                cw = cig[co[i]:co[i + 1]]
+                records.append(BamRecord(
+                    names[no[i]:no[i + 1]].decode(),
+                    int(cols["flag"][i]),
+                    int(cols["ref_id"][i]),
+                    int(cols["pos"][i]),
+                    int(cols["mapq"][i]),
+                    [(CIGAR_OPS[c & 0xF], int(c >> 4)) for c in cw],
+                    seq[so[i]:so[i + 1]],
+                    qual[so[i]:so[i + 1]],
+                    {},
+                ))
+            return refs, records
     with open(path, "rb") as f:
         raw = f.read()
     data = bgzf_decompress(raw)

@@ -43,9 +43,20 @@ class DeviceFmIndex:
 
     def as_device_arrays(self):
         dt = self.idx_dtype
+        # cp_pack: one 64-byte row per block, exactly the reference's
+        # cache-line CP_OCC (FMI_search.h:59-63) — counts split into u32
+        # lo/hi planes plus the two one-hot word planes, so one occ lookup
+        # is ONE row gather instead of three
+        cnt = self.cp_count.astype(np.uint64)
+        pack = np.empty((cnt.shape[0], 16), np.uint32)
+        pack[:, 0:4] = (cnt & 0xFFFFFFFF).astype(np.uint32)
+        pack[:, 4:8] = (cnt >> 32).astype(np.uint32)
+        pack[:, 8:12] = self.one_hot_hi
+        pack[:, 12:16] = self.one_hot_lo
         return {
             "count": self.count.astype(dt),
             "cp_count": self.cp_count.astype(dt),
+            "cp_pack": pack,
             "one_hot_hi": self.one_hot_hi,
             "one_hot_lo": self.one_hot_lo,
             "sentinel_index": dt(self.sentinel_index),

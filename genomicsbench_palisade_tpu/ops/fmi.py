@@ -55,13 +55,26 @@ def _masks_for_y(y):
 
 
 def occ_all(index, pp):
-    """occ(pp, c) for all four bases: pp [...] -> [..., 4] (GET_OCC)."""
+    """occ(pp, c) for all four bases: pp [...] -> [..., 4] (GET_OCC).
+
+    Uses the packed 64-byte block row (one gather per position, the
+    reference's cache-line CP_OCC layout) when the index provides it."""
     blk = (pp >> 6).astype(jnp.int32)
     y = (pp & 63).astype(jnp.int32)
-    base = index["cp_count"][blk]  # [..., 4]
-    hi = index["one_hot_hi"][blk]
-    lo = index["one_hot_lo"][blk]
     hi_mask, lo_mask = _masks_for_y(y)
+    pack = index.get("cp_pack")
+    if pack is not None:
+        row = pack[blk]  # [..., 16] — ONE contiguous gather
+        out_dt = index["cp_count"].dtype
+        base = row[..., 0:4].astype(out_dt)
+        if out_dt == jnp.int64:
+            base = base + (row[..., 4:8].astype(out_dt) << 32)
+        hi = row[..., 8:12]
+        lo = row[..., 12:16]
+    else:
+        base = index["cp_count"][blk]  # [..., 4]
+        hi = index["one_hot_hi"][blk]
+        lo = index["one_hot_lo"][blk]
     cnt = jax.lax.population_count(hi & hi_mask[..., None]) + jax.lax.population_count(
         lo & lo_mask[..., None]
     )
@@ -361,18 +374,27 @@ def smems_all_pos_batch(index, enc, readlen, min_intv, min_seed_len, m_cap=96, p
             min_seed_len, m_cap=m_cap, p_cap=p_cap
         )
         act = st["x"] < readlen
-        # merge sub matches into the global buffers
+        # merge sub matches into the global buffers: ONE masked scatter per
+        # buffer (append at gcounts..gcounts+sub_counts; masked-out elements
+        # route to a dummy column that is sliced away)
         def merge(gbufs, gcounts):
-            def one(p, carry):
-                gb, gc = carry
-                take = act & (p < sub_counts)
-                gb, gc = _emit(
-                    gb, gc, take,
-                    sub_bufs["m"][:, p], sub_bufs["n"][:, p], sub_bufs["k"][:, p],
-                    sub_bufs["l"][:, p], sub_bufs["s"][:, p], m_cap,
-                )
-                return gb, gc
-            return jax.lax.fori_loop(0, m_cap, one, (gbufs, gcounts))
+            p = jnp.arange(m_cap, dtype=jnp.int32)[None, :]
+            take = act[:, None] & (p < sub_counts[:, None])
+            dest = jnp.where(
+                take, jnp.minimum(gcounts[:, None] + p, m_cap - 1), m_cap
+            )
+            lane2 = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.int32)[:, None], (b, m_cap)
+            )
+
+            def upd(gb, sb):
+                pad = jnp.concatenate([gb, gb[:, :1]], axis=1)
+                pad = pad.at[lane2, dest].set(sb)
+                return pad[:, :m_cap]
+
+            gb = {key: upd(gbufs[key], sub_bufs[key]) for key in gbufs}
+            gc = gcounts + jnp.sum(take, axis=1, dtype=jnp.int32)
+            return gb, gc
 
         gbufs, gcounts = merge(st["bufs"], st["counts"])
         ovf_all = st["ovf"] | (act & ovf) | (gcounts > m_cap)

@@ -1,0 +1,160 @@
+"""Per-kernel 1-chip throughput suite (BASELINE.md north-star metrics).
+
+Prints one JSON line per kernel at reference-like workload shapes:
+  phmm  — GCUPS (GenomicsBench small envelope, 250x302)
+  bsw   — pairs/s + GCUPS (512-pair batches, ref<=512/qer<=256 like the
+          small dataset; bandwidth w=100 typical effective band)
+  chain — anchors/s (n=4096-anchor calls, window 64 covers >99.9% of
+          predecessor hits at GenomicsBench anchor densities)
+  kmer  — bases/s (5.5 kbp reads, k=17)
+  fmi   — reads/s (101 bp reads vs a 5 Mbp synthetic index, batch 512)
+
+Timing follows the axon protocol (CLAUDE.md): chain ITERS executions,
+fetch one output to host.  bench.py remains the driver's single-line
+contract; this suite is for the perf record.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+# scripts run as `python tools/bench_all.py`: the script dir is on sys.path,
+# the repo root is not; never set PYTHONPATH for this (it would shadow the
+# axon sitecustomize at /root/.axon_site)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def _timeit(fn, fetch, iters=10):
+    fetch(fn())  # warmup/compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_phmm():
+    import jax
+
+    from genomicsbench_palisade_tpu.ops import phmm as P
+    from genomicsbench_palisade_tpu.ops.phmm_pallas import phmm_forward_pallas
+
+    rng = np.random.default_rng(0)
+    b, rl, hl = 2048, 250, 302
+    reads, haps, pairs = [], [], []
+    for i in range(b):
+        hap = rng.integers(0, 4, hl)
+        reads.append({"bases": hap[:rl].copy(), "q": rng.integers(36, 60, rl),
+                      "i": rng.integers(36, 60, rl), "d": rng.integers(36, 60, rl),
+                      "c": rng.integers(36, 60, rl)})
+        haps.append(hap)
+        pairs.append((i, i))
+    batch = P.prepare_batch(reads, haps, pairs, r_pad=256, h_pad=320)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    dt = _timeit(lambda: phmm_forward_pallas(batch), lambda o: np.asarray(o[0]))
+    return {"kernel": "phmm", "value": round(b * rl * hl / dt / 1e9, 3),
+            "unit": "GCUPS", "batch": b}
+
+
+def bench_bsw():
+    import jax
+
+    from genomicsbench_palisade_tpu.ops import bsw as W
+
+    rng = np.random.default_rng(1)
+    b, ql, tl = 512, 128, 256
+    pairs = []
+    for _ in range(b):
+        t = rng.integers(0, 4, tl)
+        q = t[: ql].copy()
+        mut = rng.random(ql) < 0.08
+        q[mut] = rng.integers(0, 4, int(mut.sum()))
+        pairs.append((q, t, int(rng.integers(20, 60))))
+    batch = W.prepare_pairs(pairs, q_pad=ql, t_pad=tl)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    dt = _timeit(lambda: W.bsw_batch(batch), lambda o: np.asarray(o["score"]))
+    return {"kernel": "bsw", "value": round(b / dt, 1), "unit": "pairs/s",
+            "gcups": round(b * ql * tl / dt / 1e9, 3), "batch": b}
+
+
+def bench_chain():
+    import jax
+
+    from genomicsbench_palisade_tpu.ops import chain as C
+
+    rng = np.random.default_rng(2)
+    n = 4096
+    # anchor stream with minimap2-like local colinearity
+    xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64)
+    ys = (xs + rng.integers(-200, 200, n)).astype(np.int64)
+    call = C.prepare_call(xs, ys, avg_qspan=25.0)
+    dt = _timeit(lambda: C.chain_call(call, w=64),
+                 lambda o: np.asarray(o["score"] if isinstance(o, dict) else o[0]))
+    return {"kernel": "chain", "value": round(n / dt, 1), "unit": "anchors/s",
+            "n": n}
+
+
+def bench_kmer():
+    import jax
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.ops import kmer as K
+
+    rng = np.random.default_rng(3)
+    reads = ["".join(rng.choice(list("ACGT"), 5500)) for _ in range(64)]
+    bases, lengths = K.encode_reads_np(reads)
+    bases_d = jax.device_put(bases.astype(np.int32))
+    lengths_d = jax.device_put(lengths)
+    total_bases = int(lengths.sum())
+    dt = _timeit(lambda: K.count_kmers_device(bases_d, lengths_d),
+                 lambda o: np.asarray(o["total_kmers"]))
+    return {"kernel": "kmer", "value": round(total_bases / dt / 1e6, 2),
+            "unit": "Mbases/s", "reads": len(reads)}
+
+
+def bench_fmi():
+    import jax
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.index import builder as IB
+    from genomicsbench_palisade_tpu.ops import fmi_pipeline as FP
+
+    rng = np.random.default_rng(4)
+    genome = rng.integers(0, 4, 5_000_000).astype(np.uint8)
+    didx = IB.build_arrays(genome)
+    index = {k: jnp.asarray(v) for k, v in didx.as_device_arrays().items()}
+    b, rl = 512, 101
+    enc = np.zeros((b, rl), np.int32)
+    for i in range(b):
+        s = int(rng.integers(0, len(genome) - rl))
+        read = genome[s : s + rl].astype(np.int32)
+        mut = rng.random(rl) < 0.02
+        read[mut] = rng.integers(0, 4, int(mut.sum()))
+        enc[i] = read
+    rlens = np.full(b, rl, np.int32)
+    dt = _timeit(lambda: FP.fmi_pipeline_batch(index, enc, rlens),
+                 lambda o: o[1], iters=3)
+    return {"kernel": "fmi", "value": round(b / dt, 1), "unit": "reads/s",
+            "batch": b}
+
+
+def main():
+    results = []
+    for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi):
+        try:
+            r = fn()
+        except Exception as e:  # record the failure, keep going
+            r = {"kernel": fn.__name__, "error": repr(e)[:200]}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

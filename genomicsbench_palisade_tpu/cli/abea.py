@@ -62,6 +62,9 @@ def main(argv=None):
     ap.add_argument("-t", "--threads", type=int, default=1, help="ignored (device-parallel)")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     model = load_pore_model(args.model)
     if args.raw.endswith(".fast5"):
         signals = load_signals_fast5(args.raw)

@@ -60,6 +60,9 @@ def main(argv=None):
     ap.add_argument("--beamsize", default=1, type=int, help="1 = viterbi (only mode)")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     sys.stderr.write("> loading model\n")
     model, params = load_model(args.model_source)
 

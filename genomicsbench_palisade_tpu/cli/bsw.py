@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--print-output", action="store_true")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     params = BswParams(
         o_del=args.gapo,
         e_del=args.gape,

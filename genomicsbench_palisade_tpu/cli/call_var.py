@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--threads", type=int, default=None, help="ignored")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     model, params = C.init_model()
     if args.chkpnt_fn:
         from flax import serialization

@@ -22,8 +22,13 @@ from ..ops.oracle import chain as CO
 
 
 def run_calls(calls):
-    """Returns list of (scores, parents, peaks) in input order."""
+    """Returns list of (scores, parents, peaks) in input order.
+
+    Device-eligible calls are bucketed by (padded n, window, params) and
+    run as vmapped batches — the TPU analog of the reference's OpenMP
+    loop over calls (host_kernel.cpp:484-487)."""
     results = [None] * len(calls)
+    buckets = {}  # (n_pad, w, params) -> list[(orig_idx, prepared)]
     for i, call in enumerate(calls):
         if call.n == 0:
             z = np.zeros(0, np.int32)
@@ -42,9 +47,15 @@ def run_calls(calls):
         prep = C.prepare_call(
             call.x, call.y, call.avg_qspan, call.max_dist_x, call.max_dist_y, call.bw
         )
-        # bucket n to limit recompiles
         n_pad = max(64, int(2 ** np.ceil(np.log2(call.n))))
-        results[i] = C.chain_call(prep, n_pad=n_pad)
+        w = max(int(2 ** np.ceil(np.log2(max(prep["w_need"], 1)))), 16)
+        w = min(w, C.MAX_ITER + 16)
+        key = (n_pad, w, call.max_dist_x, call.max_dist_y, call.bw)
+        buckets.setdefault(key, []).append((i, prep))
+    for (n_pad, w, *_), members in buckets.items():
+        outs = C.chain_calls_batched([p for _, p in members], w=w, n_pad=n_pad)
+        for (i, _), out in zip(members, outs):
+            results[i] = out
     return results
 
 
@@ -54,6 +65,9 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("-t", "--threads", type=int, default=1, help="ignored")
     args = ap.parse_args(argv)
+
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
 
     calls = parse_chain_dump(args.input)
     t0 = time.perf_counter()

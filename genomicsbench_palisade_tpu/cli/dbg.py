@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     chrom, _, rng = args.region.partition(":")
     if rng:
         beg, end = (int(v) for v in rng.split("-"))

@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=None, help="max reads")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     import jax.numpy as jnp
 
     didx = load_index(args.index)

@@ -27,6 +27,9 @@ def main(argv=None):
                     help="also write the bwa-mem2 .bwt.2bit.64 binary")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     prefix = args.prefix or args.fasta
     t0 = time.perf_counter()
     idx, names, lengths = build_from_fasta(args.fasta, prefix, args.bwt2bit)

@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--block", type=int, default=512)
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     geno, fam, bim = read_bed(args.bfile)
     print(f"{len(bim)} variants, {len(fam)} samples loaded")
     t0 = time.perf_counter()

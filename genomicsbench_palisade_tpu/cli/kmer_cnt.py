@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--meta", action="store_true", help="uneven coverage mode flag")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     log = Logger.get()
     log.set_debugging(args.debug)
     if args.log:

@@ -72,6 +72,9 @@ def main(argv=None):
                          "(the VTune ITT ROI equivalent)")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     batches = parse_testfile(args.testfile)
     mesh = make_mesh()
 

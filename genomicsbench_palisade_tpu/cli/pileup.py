@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--num-homop", type=int, default=5)
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     chrom, start, end = parse_region(args.region)
     refs, records = read_bam(args.bam)
     names = [n for n, _l in refs]

@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--oracle", action="store_true", help="host-only path")
     args = ap.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     o1, _, o2 = args.o.partition(",")
     e1, _, e2 = args.e.partition(",")
     params = (

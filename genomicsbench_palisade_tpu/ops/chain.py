@@ -89,8 +89,7 @@ def x_lo_to_i32(y):
     return (y & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "n_pad", "max_dist_x", "max_dist_y", "bw"))
-def chain_dp_device(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, max_dist_y, bw):
+def _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, max_dist_y, bw):
     """Windowed chain DP.  All int32.  Arrays padded to n_pad.
 
     Returns (scores, parents, peaks) of length n_pad (valid through n).
@@ -188,6 +187,79 @@ def chain_dp_device(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x,
 
     state, _ = jax.lax.scan(step, state, jnp.arange(n_pad, dtype=jnp.int32))
     return state["scores"][w:], state["parents"][w:], state["peaks"][w:]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "n_pad", "max_dist_x", "max_dist_y", "bw"))
+def chain_dp_device(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, max_dist_y, bw):
+    return _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad,
+                          max_dist_x, max_dist_y, bw)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "n_pad", "max_dist_x", "max_dist_y", "bw"))
+def chain_dp_device_batch(x_lo, qi, qspan, st_eff, gap_table, n,
+                          w, n_pad, max_dist_x, max_dist_y, bw):
+    """vmapped chain DP over a batch of same-bucket calls: [B, n_pad] inputs,
+    per-call gap tables [B, bw+1].  Batching turns each scan step into
+    [B, w]-wide vector work, amortizing the per-step loop overhead that
+    dominates single-call throughput on TPU (the reference's equivalent is
+    the OpenMP loop over calls, host_kernel.cpp:484-487)."""
+
+    def one(xl, q, qs, st, gt, nn):
+        return _chain_dp_core(xl, q, qs, st, gt, nn, w, n_pad,
+                              max_dist_x, max_dist_y, bw)
+
+    return jax.vmap(one)(x_lo, qi, qspan, st_eff, gap_table, n)
+
+
+def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
+    """Run a list of prepared calls (same max_dist/bw) as one device batch.
+
+    Pads every call to a common n_pad/w bucket; returns a list of
+    (scores, parents, peaks) numpy tuples in input order."""
+    calls = list(calls)
+    nonempty = [c for c in calls if c["n"] > 0]
+    if not nonempty:
+        z = np.zeros(0, np.int32)
+        return [(z, z.astype(np.int64), z) for _ in calls]
+    if w is None:
+        w_need = max(c["w_need"] for c in nonempty)
+        w = max(int(2 ** np.ceil(np.log2(max(w_need, 1)))), 16)
+        w = min(w, MAX_ITER + 16)
+    if n_pad is None:
+        n_pad = max(c["n"] for c in nonempty)
+
+    def p(a, fill=0):
+        return np.pad(a, (0, n_pad - len(a)), constant_values=fill)
+
+    stack = {
+        "x_lo": np.stack([p(c["x_lo"].view(np.int32)) for c in nonempty]),
+        "qi": np.stack([p(c["qi"]) for c in nonempty]),
+        "qspan": np.stack([p(c["qspan"]) for c in nonempty]),
+        "st_eff": np.stack([p(c["st_eff"]) for c in nonempty]),
+        "gap_table": np.stack([c["gap_table"] for c in nonempty]),
+        "n": np.array([c["n"] for c in nonempty], np.int32),
+    }
+    c0 = nonempty[0]
+    scores, parents, peaks = chain_dp_device_batch(
+        *(jnp.asarray(stack[k]) for k in
+          ("x_lo", "qi", "qspan", "st_eff", "gap_table", "n")),
+        w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
+    )
+    scores = np.asarray(scores)
+    parents = np.asarray(parents)
+    peaks = np.asarray(peaks)
+    out = []
+    bi = 0
+    for c in calls:
+        if c["n"] == 0:
+            z = np.zeros(0, np.int32)
+            out.append((z, z.astype(np.int64), z))
+        else:
+            nn = c["n"]
+            out.append((scores[bi, :nn], parents[bi, :nn].astype(np.int64),
+                        peaks[bi, :nn]))
+            bi += 1
+    return out
 
 
 def chain_call(call_dict, w: int | None = None, n_pad: int | None = None):

@@ -57,3 +57,28 @@ def test_chain_tiny_and_gap_table():
         scores, parents, peaks = C.chain_call(prep)
         np.testing.assert_array_equal(scores, want["scores"])
         np.testing.assert_array_equal(parents, want["parents"])
+
+
+def test_chain_calls_batched_matches_single():
+    """Batched (vmapped) calls == per-call results, mixed sizes + empty."""
+    import numpy as np
+    from genomicsbench_palisade_tpu.ops import chain as C
+
+    rng = np.random.default_rng(7)
+    calls = []
+    for n in (0, 37, 200, 64):
+        if n == 0:
+            calls.append({"n": 0})
+            continue
+        xs = np.cumsum(rng.integers(1, 50, n)).astype(np.int64)
+        ys = (xs + rng.integers(-300, 300, n)).astype(np.int64)
+        calls.append(C.prepare_call(xs, ys, avg_qspan=20.0))
+    batched = C.chain_calls_batched(calls, w=64)
+    for c, got in zip(calls, batched):
+        if c["n"] == 0:
+            assert got[0].size == 0
+            continue
+        want = C.chain_call(c, w=64, n_pad=200)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])

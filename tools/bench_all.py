@@ -89,15 +89,16 @@ def bench_chain():
     from genomicsbench_palisade_tpu.ops import chain as C
 
     rng = np.random.default_rng(2)
-    n = 4096
-    # anchor stream with minimap2-like local colinearity
-    xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64)
-    ys = (xs + rng.integers(-200, 200, n)).astype(np.int64)
-    call = C.prepare_call(xs, ys, avg_qspan=25.0)
-    dt = _timeit(lambda: C.chain_call(call, w=64),
-                 lambda o: np.asarray(o["score"] if isinstance(o, dict) else o[0]))
-    return {"kernel": "chain", "value": round(n / dt, 1), "unit": "anchors/s",
-            "n": n}
+    n, n_calls = 4096, 64
+    calls = []
+    for _ in range(n_calls):
+        xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64)
+        ys = (xs + rng.integers(-200, 200, n)).astype(np.int64)
+        calls.append(C.prepare_call(xs, ys, avg_qspan=25.0))
+    dt = _timeit(lambda: C.chain_calls_batched(calls, w=64, n_pad=n),
+                 lambda o: o[0][0], iters=5)
+    return {"kernel": "chain", "value": round(n * n_calls / dt, 1),
+            "unit": "anchors/s", "n": n, "calls": n_calls}
 
 
 def bench_kmer():

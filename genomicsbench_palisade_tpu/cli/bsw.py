@@ -25,11 +25,18 @@ def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS, edges=(32, 64, 128, 2
     results = [None] * len(pairs)
     groups = group_by_buckets(pairs, lambda p: (len(p[0]), len(p[1])), edges)
     ptuple = B._params_tuple(params)
+    from ..ops.bsw_pallas import bsw_batch_pallas
+
     for (q_pad, t_pad), members in groups.items():
         idxs = [i for i, _ in members]
         sub = [p for _, p in members]
-        batch = B.prepare_pairs(sub, params, q_pad=q_pad, t_pad=t_pad)
-        out = {k: np.asarray(v) for k, v in B.bsw_batch(batch, ptuple).items()}
+        n = len(sub)
+        # the pallas kernel (VMEM-resident, ~8x the scan) needs 128-lane
+        # tiles; pad the bucket with empty pairs
+        n_pad = -(-n // 128) * 128
+        sub_p = sub + [(np.zeros(1, int), np.zeros(1, int), 0)] * (n_pad - n)
+        batch = B.prepare_pairs(sub_p, params, q_pad=q_pad, t_pad=t_pad)
+        out = {k: np.asarray(v) for k, v in bsw_batch_pallas(batch, ptuple).items()}
         for row, i in enumerate(idxs):
             results[i] = {k: int(out[k][row]) for k in out}
     return results

@@ -1,0 +1,265 @@
+"""Pallas TPU kernel for banded Smith-Waterman extension (ksw_extend).
+
+The jnp scan (ops/bsw.py bsw_batch) is HBM-bound: every target row
+round-trips the [B, Qe] H/E carries plus temporaries through HBM.  This
+kernel keeps everything VMEM-resident per 128-lane batch tile and walks
+all target rows inside one pallas_call, mirroring ops/phmm_pallas.py.
+
+Layout: query positions on the SUBLANE axis ([Qe_pad, 128] tiles), pairs
+on lanes.  The F-chain running max (lazy-F cummax identity, see
+ops/bsw.py docstring) becomes log2(Qe) masked sublane-roll/max rounds.
+Row scalars (band, running max, gscore, ...) are [128] i32 loop carries
+that live in vector registers.
+
+Bit-identical to bsw_batch (same int32 op order); verified by
+tests/test_bsw_pallas.py against the oracle and the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsw import _params_tuple, DEFAULT_PARAMS
+
+NEG = -(1 << 20)  # python int: jnp constants would be captured tracers in the kernel
+
+LANE_TILE = 128
+
+
+def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
+            qlen_ref, tlen_ref, h0_ref, w_ref, out_ref, h_ref, e_ref):
+    o_del, e_del, o_ins, e_ins, zdrop, end_bonus, match, mismatch, ambig, _w0 = params
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    qe_pad, bt = q_codes_ref.shape
+    tp = target_ref.shape[0]
+
+    q_codes = q_codes_ref[:]
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (qe_pad, bt), 0)
+    neg = jnp.full((qe_pad, bt), NEG, jnp.int32)
+
+    qlen = qlen_ref[0, :]  # [Bt]
+    tlen = tlen_ref[0, :]
+    h0 = h0_ref[0, :]
+    w = w_ref[0, :]
+
+    log_rounds = max(int(np.ceil(np.log2(qe_pad))), 1)
+
+    def cummax_sub(g):
+        # inclusive running max down the sublane axis
+        for k in range(log_rounds):
+            sh = 1 << k
+            rolled = pltpu.roll(g, sh, axis=0)
+            g = jnp.where(j_iota >= sh, jnp.maximum(g, rolled), g)
+        return g
+
+    def body(i, st):
+        (beg0, end0, alive32, mmax, max_i, max_j, max_ie, gscore,
+         max_off) = st
+        alive = alive32 != 0  # i32 carry: Mosaic rejects i1 vector carries
+        h = h_ref[:]
+        e = e_ref[:]
+        act = alive & (i < tlen)
+        beg = jnp.maximum(beg0, i - w)
+        end = jnp.minimum(jnp.minimum(end0, i + w + 1), qlen)
+        h1_pre = jnp.where(
+            beg == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
+        )  # [Bt]
+
+        t_char = target_ref[pl.ds(jnp.minimum(i, tp - 1), 1), :]  # [1, Bt]
+        qsc = jnp.where(
+            (t_char >= 4) | (q_codes >= 4),
+            jnp.int32(ambig),
+            jnp.where(q_codes == t_char, jnp.int32(match), jnp.int32(-mismatch)),
+        )
+
+        in_band = (j_iota >= beg[None, :]) & (j_iota < end[None, :])
+
+        m_val = jnp.where(h != 0, h + qsc, 0)
+        h0_val = jnp.maximum(m_val, e)
+        c = jnp.maximum(m_val - oe_ins, 0)
+        g = jnp.where(in_band, c + j_iota * e_ins, neg)
+        gmax = cummax_sub(g)
+        gsh = jnp.where(j_iota == 0, NEG, pltpu.roll(gmax, 1, axis=0))
+        f = jnp.maximum(gsh - (j_iota - 1) * e_ins, 0)
+        f = jnp.where(gsh <= NEG // 2, 0, f)
+        h_row = jnp.maximum(h0_val, f)
+        e_next = jnp.maximum(e - e_del, jnp.maximum(m_val - oe_del, 0))
+
+        h_band = jnp.where(in_band, h_row, 0)
+        m = jnp.maximum(jnp.max(h_band, axis=0), 0)  # [Bt]
+        mj = jnp.max(jnp.where(in_band & (h_row == m[None, :]), j_iota, -1), axis=0)
+
+        h1_idx = jnp.maximum(end - 1, 0)
+        h1_fin = jnp.max(jnp.where(j_iota == h1_idx[None, :], h_row, NEG), axis=0)
+        h1_fin = jnp.where(end > beg, h1_fin, h1_pre)
+
+        h_shift = jnp.where(j_iota == 0, 0, pltpu.roll(h_row, 1, axis=0))
+        cand_h = jnp.where(j_iota == beg[None, :], h1_pre[None, :], h_shift)
+        upd = (j_iota >= beg[None, :]) & (j_iota <= end[None, :]) & act[None, :]
+        h_new = jnp.where(upd, cand_h, h)
+        cand_e = jnp.where(j_iota == end[None, :], 0, e_next)
+        e_new = jnp.where(upd, cand_e, e)
+
+        g_upd = act & (end == qlen) & (gscore <= h1_fin)
+        max_ie = jnp.where(g_upd, i, max_ie)
+        gscore = jnp.where(g_upd, h1_fin, gscore)
+
+        # pure boolean algebra (Mosaic can't lower selects on 1-D i1 vectors)
+        alive = alive & ((m != 0) | ~act)
+        act2 = act & (m != 0)
+
+        improve = act2 & (m > mmax)
+        new_max = jnp.where(improve, m, mmax)
+        new_max_i = jnp.where(improve, i, max_i)
+        new_max_j = jnp.where(improve, mj, max_j)
+        max_off = jnp.where(
+            improve, jnp.maximum(max_off, jnp.abs(mj - i)), max_off
+        )
+        di = i - max_i
+        dj = mj - max_j
+        d_gt = di > dj
+        zd = (d_gt & (mmax - m - (di - dj) * e_del > zdrop)) | (
+            ~d_gt & (mmax - m - (dj - di) * e_ins > zdrop)
+        )
+        zbreak = act2 & ~improve & (zdrop > 0) & zd
+        alive = alive & ~zbreak
+        mmax, max_i, max_j = new_max, new_max_i, new_max_j
+
+        nz = (h_new != 0) | (e_new != 0)
+        in_scan = (j_iota >= beg[None, :]) & (j_iota < end[None, :])
+        first_nz = jnp.min(
+            jnp.where(in_scan & nz, j_iota, end[None, :]), axis=0
+        )
+        beg_n = first_nz
+        in_scan2 = (j_iota >= beg_n[None, :]) & (j_iota <= end[None, :])
+        last_nz = jnp.max(
+            jnp.where(in_scan2 & nz, j_iota, beg_n[None, :] - 1), axis=0
+        )
+        end_n = jnp.minimum(last_nz + 2, qlen)
+
+        upd_band = act2 & ~zbreak
+        beg_out = jnp.where(upd_band, beg_n, beg)
+        end_out = jnp.where(upd_band, end_n, end)
+        beg_out = jnp.where(act, beg_out, beg0)
+        end_out = jnp.where(act, end_out, end0)
+
+        h_ref[:] = h_new
+        e_ref[:] = e_new
+        return (beg_out, end_out, alive.astype(jnp.int32), mmax, max_i,
+                max_j, max_ie, gscore, max_off)
+
+    zero = jnp.zeros((bt,), jnp.int32)
+    h_ref[:] = h_init_ref[:]
+    e_ref[:] = e_init_ref[:]
+    st = (
+        zero,
+        qlen,
+        jnp.ones((bt,), jnp.int32),
+        h0,
+        jnp.full((bt,), -1, jnp.int32),
+        jnp.full((bt,), -1, jnp.int32),
+        jnp.full((bt,), -1, jnp.int32),
+        jnp.full((bt,), -1, jnp.int32),
+        zero,
+    )
+    st = jax.lax.fori_loop(0, tp, body, st)
+    (_b, _e2, _al, mmax, max_i, max_j, max_ie, gscore, max_off) = st
+    out = jnp.stack(
+        [mmax, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off,
+         zero, zero], axis=0
+    )
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "lane_tile"))
+def bsw_batch_pallas(batch, params=_params_tuple(DEFAULT_PARAMS),
+                     lane_tile: int = LANE_TILE):
+    """Drop-in replacement for bsw_batch (same outputs, VMEM-resident)."""
+    from .bsw import bsw_batch as _scan  # reuse its init math below
+
+    o_del, e_del, o_ins, e_ins, zdrop, end_bonus, match, mismatch, ambig, w0 = params
+    oe_ins = o_ins + e_ins
+
+    query = batch["query"].astype(jnp.int32)
+    target = batch["target"].astype(jnp.int32)
+    qlen = batch["qlen"].astype(jnp.int32)
+    tlen = batch["tlen"].astype(jnp.int32)
+    h0 = batch["h0"].astype(jnp.int32)
+    b, qp = query.shape
+    tp = target.shape[1]
+    qe = qp + 1
+    qe_pad = -(-qe // 8) * 8
+    assert b % lane_tile == 0, (b, lane_tile)
+
+    j_iota = jnp.arange(qe, dtype=jnp.int32)[None, :]
+    max_sc = match
+    max_ins = jnp.maximum(
+        ((qlen * max_sc + end_bonus - o_ins).astype(jnp.float32) / e_ins + 1.0)
+        .astype(jnp.int32), 1)
+    max_del = jnp.maximum(
+        ((qlen * max_sc + end_bonus - o_del).astype(jnp.float32) / e_del + 1.0)
+        .astype(jnp.int32), 1)
+    w = jnp.minimum(jnp.minimum(w0, max_ins), max_del)
+
+    decay = h0[:, None] - oe_ins - (j_iota - 1) * e_ins
+    prev_h = h0[:, None] - oe_ins - (j_iota - 2) * e_ins
+    write = (j_iota <= 1) | ((prev_h > e_ins) & (j_iota <= qlen[:, None]))
+    h_init = jnp.where(write, jnp.maximum(decay, 0), 0)
+    h_init = jnp.where(j_iota == 0, h0[:, None], h_init)
+    h_init = jnp.where(
+        (j_iota == 1) & (1 <= qlen[:, None]),
+        jnp.maximum(h0[:, None] - oe_ins, 0), h_init)
+
+    q_codes = jnp.concatenate([query, jnp.full((b, 1), 4, jnp.int32)], axis=1)
+
+    def pad_q(a, fill):
+        return jnp.pad(a, ((0, 0), (0, qe_pad - qe)), constant_values=fill)
+
+    args = [
+        pad_q(q_codes, 5).T,          # [Qe_pad, B]; pad rows never in band
+        target.T,                     # [Tp, B]
+        pad_q(h_init, 0).T,
+        jnp.zeros((qe_pad, b), jnp.int32),
+        qlen[None, :],
+        tlen[None, :],
+        h0[None, :],
+        w[None, :],
+    ]
+
+    grid = (b // lane_tile,)
+
+    def col_spec(rows):
+        return pl.BlockSpec((rows, lane_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, params),
+        grid=grid,
+        in_specs=[col_spec(qe_pad), col_spec(tp), col_spec(qe_pad),
+                  col_spec(qe_pad)] + [col_spec(1)] * 4,
+        out_specs=col_spec(8),
+        out_shape=jax.ShapeDtypeStruct((8, b), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((qe_pad, lane_tile), jnp.int32),  # h
+            pltpu.VMEM((qe_pad, lane_tile), jnp.int32),  # e
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * b * qe_pad * tp, bytes_accessed=10 * b * qe_pad * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+    return {
+        "score": out[0],
+        "qle": out[1],
+        "tle": out[2],
+        "gtle": out[3],
+        "gscore": out[4],
+        "max_off": out[5],
+    }

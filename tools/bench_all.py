@@ -66,9 +66,10 @@ def bench_bsw():
     import jax
 
     from genomicsbench_palisade_tpu.ops import bsw as W
+    from genomicsbench_palisade_tpu.ops.bsw_pallas import bsw_batch_pallas
 
     rng = np.random.default_rng(1)
-    b, ql, tl = 512, 128, 256
+    b, ql, tl = 8192, 128, 256
     pairs = []
     for _ in range(b):
         t = rng.integers(0, 4, tl)
@@ -78,7 +79,7 @@ def bench_bsw():
         pairs.append((q, t, int(rng.integers(20, 60))))
     batch = W.prepare_pairs(pairs, q_pad=ql, t_pad=tl)
     batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
-    dt = _timeit(lambda: W.bsw_batch(batch), lambda o: np.asarray(o["score"]))
+    dt = _timeit(lambda: bsw_batch_pallas(batch), lambda o: np.asarray(o["score"]))
     return {"kernel": "bsw", "value": round(b / dt, 1), "unit": "pairs/s",
             "gcups": round(b * ql * tl / dt / 1e9, 3), "batch": b}
 

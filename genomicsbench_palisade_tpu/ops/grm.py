@@ -52,9 +52,53 @@ def normalize_block_np(geno: np.ndarray, freqs: np.ndarray | None = None):
 @jax.jit
 def grm_block_update(grm_sums, grm_counts, z, v):
     """Accumulate one variant block: sums += Z^T Z, counts += V^T V."""
-    grm_sums = grm_sums + jnp.dot(z.T, z, preferred_element_type=jnp.float32)
-    grm_counts = grm_counts + jnp.dot(v.T, v, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: TPU lowers f32 matmuls to bf16 passes by default,
+    # which costs ~4e-3 relative error; plink2's dsyrk is double precision
+    grm_sums = grm_sums + jnp.dot(
+        z.T, z, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    grm_counts = grm_counts + jnp.dot(
+        v.T, v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     return grm_sums, grm_counts
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int):
+    """On-device normalization + blocked Z^T Z / V^T V (one dispatch).
+
+    geno_i8: [M, N] int8; two_f/inv_stdev/ok: [M] f32/f32/bool computed on
+    the host in float64 (plink2's double allele-freq math, exact)."""
+    m, n = geno_i8.shape
+    n_blocks = -(-m // block)
+    pad = n_blocks * block - m
+    geno_p = jnp.pad(geno_i8, ((0, pad), (0, 0)), constant_values=3)
+    two_f = jnp.pad(two_f, (0, pad))
+    inv_stdev = jnp.pad(inv_stdev, (0, pad))
+    ok = jnp.pad(ok, (0, pad))
+
+    def body(carry, idx):
+        sums, counts = carry
+        g8 = jax.lax.dynamic_slice_in_dim(geno_p, idx * block, block, 0)
+        tf = jax.lax.dynamic_slice_in_dim(two_f, idx * block, block, 0)
+        isd = jax.lax.dynamic_slice_in_dim(inv_stdev, idx * block, block, 0)
+        okb = jax.lax.dynamic_slice_in_dim(ok, idx * block, block, 0)
+        miss = g8 == 3
+        g = jnp.where(miss, 0.0, g8.astype(jnp.float32))
+        z = (g - tf[:, None]) * isd[:, None]
+        z = jnp.where(miss | ~okb[:, None], 0.0, z)
+        v = jnp.where(miss | ~okb[:, None], 0.0, 1.0)
+        sums = sums + jnp.dot(
+            z.T, z, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        counts = counts + jnp.dot(
+            v.T, v, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return (sums, counts), None
+
+    init = (jnp.zeros((n, n), jnp.float32), jnp.zeros((n, n), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    return sums, counts
 
 
 def compute_grm(geno: np.ndarray, block: int = 512, freqs: np.ndarray | None = None):
@@ -62,15 +106,28 @@ def compute_grm(geno: np.ndarray, block: int = 512, freqs: np.ndarray | None = N
 
     Returns (grm [N,N] f32, counts [N,N] f32): grm[j,k] = sum z_ij z_ik /
     nonmissing-pair count (GCTA/plink2 --make-grm-bin semantics).
+    Allele freqs are computed on the host in float64 (plink2's double
+    math); normalization + the MXU matmuls run in one device dispatch.
     """
     m, n = geno.shape
-    sums = jnp.zeros((n, n), jnp.float32)
-    counts = jnp.zeros((n, n), jnp.float32)
-    for start in range(0, m, block):
-        sub = geno[start : start + block]
-        fsub = None if freqs is None else freqs[start : start + block]
-        z, v, _ = normalize_block_np(sub, fsub)
-        sums, counts = grm_block_update(sums, counts, jnp.asarray(z), jnp.asarray(v))
+    miss = geno == 3
+    g64 = geno.astype(np.float64)
+    g64[miss] = 0.0
+    if freqs is None:
+        denom = np.maximum((~miss).sum(1).astype(np.float64), 1.0)
+        freqs = g64.sum(1) / (2.0 * denom)
+    variance = 2.0 * freqs * (1.0 - freqs)
+    ok = variance > K_SMALL_EPSILON
+    inv_stdev = np.zeros_like(variance)
+    inv_stdev[ok] = 1.0 / np.sqrt(variance[ok])
+
+    sums, counts = _grm_device(
+        jnp.asarray(geno),
+        jnp.asarray((2.0 * freqs).astype(np.float32)),
+        jnp.asarray(inv_stdev.astype(np.float32)),
+        jnp.asarray(ok),
+        block=block,
+    )
     sums = np.asarray(sums)
     counts = np.asarray(counts)
     grm = sums / np.maximum(counts, 1.0)

@@ -146,9 +146,36 @@ def bench_fmi():
             "batch": b}
 
 
+
+def bench_grm():
+    import jax
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.ops import grm as G
+
+    rng = np.random.default_rng(5)
+    m, n = 8192, 2048  # variants x samples
+    geno = rng.choice([0, 1, 2, 3], size=(m, n), p=[0.5, 0.3, 0.15, 0.05]).astype(np.int8)
+    # device-resident inputs: measure the normalize+matmul dispatch itself
+    # (end-to-end compute_grm is relay-transfer-bound in this harness)
+    miss = geno == 3
+    g64 = np.where(miss, 0.0, geno.astype(np.float64))
+    freqs = g64.sum(1) / np.maximum(2.0 * (~miss).sum(1), 1.0)
+    var = 2.0 * freqs * (1.0 - freqs)
+    ok = var > G.K_SMALL_EPSILON
+    isd = np.where(ok, 1.0 / np.sqrt(np.where(ok, var, 1.0)), 0.0)
+    args = (jax.device_put(geno), jax.device_put((2 * freqs).astype(np.float32)),
+            jax.device_put(isd.astype(np.float32)), jax.device_put(ok))
+    dt = _timeit(lambda: G._grm_device(*args, block=2048),
+                 lambda o: np.asarray(o[0][:1, :1]))
+    flops = 2 * m * n * n * 2  # Z^T Z and V^T V
+    return {"kernel": "grm", "value": round(flops / dt / 1e12, 3),
+            "unit": "TFLOP/s", "m": m, "n": n}
+
+
 def main():
     results = []
-    for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi):
+    for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi, bench_grm):
         try:
             r = fn()
         except Exception as e:  # record the failure, keep going

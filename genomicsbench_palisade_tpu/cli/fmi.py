@@ -62,7 +62,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     total = 0
     all_out = []
-    for start in range(0, num_reads, args.batch_size):
+
+    def encode_batch(start):
         chunk = seqs[start : start + args.batch_size]
         enc = np.full((len(chunk), max_rl), 4, np.int32)
         rl = np.zeros(len(chunk), np.int32)
@@ -70,9 +71,23 @@ def main(argv=None):
             e = encode_read(s)
             enc[i, : len(e)] = e
             rl[i] = len(e)
-        out, n1, n2, n3, ovf = FP.fmi_pipeline_batch(
-            index, enc, rl, min_seed_len=args.min_seed_len, rid_base=start
-        )
+        return enc, rl
+
+    # software pipeline: keep 2 batches in flight so the relay fetch and
+    # host unpack of batch k overlap the device compute of batch k+1
+    starts = list(range(0, num_reads, args.batch_size))
+    inflight = []  # (start, b, handles)
+    si = 0
+    while si < len(starts) or inflight:
+        while si < len(starts) and len(inflight) < 2:
+            enc, rl = encode_batch(starts[si])
+            h = FP.fmi_pipeline_dispatch(
+                index, enc, rl, min_seed_len=args.min_seed_len
+            )
+            inflight.append((starts[si], enc.shape[0], h))
+            si += 1
+        start, bsz, h = inflight.pop(0)
+        out, n1, n2, n3, ovf = FP.fmi_pipeline_collect(h, bsz, rid_base=start)
         if ovf:
             print(f"WARNING: match-buffer overflow in batch {start // args.batch_size}",
                   file=sys.stderr)

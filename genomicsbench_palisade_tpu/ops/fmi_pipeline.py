@@ -129,6 +129,48 @@ def _extract_packed(packed: np.ndarray, cap: int, rid_offset: int = 0):
     return out, int(packed[:, 2].astype(bool).any())
 
 
+def fmi_pipeline_dispatch(
+    index,
+    enc: np.ndarray,
+    readlen: np.ndarray,
+    min_seed_len: int = 19,
+    split_width: int = SPLIT_WIDTH,
+    max_mem_intv: int = MAX_MEM_INTV,
+    split_factor: float = SPLIT_FACTOR,
+    m_cap: int = 96,
+):
+    """Launch one batch asynchronously; returns device handles.
+
+    Lets the driver software-pipeline batches: dispatch batch k+1 before
+    fetching batch k, hiding the ~27 ms relay fetch + host unpack."""
+    import jax.numpy as jnp
+
+    split_len = int(min_seed_len * split_factor + 0.499)
+    return fmi_pipeline_device(
+        index, jnp.asarray(enc), jnp.asarray(readlen),
+        min_seed_len, split_width, max_mem_intv, split_len, m_cap=m_cap,
+    )
+
+
+def fmi_pipeline_collect(handles, b: int, rid_base: int = 0, m_cap: int = 96):
+    """Fetch + unpack a dispatched batch (the ONE host round trip)."""
+    packed_d, ovf_reseed = handles
+    packed = np.asarray(packed_d)
+    r = packed.shape[0] - 2 * b
+
+    s1, ovf1 = _extract_packed(packed[:b], m_cap, rid_base)
+    s2, ovf2 = _extract_packed(packed[b : b + r], m_cap, rid_base)
+    s3, ovf3 = _extract_packed(packed[b + r :], m_cap, rid_base)
+    n1, n2, n3 = len(s1["m"]), len(s2["m"]), len(s3["m"])
+
+    keys = ("rid", "m", "n", "k", "l", "s")
+    allm = {k: np.concatenate([s1[k], s2[k], s3[k]]) for k in keys}
+    order = np.lexsort((-allm["n"].astype(np.int64), allm["m"], allm["rid"]))
+    allm = {k: v[order] for k, v in allm.items()}
+    ovf = bool(ovf1 or ovf2 or ovf3 or bool(np.asarray(ovf_reseed)))
+    return allm, n1, n2, n3, ovf
+
+
 def fmi_pipeline_batch(
     index,
     enc: np.ndarray,
@@ -145,25 +187,8 @@ def fmi_pipeline_batch(
     enc: [B, L] int32 codes (0-3, >=4 ambiguous); readlen: [B].
     Returns (sorted smem dict of numpy arrays, n1, n2, n3, overflow_any).
     """
-    import jax.numpy as jnp
-
-    b = enc.shape[0]
-    split_len = int(min_seed_len * split_factor + 0.499)
-    packed_d, ovf_reseed = fmi_pipeline_device(
-        index, jnp.asarray(enc), jnp.asarray(readlen),
-        min_seed_len, split_width, max_mem_intv, split_len, m_cap=m_cap,
+    handles = fmi_pipeline_dispatch(
+        index, enc, readlen, min_seed_len, split_width, max_mem_intv,
+        split_factor, m_cap=m_cap,
     )
-    packed = np.asarray(packed_d)  # the ONE host fetch
-    r = packed.shape[0] - 2 * b
-
-    s1, ovf1 = _extract_packed(packed[:b], m_cap, rid_base)
-    s2, ovf2 = _extract_packed(packed[b : b + r], m_cap, rid_base)
-    s3, ovf3 = _extract_packed(packed[b + r :], m_cap, rid_base)
-    n1, n2, n3 = len(s1["m"]), len(s2["m"]), len(s3["m"])
-
-    keys = ("rid", "m", "n", "k", "l", "s")
-    allm = {k: np.concatenate([s1[k], s2[k], s3[k]]) for k in keys}
-    order = np.lexsort((-allm["n"].astype(np.int64), allm["m"], allm["rid"]))
-    allm = {k: v[order] for k, v in allm.items()}
-    ovf = bool(ovf1 or ovf2 or ovf3 or bool(np.asarray(ovf_reseed)))
-    return allm, n1, n2, n3, ovf
+    return fmi_pipeline_collect(handles, enc.shape[0], rid_base, m_cap)

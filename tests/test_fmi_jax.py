@@ -89,3 +89,33 @@ def test_full_pipeline_matches_oracle(setup):
     )
     wl = [(w["rid"], w["m"], w["n"], w["k"], w["l"], w["s"]) for w in want]
     assert gl == wl
+
+
+def test_fmi_cli_pipelined(tmp_path, capsys):
+    """The software-pipelined driver produces the same totalSmems as the
+    direct batch call, across multiple in-flight batches."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.index import builder as IB
+    from genomicsbench_palisade_tpu.index.fmi_index import save_npz
+
+    rng = np.random.default_rng(8)
+    genome = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 3000)])
+    codes = IB._CODE_TABLE[np.frombuffer(genome.encode(), np.uint8)]
+    didx = IB.build_arrays(codes)
+    save_npz(didx, str(tmp_path / "idx.npz"))
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(40):
+            s = int(rng.integers(0, 3000 - 80))
+            f.write(f"@q{i}\n{genome[s:s+80]}\n+\n{'I'*80}\n")
+
+    from genomicsbench_palisade_tpu.cli.fmi import main
+
+    rc = main([str(tmp_path / "idx.npz"), str(fq), "16"])  # 3 batches in flight
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "totalSmems = " in out
+    total = int(out.split("totalSmems = ")[1].split()[0])
+    # every exact 80bp read yields >= 1 phase-1 SMEM + phase-3 seeds
+    assert total >= 40

@@ -43,15 +43,26 @@ def main(argv=None):
     ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
     ap.add_argument("--print-output", action="store_true")
     ap.add_argument("--limit", type=int, default=None, help="max reads")
+    ap.add_argument("--engine", choices=("auto", "host", "tpu"), default="auto",
+                    help="host = native C++ search (fast: the FM search is "
+                         "random-access bound and a CPU core does ~70k "
+                         "reads/s); tpu = on-device pipeline")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
     _enable_cache()
 
-    import jax.numpy as jnp
-
     didx = load_index(args.index)
-    index = {k: jnp.asarray(v) for k, v in didx.as_device_arrays().items()}
+
+    from ..io.native import available as _native_ok
+
+    engine = args.engine
+    if engine == "auto":
+        engine = "host" if _native_ok() else "tpu"
+    if engine == "tpu":
+        import jax.numpy as jnp
+
+        index = {k: jnp.asarray(v) for k, v in didx.as_device_arrays().items()}
 
     seqs = [s for _n, s, _q in read_all(args.reads, limit=args.limit)]
     num_reads = len(seqs)
@@ -62,6 +73,36 @@ def main(argv=None):
     t0 = time.perf_counter()
     total = 0
     all_out = []
+
+    if engine == "host":
+        from ..io.native import fmi_search_native
+
+        enc = np.full((num_reads, max_rl), 4, np.int8)
+        rl = np.zeros(num_reads, np.int32)
+        for i, s in enumerate(seqs):
+            e = encode_read(s)
+            enc[i, : len(e)] = e
+            rl[i] = len(e)
+        allm, n1, n2, n3 = fmi_search_native(
+            didx, enc, rl, min_seed_len=args.min_seed_len,
+            threads=args.threads if args.threads > 1 else None,
+        )
+        order = np.lexsort((-allm["n"], allm["m"], allm["rid"]))
+        allm = {k: v[order] for k, v in allm.items()}
+        print(f"num_smem1: {n1}, num_smem2: {n2}, num_smem3: {n3}")
+        total = n1 + n2 + n3
+        dt = time.perf_counter() - t0
+        print(f"Consumed: {dt:.4f} sec")
+        print(f"totalSmems = {total}")
+        if args.print_output:
+            prev_rid = -1
+            for rid, m, n in zip(allm["rid"], allm["m"], allm["n"]):
+                if rid != prev_rid:
+                    for j in range(prev_rid + 1, rid + 1):
+                        print(f"{j}:")
+                prev_rid = int(rid)
+                print(f"[{m},{n + 1}]")
+        return 0
 
     def encode_batch(start):
         chunk = seqs[start : start + args.batch_size]

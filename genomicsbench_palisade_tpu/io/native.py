@@ -156,3 +156,74 @@ def read_bam_native(path: str):
     finally:
         lib.gt_bam_free(h)
     return refs, cols
+
+
+def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
+                      min_seed_len: int = 19, split_width: int = 10,
+                      max_mem_intv: int = 20, split_factor: float = 1.5,
+                      threads: int | None = None):
+    """Host 3-phase SMEM search over the packed index (native/fmsearch.cpp).
+
+    didx: index.fmi_index.DeviceFmIndex; enc_codes: [B, L] int8/int32
+    codes (>=4 ambiguous); lengths: [B].  Returns (smem dict int64 arrays
+    in phase order, n1, n2, n3) or None when the library isn't built.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_fmi_ready"):
+        lib.gt_fmi_run.restype = ctypes.c_void_p
+        lib.gt_fmi_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int,
+        ]
+        for fn in ("gt_fmi_n1", "gt_fmi_n2", "gt_fmi_n3"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.gt_fmi_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        lib.gt_fmi_free.argtypes = [ctypes.c_void_p]
+        lib._fmi_ready = True
+
+    import os as _os
+
+    if threads is None:
+        threads = max(_os.cpu_count() or 1, 1)
+    pack = getattr(didx, "_host_pack", None)
+    if pack is None:  # build the 64-byte rows once per index
+        cnt = didx.cp_count.astype(np.uint64)
+        pack = np.empty((cnt.shape[0], 16), np.uint32)
+        pack[:, 0:4] = (cnt & 0xFFFFFFFF).astype(np.uint32)
+        pack[:, 4:8] = (cnt >> 32).astype(np.uint32)
+        pack[:, 8:12] = didx.one_hot_hi
+        pack[:, 12:16] = didx.one_hot_lo
+        pack = np.ascontiguousarray(pack)
+        didx._host_pack = pack
+    count5 = np.ascontiguousarray(np.asarray(didx.count, np.int64))
+
+    b = enc_codes.shape[0]
+    flat = np.ascontiguousarray(enc_codes.astype(np.int8).ravel())
+    offs = np.ascontiguousarray(
+        (np.arange(b, dtype=np.int64) * enc_codes.shape[1]))
+    lens = np.ascontiguousarray(lengths.astype(np.int32))
+
+    h = lib.gt_fmi_run(
+        pack.ctypes.data_as(ctypes.c_void_p),
+        count5.ctypes.data_as(ctypes.c_void_p),
+        int(didx.sentinel_index),
+        flat.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        b, min_seed_len, split_width, max_mem_intv, split_factor, threads,
+    )
+    try:
+        n1, n2, n3 = lib.gt_fmi_n1(h), lib.gt_fmi_n2(h), lib.gt_fmi_n3(h)
+        total = n1 + n2 + n3
+        out = {key: np.empty(total, np.int64)
+               for key in ("rid", "m", "n", "k", "l", "s")}
+        lib.gt_fmi_copy(h, *(out[key].ctypes.data_as(ctypes.c_void_p)
+                             for key in ("rid", "m", "n", "k", "l", "s")))
+    finally:
+        lib.gt_fmi_free(h)
+    return out, int(n1), int(n2), int(n3)

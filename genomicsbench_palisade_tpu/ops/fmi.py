@@ -137,6 +137,29 @@ def _emit(bufs, counts, mask, m, n, k, l, s, m_cap):
     return bufs, counts
 
 
+def _row_write(trace, t, row):
+    """Write row [B] at step index t of trace [T, B] (contiguous store,
+    NOT a scatter — XLA scatters cost ~35 us inside device loops)."""
+    return jax.lax.dynamic_update_slice_in_dim(trace, row[None, :], t, 0)
+
+
+def _compact_trace(flags, rows, cap):
+    """flags [T, B] bool; rows: dict of [T, B]. Returns (dict of [B, cap]
+    in step order, counts [B]).  Vectorized replacement for per-step
+    append scatters: stable-argsort pushes to the front, take first cap."""
+    t = flags.shape[0]
+    if t < cap:  # trace shorter than the slot buffer: pad with non-pushes
+        pad = ((0, cap - t), (0, 0))
+        flags_p = jnp.pad(flags, pad)
+        rows = {k: jnp.pad(v, pad) for k, v in rows.items()}
+    else:
+        flags_p = flags
+    order = jnp.argsort(~flags_p, axis=0, stable=True)[:cap]  # [cap, B]
+    out = {key: jnp.take_along_axis(arr, order, axis=0).T for key, arr in rows.items()}
+    counts = jnp.sum(flags, axis=0).astype(jnp.int32)
+    return out, counts
+
+
 def _new_match_bufs(b, m_cap, dt):
     z = jnp.zeros((b, m_cap), dt)
     zi = jnp.zeros((b, m_cap), jnp.int32)
@@ -170,26 +193,23 @@ def smems_one_pos_batch(
 
     def fwd_body(st):
         j = st["j"]
+        t = st["t"]
         aj = jnp.take_along_axis(enc, jnp.clip(j, 0, l_max - 1)[:, None], 1)[:, 0]
         run = st["run"] & (j < readlen)
         valid_a = aj < 4
         do = run & valid_a
         nk, nl, ns = forward_ext(index, st["k"], st["l"], st["s"], jnp.clip(aj, 0, 3))
         s_neq = ns != st["s"]
-        # push old smem when s differs (pre-break push, :1060-1066)
+        # push old smem when s differs (pre-break push, :1060-1066) —
+        # recorded as a step-indexed trace ROW (contiguous store); the
+        # per-slot append happens once after the loop in _compact_trace
         push = do & s_neq
-        ovf = st["ovf"] | (push & (st["cnt"] >= p_cap))
-        slot = jnp.minimum(st["cnt"], p_cap - 1)
-        lane = jnp.arange(b)
-        def pw(buf, val):
-            cur = buf[lane, slot]
-            return buf.at[lane, slot].set(jnp.where(push, val, cur))
-        pm = pw(st["pm"], st["m"])
-        pn = pw(st["pn"], st["n"])
-        pk = pw(st["pk"], st["k"])
-        pl = pw(st["pl"], st["l"])
-        ps = pw(st["ps"], st["s"])
-        cnt = st["cnt"] + push.astype(jnp.int32)
+        tpush = _row_write(st["tpush"], t, push)
+        tm = _row_write(st["tm"], t, st["m"])
+        tn = _row_write(st["tn"], t, st["n"])
+        tk = _row_write(st["tk"], t, st["k"])
+        tl = _row_write(st["tl"], t, st["l"])
+        ts = _row_write(st["ts"], t, st["s"])
         below = ns < min_intv
         adopt = do & ~below
         k = jnp.where(adopt, nk, st["k"])
@@ -204,57 +224,63 @@ def smems_one_pos_batch(
         return dict(
             st,
             j=j + 1,
+            t=t + 1,
             run=run,
             k=k,
             l=l,
             s=s,
             n=n,
-            pm=pm,
-            pn=pn,
-            pk=pk,
-            pl=pl,
-            ps=ps,
-            cnt=cnt,
-            ovf=ovf,
+            tpush=tpush,
+            tm=tm,
+            tn=tn,
+            tk=tk,
+            tl=tl,
+            ts=ts,
             nx=nx,
         )
 
-    zi32 = jnp.zeros((b, p_cap), jnp.int32)
-    zdt = jnp.zeros((b, p_cap), dt)
     st = dict(
         j=x0 + 1,
+        t=jnp.int32(0),
         run=lane_ok & (x0 + 1 < readlen),
         m=x0,
         n=x0,
         k=k0,
         l=l0,
         s=s0,
-        pm=zi32,
-        pn=zi32,
-        pk=zdt,
-        pl=zdt,
-        ps=zdt,
-        cnt=jnp.zeros(b, jnp.int32),
-        ovf=jnp.zeros(b, bool),
+        tpush=jnp.zeros((max_l, b), bool),
+        tm=jnp.zeros((max_l, b), jnp.int32),
+        tn=jnp.zeros((max_l, b), jnp.int32),
+        tk=jnp.zeros((max_l, b), dt),
+        tl=jnp.zeros((max_l, b), dt),
+        ts=jnp.zeros((max_l, b), dt),
         nx=jnp.where(lane_ok, x0 + 1, x0 + 1),
     )
     st = jax.lax.while_loop(fwd_cond, fwd_body, st)
+    fwd_rows, cnt = _compact_trace(
+        st["tpush"],
+        dict(pm=st["tm"], pn=st["tn"], pk=st["tk"], pl=st["tl"], ps=st["ts"]),
+        p_cap,
+    )
+    overflow0 = cnt > p_cap
+    cnt = jnp.minimum(cnt, p_cap)
 
     # final push: if smem.s >= min_intv (:1085-1090) — may duplicate the
-    # pre-break push, exactly like the reference
+    # pre-break push, exactly like the reference (one write, not per-step)
     push = lane_ok & (st["s"] >= min_intv.astype(dt))
     lane = jnp.arange(b)
-    slot = jnp.minimum(st["cnt"], p_cap - 1)
+    slot = jnp.minimum(cnt, p_cap - 1)
     def pw2(buf, val):
         cur = buf[lane, slot]
         return buf.at[lane, slot].set(jnp.where(push, val, cur))
-    pm = pw2(st["pm"], x0)
-    pn = pw2(st["pn"], st["n"])
-    pk = pw2(st["pk"], st["k"])
-    pl = pw2(st["pl"], st["l"])
-    ps = pw2(st["ps"], st["s"])
-    cnt = st["cnt"] + push.astype(jnp.int32)
-    overflow = st["ovf"] | (push & (st["cnt"] >= p_cap))
+    pm = pw2(fwd_rows["pm"], x0)
+    pn = pw2(fwd_rows["pn"], st["n"])
+    pk = pw2(fwd_rows["pk"], st["k"])
+    pl = pw2(fwd_rows["pl"], st["l"])
+    ps = pw2(fwd_rows["ps"], st["s"])
+    cnt = cnt + push.astype(jnp.int32)
+    overflow = overflow0 | (cnt > p_cap)
+    cnt = jnp.minimum(cnt, p_cap)
     next_x = jnp.where(lane_ok, st["nx"], x0 + 1)
 
     # reverse the prev array (prevArray in-place reversal, :1092-1100)
@@ -266,14 +292,12 @@ def smems_one_pos_batch(
     pvalid = p_iota < cnt[:, None]
 
     # ---------------- backward sweep ----------------
-    bufs = _new_match_bufs(b, m_cap, dt)
-    counts = jnp.zeros(b, jnp.int32)
-
     def bwd_cond(st):
         return jnp.any(st["run"])
 
     def bwd_body(st):
         j = st["j"]
+        t = st["t"]
         run = st["run"] & (j >= 0)
         aj = jnp.take_along_axis(enc, jnp.clip(j, 0, l_max - 1)[:, None], 1)[:, 0]
         do = run & (aj <= 3)
@@ -289,14 +313,15 @@ def smems_one_pos_batch(
         has_p0 = p0 < p_cap
         is_p0 = p_iota == p0[:, None]
         emit = do & has_p0 & jnp.any(c1 & is_p0, axis=1)
-        # emit prev[p0] (the un-extended smem)
+        # emit prev[p0] (the un-extended smem) as a step-trace row
         def g(buf):
             return jnp.take_along_axis(buf, jnp.clip(p0, 0, p_cap - 1)[:, None], 1)[:, 0]
-        bufs2, counts2 = _emit(
-            st["bufs"], st["counts"], emit, g(st["pm"]), g(st["pn"]),
-            g(st["pk"]), g(st["pl"]), g(st["ps"]), m_cap
-        )
-        ovf2 = st["ovf"] | (emit & (st["counts"] >= m_cap))
+        temit = _row_write(st["temit"], t, emit)
+        em = _row_write(st["em"], t, g(st["pm"]))
+        en = _row_write(st["en"], t, g(st["pn"]))
+        ek = _row_write(st["ek"], t, g(st["pk"]))
+        el = _row_write(st["el"], t, g(st["pl"]))
+        es = _row_write(st["es"], t, g(st["ps"]))
         # keep rule: c2 entries whose new s strictly exceeds the running
         # max of previously kept s (exclusive cummax over c2 entries)
         ns_c2 = jnp.where(c2, ns, jnp.asarray(NEG, ns.dtype))
@@ -313,6 +338,7 @@ def smems_one_pos_batch(
         # lanes that stop here (a>3 or no valid) keep state for final append
         return dict(
             j=j - 1,
+            t=t + 1,
             run=run2,
             pm=pm2,
             pn=st["pn"],
@@ -320,13 +346,17 @@ def smems_one_pos_batch(
             pl=pl2,
             ps=ps2,
             pvalid=pvalid2,
-            bufs=bufs2,
-            counts=counts2,
-            ovf=ovf2,
+            temit=temit,
+            em=em,
+            en=en,
+            ek=ek,
+            el=el,
+            es=es,
         )
 
     bst = dict(
         j=x0 - 1,
+        t=jnp.int32(0),
         run=lane_ok & (x0 - 1 >= 0) & (cnt > 0),
         pm=pm,
         pn=pn,
@@ -334,11 +364,22 @@ def smems_one_pos_batch(
         pl=pl,
         ps=ps,
         pvalid=pvalid,
-        bufs=bufs,
-        counts=counts,
-        ovf=overflow,
+        temit=jnp.zeros((max_l, b), bool),
+        em=jnp.zeros((max_l, b), jnp.int32),
+        en=jnp.zeros((max_l, b), jnp.int32),
+        ek=jnp.zeros((max_l, b), dt),
+        el=jnp.zeros((max_l, b), dt),
+        es=jnp.zeros((max_l, b), dt),
     )
     bst = jax.lax.while_loop(bwd_cond, bwd_body, bst)
+    brows, counts = _compact_trace(
+        bst["temit"],
+        dict(m=bst["em"], n=bst["en"], k=bst["ek"], l=bst["el"], s=bst["es"]),
+        m_cap,
+    )
+    overflow = overflow | (counts > m_cap)
+    counts = jnp.minimum(counts, m_cap)
+    bufs = brows
 
     # final append: first valid slot, if long enough (:1167-1177)
     pvalid = bst["pvalid"]
@@ -349,10 +390,11 @@ def smems_one_pos_batch(
     fm, fn = g2(bst["pm"]), g2(bst["pn"])
     emit = has & ((fn - fm + 1) >= min_seed_len)
     bufs, counts = _emit(
-        bst["bufs"], bst["counts"], emit, fm, fn, g2(bst["pk"]), g2(bst["pl"]),
+        bufs, counts, emit, fm, fn, g2(bst["pk"]), g2(bst["pl"]),
         g2(bst["ps"]), m_cap
     )
-    overflow = bst["ovf"] | (emit & (bst["counts"] >= m_cap))
+    overflow = overflow | (emit & (counts > m_cap))
+    counts = jnp.minimum(counts, m_cap)
     return bufs, counts, next_x, overflow
 
 

@@ -1,0 +1,279 @@
+// Host FM-index SMEM search engine (bwa-mem2 3-phase semantics).
+//
+// Why this exists: the FM backward search is random-access pointer
+// chasing — XLA's gather on TPU sustains ~160 MB/s on random 64-byte
+// rows, so the device path tops out around 1.6k reads/s while a CPU
+// core does ~100 ns per occ lookup with deep miss parallelism.  The
+// framework therefore offers both engines (SURVEY.md §3.1 option (a)):
+// this native one for seeding throughput, the TPU one for integration
+// with on-device pipelines.  Semantics are transcribed from the pinned
+// oracle (genomicsbench_palisade_tpu/ops/oracle/fmi.py, itself cited to
+// FMI_search.cpp:986-1326) — NOT from the reference source.
+//
+// Index layout: the framework's packed 64-byte cp rows ([blocks, 16] u32:
+// count lo x4, count hi x4, one-hot bits 0..31 x4 MSB-first, bits
+// 32..63 x4), count[5], sentinel.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Smem {
+    int64_t rid, m, n, k, l, s;
+};
+
+struct Idx {
+    const uint32_t* pack;  // [blocks][16]
+    int64_t count[5];
+    int64_t sentinel;
+};
+
+inline void occ4(const Idx& ix, int64_t pp, int64_t out[4]) {
+    int64_t blk = pp >> 6;
+    int y = (int)(pp & 63);
+    const uint32_t* row = ix.pack + blk * 16;
+    uint32_t hi_mask = 0, lo_mask = 0;
+    int ym = y < 32 ? y : 32;
+    if (ym > 0) hi_mask = 0xFFFFFFFFu << (32 - ym);
+    int ym2 = y - 32;
+    if (ym2 > 0) lo_mask = 0xFFFFFFFFu << (32 - ym2);
+    for (int c = 0; c < 4; c++) {
+        int64_t base = (int64_t)row[c] | ((int64_t)row[4 + c] << 32);
+        int cnt = __builtin_popcount(row[8 + c] & hi_mask) +
+                  __builtin_popcount(row[12 + c] & lo_mask);
+        out[c] = base + cnt;
+    }
+}
+
+// backwardExt (oracle backward_ext): updates (k,l,s) for base a
+inline void backward_ext(const Idx& ix, Smem& sm, int a) {
+    int64_t sp = sm.k, ep = sm.k + sm.s;
+    int64_t osp[4], oep[4];
+    occ4(ix, sp, osp);
+    occ4(ix, ep, oep);
+    int64_t k4[4], s4[4], l4[4];
+    for (int c = 0; c < 4; c++) {
+        k4[c] = ix.count[c] + osp[c];
+        s4[c] = oep[c] - osp[c];
+    }
+    int64_t off = (sp <= ix.sentinel && ep > ix.sentinel) ? 1 : 0;
+    l4[3] = sm.l + off;
+    l4[2] = l4[3] + s4[3];
+    l4[1] = l4[2] + s4[2];
+    l4[0] = l4[1] + s4[1];
+    sm.k = k4[a];
+    sm.l = l4[a];
+    sm.s = s4[a];
+}
+
+// forward ext = backward on the revcomp (swap k/l, base 3-a)
+inline void forward_ext(const Idx& ix, Smem& sm, int a) {
+    Smem t = sm;
+    t.k = sm.l;
+    t.l = sm.k;
+    backward_ext(ix, t, 3 - a);
+    sm.k = t.l;
+    sm.l = t.k;
+    sm.s = t.s;
+}
+
+inline Smem root(const Idx& ix, int64_t rid, int64_t x, int a) {
+    Smem sm;
+    sm.rid = rid;
+    sm.m = x;
+    sm.n = x;
+    sm.k = ix.count[a];
+    sm.l = ix.count[3 - a];
+    sm.s = ix.count[a + 1] - ix.count[a];
+    return sm;
+}
+
+// getSMEMsOnePosOneThread per-read body (oracle get_smems_one_pos)
+int64_t one_pos(const Idx& ix, const int8_t* read, int64_t rl, int64_t rid,
+                int64_t x, int64_t min_intv, int min_seed_len,
+                std::vector<Smem>& matches) {
+    int a = read[x];
+    int64_t next_x = x + 1;
+    if (a >= 4) return next_x;
+    Smem smem = root(ix, rid, x, a);
+    std::vector<Smem> prev;
+    for (int64_t j = x + 1; j < rl; j++) {
+        a = read[j];
+        next_x = j + 1;
+        if (a >= 4) break;
+        Smem nw = smem;
+        forward_ext(ix, nw, a);
+        nw.n = j;
+        if (nw.s != smem.s) prev.push_back(smem);
+        if (nw.s < min_intv) {
+            next_x = j;
+            break;
+        }
+        smem = nw;
+    }
+    if (smem.s >= min_intv) prev.push_back(smem);
+    for (size_t i = 0, jj = prev.size(); i + 1 < jj; i++, jj--)
+        std::swap(prev[i], prev[jj - 1]);
+
+    int64_t num_prev = (int64_t)prev.size();
+    for (int64_t j = x - 1; j >= 0; j--) {
+        if (num_prev == 0) break;
+        a = read[j];
+        if (a > 3) break;
+        int64_t num_curr = 0, curr_s = -1;
+        int64_t p = 0;
+        for (; p < num_prev; p++) {
+            Smem sm = prev[p];
+            Smem nw = sm;
+            backward_ext(ix, nw, a);
+            nw.m = j;
+            if (nw.s < min_intv && (sm.n - sm.m + 1) >= min_seed_len) {
+                matches.push_back(sm);
+                break;
+            }
+            if (nw.s >= min_intv && nw.s != curr_s) {
+                curr_s = nw.s;
+                prev[num_curr++] = nw;
+                break;
+            }
+        }
+        p++;
+        for (; p < num_prev; p++) {
+            Smem sm = prev[p];
+            Smem nw = sm;
+            backward_ext(ix, nw, a);
+            nw.m = j;
+            if (nw.s >= min_intv && nw.s != curr_s) {
+                curr_s = nw.s;
+                prev[num_curr++] = nw;
+            }
+        }
+        num_prev = num_curr;
+    }
+    if (num_prev != 0) {
+        const Smem& sm = prev[0];
+        if ((sm.n - sm.m + 1) >= min_seed_len) matches.push_back(sm);
+    }
+    return next_x;
+}
+
+void all_pos(const Idx& ix, const int8_t* read, int64_t rl, int64_t rid,
+             int64_t min_intv, int min_seed_len, std::vector<Smem>& matches) {
+    int64_t x = 0;
+    while (x < rl) x = one_pos(ix, read, rl, rid, x, min_intv, min_seed_len, matches);
+}
+
+// bwtSeedStrategyAllPosOneThread (oracle bwt_seed_strategy_one_read)
+void seed_strategy(const Idx& ix, const int8_t* read, int64_t rl, int64_t rid,
+                   int64_t max_intv, int min_seed_len,
+                   std::vector<Smem>& matches) {
+    int64_t x = 0;
+    while (x < rl) {
+        int64_t next_x = x + 1;
+        int a = read[x];
+        if (a < 4) {
+            Smem smem = root(ix, rid, x, a);
+            for (int64_t j = x + 1; j < rl; j++) {
+                next_x = j + 1;
+                a = read[j];
+                if (a >= 4) break;
+                forward_ext(ix, smem, a);
+                smem.n = j;
+                if (smem.s < max_intv && (smem.n - smem.m + 1) >= min_seed_len) {
+                    if (smem.s > 0) matches.push_back(smem);
+                    break;
+                }
+            }
+        }
+        x = next_x;
+    }
+}
+
+struct FmiResult {
+    std::vector<Smem> s1, s2, s3;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Runs the full 3-phase pipeline over n_reads reads.  Returns a handle.
+void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
+                 int64_t sentinel, const int8_t* reads,
+                 const int64_t* read_off, const int32_t* read_len,
+                 int64_t n_reads, int min_seed_len, int split_width,
+                 int max_mem_intv, double split_factor, int n_threads) {
+    Idx ix;
+    ix.pack = cp_pack;
+    std::memcpy(ix.count, count5, 5 * sizeof(int64_t));
+    ix.sentinel = sentinel;
+    int split_len = (int)(min_seed_len * split_factor + 0.499);
+
+    auto* res = new FmiResult();
+    if (n_threads < 1) n_threads = 1;
+    std::vector<FmiResult> parts(n_threads);
+    std::vector<std::thread> pool;
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int tix = 0; tix < n_threads; tix++) {
+        pool.emplace_back([&, tix]() {
+            FmiResult& out = parts[tix];
+            int64_t lo = tix * chunk;
+            int64_t hi = std::min<int64_t>(lo + chunk, n_reads);
+            std::vector<Smem> m1;
+            for (int64_t r = lo; r < hi; r++) {
+                const int8_t* rd = reads + read_off[r];
+                int64_t rl = read_len[r];
+                m1.clear();
+                all_pos(ix, rd, rl, r, 1, min_seed_len, m1);
+                // phase 2: reseed qualifying phase-1 SMEMs in emit order
+                for (const Smem& sm : m1) {
+                    if ((sm.n + 1 - sm.m) >= split_len && sm.s <= split_width) {
+                        int64_t mid = (sm.n + 1 + sm.m) >> 1;
+                        one_pos(ix, rd, rl, r, mid, sm.s + 1, min_seed_len,
+                                out.s2);
+                    }
+                }
+                out.s1.insert(out.s1.end(), m1.begin(), m1.end());
+                seed_strategy(ix, rd, rl, r, max_mem_intv, min_seed_len + 1,
+                              out.s3);
+            }
+        });
+    }
+    for (auto& t : pool) t.join();
+    for (auto& p : parts) {
+        res->s1.insert(res->s1.end(), p.s1.begin(), p.s1.end());
+        res->s2.insert(res->s2.end(), p.s2.begin(), p.s2.end());
+        res->s3.insert(res->s3.end(), p.s3.begin(), p.s3.end());
+    }
+    return res;
+}
+
+int64_t gt_fmi_n1(void* h) { return (int64_t)((FmiResult*)h)->s1.size(); }
+int64_t gt_fmi_n2(void* h) { return (int64_t)((FmiResult*)h)->s2.size(); }
+int64_t gt_fmi_n3(void* h) { return (int64_t)((FmiResult*)h)->s3.size(); }
+
+// Copies s1 ++ s2 ++ s3 into six int64 arrays of length n1+n2+n3.
+void gt_fmi_copy(void* h, int64_t* rid, int64_t* m, int64_t* n, int64_t* k,
+                 int64_t* l, int64_t* s) {
+    auto* res = (FmiResult*)h;
+    int64_t i = 0;
+    for (const auto* vec : {&res->s1, &res->s2, &res->s3}) {
+        for (const Smem& sm : *vec) {
+            rid[i] = sm.rid;
+            m[i] = sm.m;
+            n[i] = sm.n;
+            k[i] = sm.k;
+            l[i] = sm.l;
+            s[i] = sm.s;
+            i++;
+        }
+    }
+}
+
+void gt_fmi_free(void* h) { delete (FmiResult*)h; }
+
+}  // extern "C"

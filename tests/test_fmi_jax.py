@@ -119,3 +119,45 @@ def test_fmi_cli_pipelined(tmp_path, capsys):
     total = int(out.split("totalSmems = ")[1].split()[0])
     # every exact 80bp read yields >= 1 phase-1 SMEM + phase-3 seeds
     assert total >= 40
+
+
+def test_fmi_cli_host_engine_matches_tpu(tmp_path, capsys):
+    """--engine host output == --engine tpu output (bit-exact intervals)."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.index import builder as IB
+    from genomicsbench_palisade_tpu.index.fmi_index import save_npz
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(9)
+    genome = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 2500)])
+    codes = IB._CODE_TABLE[np.frombuffer(genome.encode(), np.uint8)]
+    didx = IB.build_arrays(codes)
+    save_npz(didx, str(tmp_path / "idx.npz"))
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(30):
+            s = int(rng.integers(0, 2500 - 70))
+            f.write(f"@q{i}\n{genome[s:s+70]}\n+\n{'I'*70}\n")
+
+    from genomicsbench_palisade_tpu.cli.fmi import main
+
+    main([str(tmp_path / "idx.npz"), str(fq), "--engine", "host",
+          "--print-output"])
+    host_out = capsys.readouterr().out
+    main([str(tmp_path / "idx.npz"), str(fq), "--engine", "tpu",
+          "--print-output"])
+    tpu_out = capsys.readouterr().out
+
+    def intervals(text):
+        return [l for l in text.split("\n") if l.startswith("[") or l.endswith(":")]
+
+    assert intervals(host_out) == intervals(tpu_out)
+    assert "totalSmems = " in host_out
+    h_total = host_out.split("totalSmems = ")[1].split()[0]
+    t_total = tpu_out.split("totalSmems = ")[1].split()[0]
+    assert h_total == t_total

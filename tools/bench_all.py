@@ -142,8 +142,16 @@ def bench_fmi():
     rlens = np.full(b, rl, np.int32)
     dt = _timeit(lambda: FP.fmi_pipeline_batch(index, enc, rlens),
                  lambda o: o[1], iters=3)
-    return {"kernel": "fmi", "value": round(b / dt, 1), "unit": "reads/s",
-            "batch": b}
+    res = {"kernel": "fmi", "value": round(b / dt, 1), "unit": "reads/s",
+           "batch": b, "engine": "tpu"}
+    from genomicsbench_palisade_tpu.io.native import available, fmi_search_native
+
+    if available():
+        enc8 = enc.astype(np.int8)
+        dt_h = _timeit(lambda: fmi_search_native(didx, enc8, rlens),
+                       lambda o: o[1], iters=3)
+        res["host_reads_per_s"] = round(b / dt_h, 1)
+    return res
 
 
 

@@ -28,12 +28,7 @@ from ..ops.oracle import events as E
 from ..ops.oracle.abea import KMER_SIZE
 
 
-def eventalign_read(name, seq, raw, model, out, print_header_done):
-    events = E.getevents(raw)
-    if len(events) < 2 or len(seq) < KMER_SIZE + 1:
-        return 0
-    shift, scale = E.estimate_scalings_using_mom(seq, model, events)
-    pairs = A.align_events(seq, events["mean"], model, float(scale), float(shift))
+def emit_read(name, seq, events, shift, scale, pairs, model, out):
     from ..ops.oracle.abea import get_kmer_rank
 
     for kmer_idx, event_idx in pairs:
@@ -78,12 +73,28 @@ def main(argv=None):
 
     n_aligned = n_reads = 0
     t0 = time.perf_counter()
+    # host: event detection + MoM scaling per read; device: ONE vmapped
+    # band fill per shape bucket (ops.abea.align_events_batch)
+    names, seqs, evs, shifts, scales = [], [], [], [], []
     for name, seq, _q in read_sequences(args.reads):
         if name not in signals:
             print(f"WARNING: no raw signal for read {name}, skipped", file=sys.stderr)
             continue
-        n_aligned += eventalign_read(name, seq, signals[name], model, out, None)
         n_reads += 1
+        events = E.getevents(signals[name])
+        if len(events) < 2 or len(seq) < KMER_SIZE + 1:
+            continue
+        shift, scale = E.estimate_scalings_using_mom(seq, model, events)
+        names.append(name)
+        seqs.append(seq)
+        evs.append(events)
+        shifts.append(float(shift))
+        scales.append(float(scale))
+    all_pairs = A.align_events_batch(
+        seqs, [e["mean"] for e in evs], model, scales, shifts)
+    for name, seq, events, shift, scale, pairs in zip(
+            names, seqs, evs, shifts, scales, all_pairs):
+        n_aligned += emit_read(name, seq, events, shift, scale, pairs, model, out)
     runtime = time.perf_counter() - t0
 
     if out is not sys.stdout:

@@ -274,9 +274,18 @@ def stitch(predictions, overlap_out):
 def basecall_read(model, params, signal, chunksize=4000, overlap=0,
                   stride=MODEL_STRIDE):
     """Full single-read pipeline: chunk -> ONE batched forward (MXU) ->
-    stitch posteriors -> viterbi decode (basecall.py main(), :600-620)."""
+    stitch posteriors -> viterbi decode (basecall.py main(), :600-620).
+
+    The chunk batch is padded to a power-of-two bucket so mixed-length
+    reads share one compiled forward (each distinct chunk count would
+    otherwise recompile the conv stack, ~40 s on a real chip)."""
     chunks = chunk_signal(signal, chunksize, overlap)
+    n = chunks.shape[0]
+    n_pad = max(1, int(2 ** np.ceil(np.log2(n))))
+    if n_pad != n:
+        chunks = np.concatenate(
+            [chunks, np.zeros((n_pad - n, chunks.shape[1]), chunks.dtype)])
     lp = model.apply(params, jnp.asarray(chunks[:, :, None]))
-    posteriors = stitch(np.asarray(lp), overlap // stride // 2)
+    posteriors = stitch(np.asarray(lp)[:n], overlap // stride // 2)
     posteriors = posteriors[: len(signal)]
     return viterbi_decode(posteriors)

@@ -128,34 +128,25 @@ def abea_fill_bands(
     return traces, bes, bks, last_vals
 
 
-def align_events(sequence: str, event_means: np.ndarray, model: dict,
-                 scale: float, shift: float, bandwidth: int = ALN_BANDWIDTH,
-                 k: int = oracle.KMER_SIZE):
-    """Device band fill + host traceback/QC. Same contract as oracle.align."""
+def _bucket(n, q=256):
+    # bucket padded shapes to multiples of 256 so mixed-length read sets
+    # reuse one compiled kernel (shape-exact padding recompiled per read
+    # length, ~40 s each on a real chip)
+    return -(-n // q) * q
+
+
+def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
+    """Host-side padded inputs for one read at a given bucket."""
     n_events = len(event_means)
     n_kmers = len(sequence) - k + 1
-    bw = bandwidth
-    half = bw // 2
-
     events_per_kmer = n_events / n_kmers
     p_stay = 1 - (1 / (events_per_kmer + 1))
     lp_skip = np.log(1e-10)
     lp_stay = np.log(p_stay)
     lp_step = np.log(1.0 - np.exp(lp_skip) - np.exp(lp_stay))
     lp_trim = np.log(0.01)
-    lp_consts = jnp.asarray(
-        np.array([lp_skip, lp_stay, lp_step, lp_trim], dtype=np.float32)
-    )
+    lp_consts = np.array([lp_skip, lp_stay, lp_step, lp_trim], dtype=np.float32)
 
-    # bucket padded shapes to multiples of 256 so mixed-length read sets
-    # reuse one compiled kernel (shape-exact padding recompiled per read
-    # length — ~40 s each on a real chip); the scan's extra bands fall
-    # outside [0, n_events) x [0, n_kmers) and are masked to -inf, and the
-    # host traceback below only reads the real n_bands rows
-    def _bucket(n, q=256):
-        return -(-n // q) * q
-
-    e_buck, k_buck = _bucket(n_events), _bucket(n_kmers)
     kmer_ranks = np.array(
         [oracle.get_kmer_rank(sequence[i : i + k]) for i in range(n_kmers)],
         dtype=np.int32,
@@ -165,26 +156,17 @@ def align_events(sequence: str, event_means: np.ndarray, model: dict,
     ev_rev = event_means[::-1].astype(np.float32)
     ev_pad = np.zeros(e_buck + 2 * bw, np.float32)
     ev_pad[bw : bw + n_events] = ev_rev
+    return ev_pad, ranks_pad, lp_consts, kmer_ranks
 
+
+def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
+               last_vals, kmer_ranks, bw, k):
+    """Host backtrack + QC from the filled bands (postalign semantics)."""
+    n_events = len(event_means)
+    n_kmers = len(sequence) - k + 1
+    half = bw // 2
     n_bands = n_events + 1 + n_kmers + 1
-    traces, bes, bks, last_vals = abea_fill_bands(
-        jnp.asarray(ev_pad),
-        jnp.asarray(ranks_pad),
-        n_events,
-        n_kmers,
-        jnp.asarray(model["level_mean"].astype(np.float32)),
-        jnp.asarray(model["level_stdv"].astype(np.float32)),
-        jnp.asarray(model["level_log_stdv"].astype(np.float32)),
-        np.float32(scale),
-        np.float32(shift),
-        lp_consts,
-        n_bands_pad=e_buck + k_buck + 2,
-        bandwidth=bw,
-    )
-    traces = np.asarray(traces)[: n_bands - 2]
-    bes = np.asarray(bes)[: n_bands - 2]
-    bks = np.asarray(bks)[: n_bands - 2]
-    last_vals = np.asarray(last_vals)[: n_bands - 2]
+    lp_trim = np.log(0.01)
 
     # reassemble full per-band arrays (bands 0,1 are the fixed seeds)
     trace_full = np.zeros((n_bands, bw), np.uint8)
@@ -247,3 +229,79 @@ def align_events(sequence: str, event_means: np.ndarray, model: dict,
     if avg < -5.0 or not spanned or max_gap > 50:
         return []
     return out
+
+
+def align_events(sequence: str, event_means: np.ndarray, model: dict,
+                 scale: float, shift: float, bandwidth: int = ALN_BANDWIDTH,
+                 k: int = oracle.KMER_SIZE):
+    """Device band fill + host traceback/QC. Same contract as oracle.align."""
+    return align_events_batch(
+        [sequence], [event_means], model, [scale], [shift],
+        bandwidth=bandwidth, k=k,
+    )[0]
+
+
+def align_events_batch(sequences, event_means_list, model, scales, shifts,
+                       bandwidth: int = ALN_BANDWIDTH, k: int = oracle.KMER_SIZE):
+    """Batched eventalign: reads grouped by padded-shape bucket, each group
+    filled in ONE vmapped device dispatch; tracebacks run on the host.
+
+    Returns a list of alignments ([(kmer_idx, event_idx)] or []) in input
+    order.
+    """
+    bw = bandwidth
+    results = [None] * len(sequences)
+    groups = {}
+    for i, (seq, ev) in enumerate(zip(sequences, event_means_list)):
+        n_events, n_kmers = len(ev), len(seq) - k + 1
+        if n_kmers < 1 or n_events < 1:
+            results[i] = []
+            continue
+        key = (_bucket(n_events), _bucket(n_kmers))
+        groups.setdefault(key, []).append(i)
+
+    for (e_buck, k_buck), idxs in groups.items():
+        evs, rks, lps, kranks = [], [], [], []
+        n_events_v, n_kmers_v = [], []
+        for i in idxs:
+            ev_pad, ranks_pad, lp_consts, kmer_ranks = _prep_read(
+                sequences[i], event_means_list[i], bw, k, e_buck, k_buck)
+            evs.append(ev_pad)
+            rks.append(ranks_pad)
+            lps.append(lp_consts)
+            kranks.append(kmer_ranks)
+            n_events_v.append(len(event_means_list[i]))
+            n_kmers_v.append(len(sequences[i]) - k + 1)
+
+        fill = functools.partial(
+            abea_fill_bands,
+            n_bands_pad=e_buck + k_buck + 2, bandwidth=bw)
+        lm = jnp.asarray(model["level_mean"].astype(np.float32))
+        ls = jnp.asarray(model["level_stdv"].astype(np.float32))
+        lls = jnp.asarray(model["level_log_stdv"].astype(np.float32))
+        traces_b, bes_b, bks_b, lv_b = jax.vmap(
+            lambda e, r, ne, nk, sc, sh, lp: fill(e, r, ne, nk, lm, ls, lls,
+                                                  sc, sh, lp)
+        )(
+            jnp.asarray(np.stack(evs)),
+            jnp.asarray(np.stack(rks)),
+            jnp.asarray(np.array(n_events_v, np.int32)),
+            jnp.asarray(np.array(n_kmers_v, np.int32)),
+            jnp.asarray(np.array(scales, np.float32)[np.array(idxs)]),
+            jnp.asarray(np.array(shifts, np.float32)[np.array(idxs)]),
+            jnp.asarray(np.stack(lps)),
+        )
+        traces_b = np.asarray(traces_b)
+        bes_b = np.asarray(bes_b)
+        bks_b = np.asarray(bks_b)
+        lv_b = np.asarray(lv_b)
+        for row, i in enumerate(idxs):
+            nb = n_events_v[row] + n_kmers_v[row] + 2
+            results[i] = _traceback(
+                sequences[i], event_means_list[i], model,
+                float(np.float32(scales[i])), float(np.float32(shifts[i])),
+                traces_b[row][: nb - 2], bes_b[row][: nb - 2],
+                bks_b[row][: nb - 2], lv_b[row][: nb - 2],
+                kranks[row], bw, k,
+            )
+    return results

@@ -227,3 +227,39 @@ def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
     finally:
         lib.gt_fmi_free(h)
     return out, int(n1), int(n2), int(n3)
+
+
+def detect_events_native(raw: np.ndarray):
+    """Native scrappie event detection; returns the oracle's structured
+    array or None when the library isn't built."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_ev_ready"):
+        lib.gt_detect_events.restype = ctypes.c_int64
+        lib.gt_detect_events.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib._ev_ready = True
+    raw = np.ascontiguousarray(raw, np.float32)
+    cap = max(len(raw), 16)
+    start = np.empty(cap, np.uint64)
+    length = np.empty(cap, np.float32)
+    mean = np.empty(cap, np.float32)
+    stdv = np.empty(cap, np.float32)
+    n = lib.gt_detect_events(
+        raw.ctypes.data_as(ctypes.c_void_p), len(raw),
+        start.ctypes.data_as(ctypes.c_void_p),
+        length.ctypes.data_as(ctypes.c_void_p),
+        mean.ctypes.data_as(ctypes.c_void_p),
+        stdv.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    ev = np.zeros(n, dtype=[("start", np.uint64), ("length", np.float32),
+                            ("mean", np.float32), ("stdv", np.float32)])
+    ev["start"] = start[:n]
+    ev["length"] = length[:n]
+    ev["mean"] = mean[:n]
+    ev["stdv"] = stdv[:n]
+    return ev

@@ -162,9 +162,17 @@ def create_events(peaks, sums, sumsqs, nsample):
     return ev
 
 
-def detect_events(raw):
-    """Full scrappie pipeline on one raw signal (events.c:505-547)."""
+def detect_events(raw, use_native: bool = True):
+    """Full scrappie pipeline on one raw signal (events.c:505-547).
+
+    Uses the C fast path (native/events.cpp, same semantics) when built."""
     raw = np.asarray(raw, dtype=np.float32)
+    if use_native:
+        from ...io.native import detect_events_native
+
+        ev = detect_events_native(raw)
+        if ev is not None:
+            return ev
     sums, sumsqs = compute_sum_sumsq(raw)
     tstat1 = compute_tstat(sums, sumsqs, len(raw), WINDOW_LENGTH1)
     tstat2 = compute_tstat(sums, sumsqs, len(raw), WINDOW_LENGTH2)

@@ -124,3 +124,21 @@ def test_trim_raw_by_mad():
     start, end = E.trim_raw_by_mad(sig, chunk_size=100, perc=0.0)
     assert start >= 400 and end <= len(sig) - 400
     assert end > start
+
+
+def test_native_detect_events_matches_python():
+    from genomicsbench_palisade_tpu.io.native import available, detect_events_native
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(11)
+    for n in (200, 999, 5000):
+        sig, _ = _step_signal(rng, n_steps=max(n // 20, 3), dwell=20, noise=1.0)
+        sig = sig[:n]
+        want = E.detect_events(sig, use_native=False)
+        got = detect_events_native(sig)
+        assert len(got) == len(want)
+        np.testing.assert_array_equal(got["start"], want["start"])
+        np.testing.assert_array_equal(got["length"], want["length"])
+        np.testing.assert_array_equal(got["mean"], want["mean"])
+        np.testing.assert_array_equal(got["stdv"], want["stdv"])

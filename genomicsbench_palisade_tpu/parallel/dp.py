@@ -125,3 +125,30 @@ def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp
 
     total, over, occ = step(bases, lengths)
     return {"total_kmers": total, "hash_size": over, "occurrences": occ}
+
+
+def grm_sharded(mesh: Mesh, geno_i8, two_f, inv_stdev, ok, block: int = 512,
+                axis: str = "dp"):
+    """GRM with the VARIANT axis sharded across the mesh (model-parallel
+    style index sharding, SURVEY.md §2.4): each shard normalizes and
+    multiplies its variant block rows, partial Z^T Z / V^T V matrices are
+    merged with a psum — the collective analog of plink2 accumulating
+    dsyrk blocks (plink2_matrix_calc.cc:3668-3704).
+
+    geno_i8: [M, N] with M divisible by mesh size. Returns (sums, counts)
+    replicated [N, N] f32.
+    """
+    from ..ops.grm import _grm_device
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def step(g, tf, isd, okb):
+        sums, counts = _grm_device(g, tf, isd, okb, block=block)
+        return jax.lax.psum(sums, axis), jax.lax.psum(counts, axis)
+
+    return step(geno_i8, two_f, inv_stdev, ok)

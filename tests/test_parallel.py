@@ -102,3 +102,29 @@ def test_profiling_roi(tmp_path, monkeypatch):
     assert found, "profiler trace files should be written"
     stats = prof.device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_grm_sharded_matches_single(mesh8):
+    import numpy as np
+    from genomicsbench_palisade_tpu.ops import grm as G
+    from genomicsbench_palisade_tpu.parallel.dp import grm_sharded
+
+    rng = np.random.default_rng(12)
+    m, n = 64, 24
+    geno = rng.choice([0, 1, 2, 3], size=(m, n), p=[.5, .3, .15, .05]).astype(np.int8)
+    want_grm, want_cnt = G.compute_grm(geno, block=16)
+
+    miss = geno == 3
+    g64 = np.where(miss, 0.0, geno.astype(np.float64))
+    freqs = g64.sum(1) / np.maximum(2.0 * (~miss).sum(1), 1.0)
+    var = 2.0 * freqs * (1.0 - freqs)
+    ok = var > G.K_SMALL_EPSILON
+    isd = np.where(ok, 1.0 / np.sqrt(np.where(ok, var, 1.0)), 0.0)
+    import jax.numpy as jnp
+
+    sums, counts = grm_sharded(
+        mesh8, jnp.asarray(geno), jnp.asarray((2 * freqs).astype(np.float32)),
+        jnp.asarray(isd.astype(np.float32)), jnp.asarray(ok), block=8)
+    got = np.asarray(sums) / np.maximum(np.asarray(counts), 1.0)
+    np.testing.assert_allclose(got, want_grm, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(counts), want_cnt)

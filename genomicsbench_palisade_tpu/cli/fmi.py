@@ -34,6 +34,23 @@ def load_index(path: str):
     return didx
 
 
+def _report_metrics(batch_totals, dt, total):
+    """The reference driver's metric lines (fmi.cpp:351-381): per-batch
+    counts, the maxTicks/avgTicks load-imbalance report (per-shard work
+    proxied by per-batch smem counts), Consumed, totalSmems."""
+    from ..parallel.mesh import shard_work_imbalance
+
+    import jax
+
+    ndev = max(len(jax.local_devices()), 1)
+    imb = shard_work_imbalance(batch_totals, min(ndev, max(len(batch_totals), 1)))
+    print(f"load imbalance = {imb:f}")
+    print(f"Consumed: {dt:.4f} sec")
+    for bi, bt in enumerate(batch_totals):
+        print(f"batch_id: {bi}, numTotalSmem[batch_id]: {bt}")
+    print(f"totalSmems = {total}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="fmi")
     ap.add_argument("index")
@@ -92,8 +109,10 @@ def main(argv=None):
         print(f"num_smem1: {n1}, num_smem2: {n2}, num_smem3: {n3}")
         total = n1 + n2 + n3
         dt = time.perf_counter() - t0
-        print(f"Consumed: {dt:.4f} sec")
-        print(f"totalSmems = {total}")
+        per_read = np.bincount(allm["rid"].astype(np.int64), minlength=num_reads)
+        batch_totals = [int(per_read[s : s + args.batch_size].sum())
+                        for s in range(0, num_reads, args.batch_size)]
+        _report_metrics(batch_totals, dt, total)
         if args.print_output:
             prev_rid = -1
             for rid, m, n in zip(allm["rid"], allm["m"], allm["n"]):
@@ -117,6 +136,7 @@ def main(argv=None):
     # software pipeline: keep 2 batches in flight so the relay fetch and
     # host unpack of batch k overlap the device compute of batch k+1
     starts = list(range(0, num_reads, args.batch_size))
+    batch_totals = []
     inflight = []  # (start, b, handles)
     si = 0
     while si < len(starts) or inflight:
@@ -133,12 +153,12 @@ def main(argv=None):
             print(f"WARNING: match-buffer overflow in batch {start // args.batch_size}",
                   file=sys.stderr)
         print(f"num_smem1: {n1}, num_smem2: {n2}, num_smem3: {n3}")
+        batch_totals.append(n1 + n2 + n3)
         total += n1 + n2 + n3
         if args.print_output:
             all_out.append(out)
     dt = time.perf_counter() - t0
-    print(f"Consumed: {dt:.4f} sec")
-    print(f"totalSmems = {total}")
+    _report_metrics(batch_totals, dt, total)
     if args.print_output:
         prev_rid = -1
         for out in all_out:

@@ -69,10 +69,23 @@ def main(argv=None):
     else:
         from ..ops.poa import msa_consensus_batch
 
-        consensus = msa_consensus_batch(batches, params)
+        consensus = msa_consensus_batch(batches, params, timings=(tm := {}))
     dt = time.perf_counter() - t0
     for i, cons in enumerate(consensus):
         print(f"batches[{i}].consensus_seq: {cons}")
+    # reference stderr summary (msa_spoa_omp.cpp:504): Runtime, phase
+    # times, peak RSS in MB
+    from ..utils.logger import get_peak_rss
+
+    tm = tm if not args.oracle else {}
+    print(
+        f"Runtime: {dt:.2f}, GraphCreate: 0.00, "
+        f"Align: {tm.get('align', 0.0):.2f}, "
+        f"AddSeqGraph: {tm.get('add', 0.0):.2f}, "
+        f"Consensus {tm.get('consensus', 0.0):.2f} {dt:.2f} "
+        f"{get_peak_rss() / 1024.0 / 1024.0:.3f}",
+        file=sys.stderr,
+    )
     print(f"Runtime: {dt:.2f} sec")
     return 0
 

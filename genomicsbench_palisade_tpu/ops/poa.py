@@ -404,17 +404,33 @@ def _with_global_codes(graph, code_map):
     return v
 
 
-def msa_consensus_batch(batches, params=(2, -4, -4, -2, -24, -1)):
-    """Consensus for many windows, sequences aligned in device lock-step."""
+def msa_consensus_batch(batches, params=(2, -4, -4, -2, -24, -1),
+                        timings: dict | None = None):
+    """Consensus for many windows, sequences aligned in device lock-step.
+
+    timings (optional dict) receives the reference driver's phase times
+    (msa_spoa_omp.cpp:328: align / addToGraph / generateConsensus)."""
+    import time as _time
+
     from .oracle.poa import PoaGraph
 
+    t_align = t_add = t_cons = 0.0
     graphs = [PoaGraph() for _ in batches]
     max_rounds = max(len(b) for b in batches)
     for k in range(max_rounds):
         idxs = [i for i, b in enumerate(batches) if k < len(b)]
         sub_graphs = [graphs[i] for i in idxs]
         sub_seqs = [batches[i][k] for i in idxs]
+        t0 = _time.perf_counter()
         alns = align_batch(sub_graphs, sub_seqs, params)
+        t_align += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         for i, aln in zip(idxs, alns):
             graphs[i].add_alignment(aln, batches[i][k])
-    return [g.generate_consensus() for g in graphs]
+        t_add += _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    out = [g.generate_consensus() for g in graphs]
+    t_cons += _time.perf_counter() - t0
+    if timings is not None:
+        timings.update(align=t_align, add=t_add, consensus=t_cons)
+    return out

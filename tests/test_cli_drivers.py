@@ -110,3 +110,51 @@ def test_pore_model_loader_roundtrip(abea_inputs):
     np.testing.assert_allclose(
         m["level_log_stdv"], np.log(m["level_stdv"]), rtol=1e-6
     )
+
+
+def test_logger_levels_and_sink(tmp_path, capsys):
+    from genomicsbench_palisade_tpu.utils.logger import Logger, ProgressPercent
+
+    log = Logger()  # fresh instance, not the singleton
+    log.set_output_file(str(tmp_path / "log.txt"))
+    log.info("hello")
+    log.debug("quiet")  # not on console without debugging
+    log.set_debugging(True)
+    log.debug("loud")
+    err = capsys.readouterr().err
+    assert "INFO: hello" in err
+    assert "DEBUG: quiet" not in err
+    assert "DEBUG: loud" in err
+    sink = (tmp_path / "log.txt").read_text()
+    assert "DEBUG: quiet" in sink  # file sink gets everything
+    import re
+    assert re.search(r"\[\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\] INFO: hello", sink)
+
+    import io
+    buf = io.StringIO()
+    pb = ProgressPercent(10, stream=buf)
+    for _ in range(10):
+        pb.advance()
+    out = buf.getvalue()
+    assert "100%" in out and out.endswith("\n")
+
+
+def test_peak_rss_and_memsize():
+    from genomicsbench_palisade_tpu.utils.logger import get_memory_size, get_peak_rss
+
+    assert get_peak_rss() > 1024 ** 2  # at least a MiB
+    assert get_memory_size() > 1024 ** 3  # at least a GiB
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    from genomicsbench_palisade_tpu.utils.compile_cache import enable
+
+    monkeypatch.setenv("GENOMICS_TPU_CACHE_DIR", str(tmp_path / "xla"))
+    path = enable()
+    assert path == str(tmp_path / "xla")
+    import os
+
+    assert os.path.isdir(path)
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == path

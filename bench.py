@@ -27,7 +27,7 @@ def main():
     # GenomicsBench phmm small-dataset shape envelope: reads <=250bp,
     # haps <=302bp (BASELINE.md); bucket to 256/320.  Reads are noisy
     # subsequences of their haplotype (realistic likelihood regime).
-    b, r_pad, h_pad = 2048, 256, 320
+    b, r_pad, h_pad = 8192, 256, 320
     rl, hl = 250, 302
     reads, haps, pairs = [], [], []
     for i in range(b):

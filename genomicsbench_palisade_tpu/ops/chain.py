@@ -89,23 +89,34 @@ def x_lo_to_i32(y):
     return (y & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
 
 
-def _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, max_dist_y, bw):
+def _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad,
+                   max_dist_x, max_dist_y, bw, halo=None, offset=0):
     """Windowed chain DP.  All int32.  Arrays padded to n_pad.
 
     Returns (scores, parents, peaks) of length n_pad (valid through n).
+
+    halo (optional): dict with x_lo/qi/scores/parents/peaks [w] arrays —
+    the trailing window of the PRECEDING shard when the anchor axis is
+    sharded (parallel.dp.chain_dp_halo_sharded); offset is this shard's
+    global anchor offset (anchor indices in st_eff/parents are global).
     """
     # pad W leading dummies so the window slice at anchor i starts at i
-    def pad_front(a, fill=0):
-        return jnp.concatenate([jnp.full((w,), fill, a.dtype), a])
+    def pad_front(a, fill=0, lead=None):
+        if lead is None:
+            lead = jnp.full((w,), fill, a.dtype)
+        return jnp.concatenate([lead.astype(a.dtype), a])
 
-    x_lo_p = pad_front(x_lo.view(jnp.int32) if hasattr(x_lo, "view") else x_lo)
-    qi_p = pad_front(qi)
+    halo = halo or {}
+    x_lo_p = pad_front(x_lo.view(jnp.int32) if hasattr(x_lo, "view") else x_lo,
+                       lead=halo.get("x_lo"))
+    qi_p = pad_front(qi, lead=halo.get("qi"))
     j_rel = jnp.arange(w, dtype=jnp.int32)  # ascending within the window
 
     state = dict(
-        scores=jnp.zeros(n_pad + w, jnp.int32),
-        parents=jnp.full(n_pad + w, -1, jnp.int32),
-        peaks=jnp.zeros(n_pad + w, jnp.int32),
+        scores=pad_front(jnp.zeros(n_pad, jnp.int32), lead=halo.get("scores")),
+        parents=pad_front(jnp.full(n_pad, -1, jnp.int32), -1,
+                          lead=halo.get("parents")),
+        peaks=pad_front(jnp.zeros(n_pad, jnp.int32), lead=halo.get("peaks")),
     )
 
     def step(st, i):
@@ -120,7 +131,7 @@ def _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, 
         sc_win = jax.lax.dynamic_slice(st["scores"], (base,), (w,))
         par_win = jax.lax.dynamic_slice(st["parents"], (base,), (w,))
 
-        j_abs = i - w + j_rel  # absolute anchor index of each window slot
+        j_abs = offset + i - w + j_rel  # GLOBAL anchor index per window slot
         in_win = (j_abs >= st_i) & (j_abs >= 0)
 
         # dr is exact in int32 inside the window (<= max_dist_x)
@@ -149,7 +160,7 @@ def _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, 
         improve_rev = (sc_rev > rm_rev) & eligible[::-1]
 
         # marks: scatter parents of eligible anchors into window positions
-        mark_pos = par_win - (i - w)  # relative position of each parent
+        mark_pos = par_win - (offset + i - w)  # window-relative parent pos
         do_mark = eligible & (par_win >= 0) & (mark_pos >= 0)
         marked = (
             jnp.zeros((w + 1,), jnp.int32)
@@ -173,11 +184,11 @@ def _chain_dp_core(x_lo, qi, qspan, st_eff, gap_table, n, w, n_pad, max_dist_x, 
         # max_j = largest absolute j with sc == m (first strict improvement
         # in descending visit order) — in reversed coords the SMALLEST t
         t_best = jnp.min(jnp.where(sc_proc == m, t_idx, w))
-        j_best = i - 1 - t_best  # reversed window: t=0 -> j=i-1
+        j_best = offset + i - 1 - t_best  # GLOBAL: t=0 -> j = i-1
         max_f = jnp.where(has, m, qspan_i)
         max_j = jnp.where(has, j_best, -1)
 
-        peak_parent = st["peaks"][jnp.maximum(max_j, 0) + w]
+        peak_parent = st["peaks"][jnp.maximum(max_j - offset, -w) + w]
         peak = jnp.where((max_j >= 0) & (peak_parent > max_f), peak_parent, max_f)
 
         scores = jax.lax.dynamic_update_slice(st["scores"], max_f[None], (i + w,))

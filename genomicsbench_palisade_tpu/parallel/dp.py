@@ -152,3 +152,84 @@ def grm_sharded(mesh: Mesh, geno_i8, two_f, inv_stdev, ok, block: int = 512,
         return jax.lax.psum(sums, axis), jax.lax.psum(counts, axis)
 
     return step(geno_i8, two_f, inv_stdev, ok)
+
+
+def chain_dp_halo_sharded(mesh: Mesh, call: dict, w: int, axis: str = "dp"):
+    """ONE chain call with the ANCHOR axis sharded across the mesh — the
+    workload's context-parallel analog (SURVEY.md §5): each shard runs the
+    windowed DP over its contiguous anchor range after receiving the
+    previous shard's trailing w-anchor window (x/q/score/parent/peak) via
+    a ring ppermute.  Shards execute in pipeline order (anchor scores are
+    sequentially dependent), so this trades no speedup for the ability to
+    hold calls larger than one device's memory — exactly minimap2's
+    sequential semantics, bit-exact vs the single-device kernel.
+
+    call: prepare_call() dict. Returns numpy (scores, parents, peaks)[:n].
+    """
+    import numpy as np
+
+    from ..ops.chain import _chain_dp_core, x_lo_to_i32
+
+    ndev = mesh.devices.size
+    n = call["n"]
+    per = -(-n // ndev)
+    assert per >= w, (per, w, "shards must cover the window")
+    n_pad = per * ndev
+
+    def pad(a, fill=0):
+        return np.pad(np.asarray(a), (0, n_pad - n), constant_values=fill)
+
+    x_lo = pad(call["x_lo"].view(np.int32))
+    qi = pad(call["qi"])
+    qspan = pad(call["qspan"])
+    st_eff = pad(call["st_eff"])
+    gap_table = np.asarray(call["gap_table"])
+    mdx, mdy, bw = call["max_dist_x"], call["max_dist_y"], call["bw"]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    def step(x_l, q_l, qs_l, st_l, gt):
+        ax = jax.lax.axis_index(axis)
+        halo = dict(
+            x_lo=jnp.zeros(w, jnp.int32),
+            qi=jnp.zeros(w, jnp.int32),
+            scores=jnp.zeros(w, jnp.int32),
+            parents=jnp.full(w, -1, jnp.int32),
+            peaks=jnp.zeros(w, jnp.int32),
+        )
+        out = (jnp.zeros(per, jnp.int32), jnp.full(per, -1, jnp.int32),
+               jnp.zeros(per, jnp.int32))
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        for s in range(ndev):
+            def run(h):
+                return _chain_dp_core(
+                    x_l, q_l, qs_l, st_l, gt, per, w, per, mdx, mdy, bw,
+                    halo=h, offset=ax * per,
+                )
+
+            sc, par, pk = run(halo)
+            keep = ax == s
+            out = tuple(jnp.where(keep, new, old)
+                        for new, old in zip((sc, par, pk), out))
+            if s == ndev - 1:
+                break
+            boundary = dict(
+                x_lo=x_l[-w:], qi=q_l[-w:],
+                scores=sc[-w:], parents=par[-w:], peaks=pk[-w:],
+            )
+            # only shard s's boundary is meaningful; the ring moves it on
+            halo = {key: jax.lax.ppermute(
+                        jnp.where(keep, boundary[key], halo[key]), axis, fwd)
+                    for key in halo}
+        return out
+
+    scores, parents, peaks = step(
+        jnp.asarray(x_lo), jnp.asarray(qi), jnp.asarray(qspan),
+        jnp.asarray(st_eff), jnp.asarray(gap_table))
+    return (np.asarray(scores)[:n], np.asarray(parents)[:n].astype(np.int64),
+            np.asarray(peaks)[:n])

@@ -128,3 +128,22 @@ def test_grm_sharded_matches_single(mesh8):
     got = np.asarray(sums) / np.maximum(np.asarray(counts), 1.0)
     np.testing.assert_allclose(got, want_grm, rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(counts), want_cnt)
+
+
+def test_chain_halo_sharded_matches_single(mesh8):
+    """Anchor-axis sharding with ppermute halo == single-device chain DP."""
+    import numpy as np
+    from genomicsbench_palisade_tpu.ops import chain as C
+    from genomicsbench_palisade_tpu.parallel.dp import chain_dp_halo_sharded
+
+    rng = np.random.default_rng(21)
+    n = 600  # not divisible by 8: exercises padding (per-shard 75 >= w=64)
+    xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64) + 1000
+    ys = np.maximum(xs + rng.integers(-300, 300, n), 0)
+    call = C.prepare_call(xs, ys, avg_qspan=22.5)
+    w = 64
+    want = C.chain_call(call, w=w, n_pad=n)
+    got = chain_dp_halo_sharded(mesh8, call, w=w)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_array_equal(got[2], want[2])

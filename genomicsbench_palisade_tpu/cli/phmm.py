@@ -38,25 +38,21 @@ def run_testcases(reads, haps, pairs, mesh=None, edges=(64, 128, 256, 512)):
         idxs = [i for i, _ in members]
         sub_pairs = [p for _, p in members]
         batch = P.prepare_batch(reads, haps, sub_pairs, r_pad=r_pad, h_pad=h_pad)
+        batch_np = {k: np.asarray(v) for k, v in batch.items()}
         if mesh is not None and mesh.devices.size > 1:
-            batch, n_orig = shard_batch(batch, mesh)
+            sharded, n_orig = shard_batch(batch, mesh)
             # pad rows have haplen=0 -> discarded below
-            log10, _res, fallback = map(np.asarray, P.phmm_forward(batch))
+            log10, _res, fallback = map(np.asarray, P.phmm_forward(sharded))
             log10, fallback = log10[:n_orig], fallback[:n_orig]
         else:
             log10, _res, fallback = map(np.asarray, P.phmm_forward(batch))
         out = log10.astype(np.float64)
         if fallback.any():
-            from ..ops.oracle import phmm as oracle
+            # vectorized double recompute (IntelPairHmmCSource.cpp:75-78)
+            from ..ops.phmm_f64 import phmm_fallback_log10
 
-            ctxd = oracle.get_ctx(np.float64)
-            for bi in np.nonzero(fallback)[0]:
-                ri, hi = sub_pairs[bi]
-                r = reads[ri]
-                res_d = oracle.compute_full_prob(
-                    r["bases"], haps[hi], r["q"], r["i"], r["d"], r["c"], np.float64
-                )
-                out[bi] = np.log10(res_d) - ctxd.log10_initial_constant
+            vals, fidx = phmm_fallback_log10(batch_np, fallback)
+            out[fidx] = vals
         results[np.array(idxs)] = out
     return results
 

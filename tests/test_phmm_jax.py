@@ -96,3 +96,33 @@ def test_phmm_golden_single_on_device():
     batch = P.prepare_batch(reads, [rs], [(0, 0)])
     log10, _, _ = P.phmm_forward(batch)
     assert abs(float(log10[0]) - (-6.022797e-01)) < 1e-5
+
+
+def test_phmm_f64_batched_matches_scalar_oracle():
+    """Vectorized f64 fallback bit-identical to the scalar double oracle."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.ops import phmm as P
+    from genomicsbench_palisade_tpu.ops.oracle import phmm as O
+    from genomicsbench_palisade_tpu.ops.phmm_f64 import phmm_forward_f64
+
+    rng = np.random.default_rng(5)
+    reads, haps, pairs = [], [], []
+    for i in range(24):
+        rl, hl = int(rng.integers(3, 40)), int(rng.integers(3, 60))
+        reads.append({
+            "bases": rng.integers(0, 5, rl),
+            "q": rng.integers(36, 60, rl),
+            "i": rng.integers(36, 60, rl),
+            "d": rng.integers(36, 60, rl),
+            "c": rng.integers(36, 60, rl),
+        })
+        haps.append(rng.integers(0, 5, hl))
+        pairs.append((i, i))
+    batch = P.prepare_batch(reads, haps, pairs, r_pad=48, h_pad=64)
+    got = phmm_forward_f64({k: np.asarray(v) for k, v in batch.items()})
+    for i, (ri, hi) in enumerate(pairs):
+        r = reads[ri]
+        want = O.compute_full_prob(
+            r["bases"], haps[hi], r["q"], r["i"], r["d"], r["c"], np.float64)
+        assert got[i] == want, (i, got[i], want)

@@ -69,11 +69,30 @@ def main(argv=None):
 
     use_minimizers = bool(cfg.get("use_minimizers", False))
     print(f"useMinimizers: {int(use_minimizers)}")
-    if use_minimizers:
-        print("minimizer indexing is not part of the counted-kmer parity path",
-              file=sys.stderr)
 
     t0 = time.perf_counter()
+    if use_minimizers:
+        # buildIndexMinimizers path (vertex_index.cpp:391-489)
+        from ..ops.oracle.kmer import build_minimizer_index
+
+        log.info("Building minimizer index")
+        wnd = int(cfg.get("minimizer_window", 5))
+        rate = float(cfg.get("repeat_kmer_rate", 1.0))
+        r = build_minimizer_index(
+            reads, k=kmer_size, window=wnd, min_coverage=1,
+            repeat_rate=rate, min_read_length=min_read_length,
+        )
+        runtime = time.perf_counter() - t0
+        log.debug(f"Mean k-mer frequency: {r['mean_frequency']}")
+        log.debug(f"Repetitive k-mer frequency: {r['repetitive_frequency']}")
+        log.debug(f"Filtered {r['filtered']} repetitive k-mers "
+                  f"({r['filtered_rate']})")
+        log.debug(f"Selected k-mers: {r['selected_kmers']}")
+        log.debug(f"Index size: {r['index_size']}")
+        log.debug(f"Mean k-mer index frequency: {r['mean_index_frequency']}")
+        log.debug(f"Peak RAM usage: {get_peak_rss() // 1024**3} Gb")
+        print(f"Kernel time: {runtime:.3f} sec", file=sys.stderr)
+        return 0
     metrics = K.count_kmers(reads, k=kmer_size, min_read_length=min_read_length)
     runtime = time.perf_counter() - t0
 

@@ -85,3 +85,85 @@ def count_kmers(reads, k: int = DEFAULT_K, min_read_length: int = MIN_READ_LENGT
     total = len(counter)
     hash_size = sum(1 for v in counter.values() if v > 15)
     return {"total_kmers": total, "hash_size": hash_size, "counter": counter}
+
+
+# ---------------------------------------------------------------------------
+# minimizer indexing (buildIndexMinimizers, vertex_index.cpp:391-489)
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+def kmer_hash(code: int) -> int:
+    """Kmer::hash() (kmer.h:91-98): splitmix64-style mixer of the 2-bit
+    representation, uint64 wraparound."""
+    z = (code + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def yield_minimizers(seq_codes: np.ndarray, k: int = DEFAULT_K, window: int = 5):
+    """yieldMinimizers (kmer.h:208-264): monotone deque over canonical-kmer
+    hashes; emits (position, forward_kmer_code) in the reference's exact
+    order (including the pre-window-fill ramp and the equal-hash tie pops).
+    """
+    from collections import deque
+
+    codes = kmer_codes(seq_codes, k)
+    if window == 1:
+        return [(p, int(c)) for p, c in enumerate(codes)]
+    canon = canonical_codes(codes, k)
+    q: deque = deque()  # (position, fwd_code, hash)
+    out = []
+    for pos, (fwd, std) in enumerate(zip(codes, canon)):
+        h = kmer_hash(int(std))
+        while q and q[-1][2] > h:
+            q.pop()
+        q.append((pos, int(fwd), h))
+        if q[0][0] <= pos - window:
+            while q[0][0] <= pos - window:
+                q.popleft()
+            while len(q) >= 2 and q[0][2] == q[1][2]:
+                q.popleft()
+        if not out or out[-1][0] != q[0][0]:
+            out.append((q[0][0], q[0][1]))
+    return out
+
+
+def build_minimizer_index(reads, k: int = DEFAULT_K, window: int = 5,
+                          min_coverage: int = 1, repeat_rate: float = 1.0,
+                          min_read_length: int = MIN_READ_LENGTH):
+    """buildIndexMinimizers metrics (vertex_index.cpp:391-431 +
+    filterFrequentKmers :175-214 + allocateIndexMemory :110-126).
+
+    Returns dict: counter (canonical minimizer -> count), mean_frequency,
+    repetitive_frequency, filtered (count of occurrences removed),
+    selected_kmers, index_size, mean_index_frequency.
+    """
+    counter: Counter = Counter()
+    for read in reads:
+        if len(read) < min_read_length:
+            continue
+        codes = encode_seq(read)
+        for _pos, fwd in yield_minimizers(codes, k, window):
+            rc = revcomp_code(fwd, k)
+            counter[min(fwd, rc)] += 1
+    total = sum(c for c in counter.values() if c >= min_coverage)
+    unique = sum(1 for c in counter.values() if c >= min_coverage)
+    mean_freq = total / (unique + 1)
+    rep_freq = repeat_rate * mean_freq
+    filtered = sum(c for c in counter.values() if c > rep_freq)
+    kept = {km: c for km, c in counter.items() if not c > rep_freq}
+    index_size = sum(kept.values())
+    selected = len(kept)
+    return {
+        "counter": counter,
+        "mean_frequency": mean_freq,
+        "repetitive_frequency": rep_freq,
+        "filtered": filtered,
+        "filtered_rate": (filtered / total) if total else 0.0,
+        "selected_kmers": selected,
+        "index_size": index_size,
+        "mean_index_frequency": (index_size / selected) if selected else 0.0,
+    }

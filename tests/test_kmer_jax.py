@@ -60,3 +60,58 @@ def test_kmer_min_length_filter():
     got = K.count_kmers(reads, k=5, min_read_length=100)
     want = KO.count_kmers([reads[0]], k=5, min_read_length=100)
     assert got["total_kmers"] == want["total_kmers"]
+
+
+def test_minimizer_selection_properties():
+    """yieldMinimizers invariants: every window of w k-mers contains a
+    selected position; density ~2/(w+1); emission order is by position."""
+    import numpy as np
+    from genomicsbench_palisade_tpu.ops.oracle.kmer import (
+        encode_seq, kmer_codes, yield_minimizers)
+
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), 500))
+    codes = encode_seq(seq)
+    w, k = 5, 17
+    mins = yield_minimizers(codes, k, w)
+    pos = [p for p, _ in mins]
+    assert pos == sorted(set(pos))
+    n_kmers = len(kmer_codes(codes, k))
+    # coverage: every full window beyond the ramp has a minimizer
+    ps = set(pos)
+    for start in range(n_kmers - w + 1):
+        assert any(start <= p < start + w for p in ps), start
+    # forward codes are the true k-mer codes at those positions
+    allc = kmer_codes(codes, k)
+    for p, c in mins:
+        assert int(allc[p]) == c
+
+
+def test_minimizer_window1_is_all_kmers():
+    from genomicsbench_palisade_tpu.ops.oracle.kmer import (
+        encode_seq, kmer_codes, yield_minimizers)
+
+    seq = "ACGTACGTACGTACGTACGTACGTA"
+    codes = encode_seq(seq)
+    mins = yield_minimizers(codes, 17, 1)
+    assert len(mins) == len(kmer_codes(codes, 17))
+
+
+def test_kmer_cnt_cli_minimizers(tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">r0\n{''.join(rng.choice(list('ACGT'), 6000))}\n")
+    cfg = tmp_path / "c.cfg"
+    cfg.write_text("kmer_size = 17\nuse_minimizers = 1\nminimizer_window = 5\n"
+                   "repeat_kmer_rate = 1.5\n")
+    from genomicsbench_palisade_tpu.cli.kmer_cnt import main
+
+    rc = main(["--reads", str(fa), "--config", str(cfg), "--debug"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "useMinimizers: 1" in out.out
+    assert "Selected k-mers: " in out.err
+    assert "Index size: " in out.err
+    assert "Kernel time:" in out.err

@@ -32,13 +32,16 @@ def main(argv=None):
     ap.add_argument("region")
     ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
     ap.add_argument("--num-homop", type=int, default=5)
+    ap.add_argument("--weibull", action="store_true",
+                    help="homopolymer partial counts from WL/WK tags "
+                         "(calculate_pileup's weibull_summation)")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
     _enable_cache()
 
     chrom, start, end = parse_region(args.region)
-    refs, records = read_bam(args.bam)
+    refs, records = read_bam(args.bam, parse_tags=args.weibull)
     names = [n for n, _l in refs]
     if chrom not in names:
         print(f"Reference {chrom} not in BAM", file=sys.stderr)
@@ -50,7 +53,9 @@ def main(argv=None):
     t0 = time.perf_counter()
     for cs in range(start, end, CHUNK_LEN):
         ce = min(cs + CHUNK_LEN, end)
-        res = calculate_pileup(records, chrom_id, cs, ce, num_homop=args.num_homop)
+        res = calculate_pileup(records, chrom_id, cs, ce,
+                               num_homop=args.num_homop,
+                               weibull_summation=args.weibull)
         print_pileup(res, num_homop=args.num_homop)
     print(f"Kernel time: {time.perf_counter() - t0:.3f} sec", file=sys.stderr)
     return 0

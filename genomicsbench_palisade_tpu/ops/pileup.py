@@ -41,13 +41,43 @@ NUM2COUNTBASE = np.array(
 FILTER_FLAGS = FUNMAP | FSECONDARY | FSUPPLEMENTARY | FQCFAIL | FDUP
 
 
-def read_events(rec, num_homop: int):
+def weibull_fractions(scale: float, shape: float, num_homop: int) -> np.ndarray:
+    """_get_weibull_scores math (medaka_counts.c:262-268): per homopolymer
+    stratum x in 1..num_homop, -exp(-a)*expm1(a-b) with a=((x-1)/scale)^shape,
+    b=(x/scale)^shape, clamped at 0."""
+    x = np.arange(1, num_homop + 1, dtype=np.float64)
+    a = np.power((x - 1) / scale, shape)
+    b = np.power(x / scale, shape)
+    return np.maximum(0.0, -np.exp(-a) * np.expm1(a - b)).astype(np.float64)
+
+
+def _weibull_weights(rec, qpos: int, num_homop: int, bad_reads: set):
+    """Per-stratum fractional counts for one read base (WL/WK aux arrays);
+    zeros when the tags are missing or out of range (medaka_counts.c:232-259).
+    """
+    wl = rec.tags.get("WL")
+    wk = rec.tags.get("WK")
+    if wl is None or wk is None:
+        if rec.name not in bad_reads:
+            bad_reads.add(rec.name)
+        return np.zeros(num_homop)
+    if qpos >= len(wl) or qpos >= len(wk):
+        return np.zeros(num_homop)
+    return weibull_fractions(float(wl[qpos]), float(wk[qpos]), num_homop)
+
+
+def read_events(rec, num_homop: int, weibull: bool = False,
+                bad_reads: set | None = None):
     """Expand one BAM record into pileup events.
 
-    Returns (positions, minors, features, qstrats, ins_pos, ins_len):
-    counting events + insertion-anchor info for the max_ins pass.
+    Returns (positions, minors, features, qstrats, ins_pos, ins_len[,
+    weights]): counting events + insertion-anchor info for the max_ins
+    pass.  With weibull=True, non-deletion events carry [num_homop]
+    fractional weights (x10000 at accumulation, medaka_counts.c:453-459)
+    instead of a qstrat, and weights is the extra return.
     """
     positions, minors, feats, qstrats = [], [], [], []
+    weights = []
     ins_pos, ins_len = [], []
     rp = rec.pos
     qp = 0
@@ -69,6 +99,9 @@ def read_events(rec, num_homop: int):
                     minors.append(0)
                     feats.append(bi)
                     qstrats.append(qstrat)
+                    if weibull:
+                        weights.append(_weibull_weights(rec, qp + t,
+                                                        num_homop, bad_reads))
             # insertion following the last aligned base of this op
             if oi + 1 < nops and cigar[oi + 1][0] == "I":
                 ili = cigar[oi + 1][1]
@@ -87,6 +120,9 @@ def read_events(rec, num_homop: int):
                         minors.append(j)
                         feats.append(bi)
                         qstrats.append(qstrat)
+                        if weibull:
+                            weights.append(_weibull_weights(
+                                rec, anchor_q + j, num_homop, bad_reads))
             rp += ln
             qp += ln
         elif op == "D":
@@ -95,6 +131,10 @@ def read_events(rec, num_homop: int):
                 minors.append(0)
                 feats.append(REV_DEL if rev else FWD_DEL)
                 qstrats.append(0)
+                if weibull:  # deletions stay integer +1 at stratum 0
+                    w = np.zeros(num_homop)
+                    w[0] = 1.0 / 10000.0  # x10000 scaling restores +1
+                    weights.append(w)
             # insertion anchored at a deleted base: expands columns only
             if oi + 1 < nops and cigar[oi + 1][0] == "I":
                 ins_pos.append(rp + ln - 1)
@@ -107,11 +147,14 @@ def read_events(rec, num_homop: int):
         elif op == "N":
             rp += ln
         # H, P consume nothing
+    if weibull:
+        return positions, minors, feats, qstrats, ins_pos, ins_len, weights
     return positions, minors, feats, qstrats, ins_pos, ins_len
 
 
 def calculate_pileup(records, chrom_id: int, start: int, end: int,
-                     num_homop: int = 5, min_mapq: int = 1):
+                     num_homop: int = 5, min_mapq: int = 1,
+                     weibull_summation: bool = False):
     """Counts matrix for region [start, end) of reference chrom_id.
 
     Returns dict(major [C], minor [C], matrix [C, featlen*num_homop] int64)
@@ -119,12 +162,19 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
     matching print_pileup_data's row layout.
     """
     all_pos, all_min, all_feat, all_q = [], [], [], []
+    all_w = []
+    bad_reads: set = set()
     ins_map: dict[int, int] = {}
     cover = np.zeros(end - start, dtype=bool)
     for rec in records:
         if rec.ref_id != chrom_id or (rec.flag & FILTER_FLAGS) or rec.mapq < min_mapq:
             continue
-        p, mnr, f, q, ip, il = read_events(rec, num_homop)
+        if weibull_summation:
+            p, mnr, f, q, ip, il, ws = read_events(
+                rec, num_homop, weibull=True, bad_reads=bad_reads)
+            all_w.extend(ws)
+        else:
+            p, mnr, f, q, ip, il = read_events(rec, num_homop)
         all_pos.extend(p)
         all_min.extend(mnr)
         all_feat.extend(f)
@@ -171,8 +221,18 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
         # whose anchor's max_ins came only from filtered-out regions can't
         # happen; guard anyway)
         ok = minors < width[slot]
-        fidx = feats + FEATLEN * qstrats
-        np.add.at(matrix, (col[ok], fidx[ok]), 1)
+        if weibull_summation:
+            wmat = np.asarray(all_w, dtype=np.float64)[keep][ok] * 10000.0
+            fmat = np.zeros((n_cols, FEATLEN * num_homop), np.float64)
+            for qs in range(num_homop):
+                np.add.at(fmat, (col[ok], feats[ok] + FEATLEN * qs), wmat[:, qs])
+            # float accumulation, floored once at the end (the reference's
+            # size_t += float truncates per add; that path is unreachable
+            # from its driver, which hard-codes weibull_summation=false)
+            matrix = fmat.astype(np.int64)
+        else:
+            fidx = feats + FEATLEN * qstrats
+            np.add.at(matrix, (col[ok], fidx[ok]), 1)
     return {"major": major, "minor": minor, "matrix": matrix, "n_cols": n_cols}
 
 

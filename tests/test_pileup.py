@@ -83,3 +83,42 @@ def test_pileup_filters():
     ]
     res = P.calculate_pileup(recs, 0, 10, 12, num_homop=1)
     assert res["matrix"][:, 4].tolist() == [1, 0]  # only "ok" counted
+
+
+def test_weibull_summation():
+    """Weibull homopolymer partial counts (medaka _get_weibull_scores)."""
+    import numpy as np
+    from genomicsbench_palisade_tpu.io.bam import BamRecord
+    from genomicsbench_palisade_tpu.ops.pileup import (
+        calculate_pileup, weibull_fractions)
+
+    # fractions: valid distribution over strata (sums < 1, nonneg)
+    fr = weibull_fractions(scale=2.0, shape=1.5, num_homop=5)
+    assert np.all(fr >= 0) and fr.sum() <= 1.0 + 1e-9
+    # x=1 term: -exp(0)*expm1(0 - (1/2)^1.5) = 1 - exp(-(0.5)^1.5)
+    want0 = -np.exp(-0.0) * np.expm1(0.0 - (1 / 2.0) ** 1.5)
+    np.testing.assert_allclose(fr[0], want0, rtol=1e-12)
+
+    ln = 10
+    rng = np.random.default_rng(0)
+    seq = rng.choice([1, 2, 4, 8], ln).astype(np.uint8)  # ACGT nt16
+    rec = BamRecord(
+        "r0", 0, 0, 5, 60, [("M", ln)], seq,
+        np.full(ln, 30, np.uint8),
+        {"WL": np.full(ln, 2.0, np.float32), "WK": np.full(ln, 1.5, np.float32)},
+    )
+    out = calculate_pileup([rec], 0, 0, 100, num_homop=5, weibull_summation=True)
+    # each base contributes floor-summed 10000*fr across its 5 strata
+    row = out["matrix"][0]
+    assert row.sum() > 0
+    # the per-base stratum profile matches 10000*fr
+    base_i = row.reshape(5, 10)  # [qstrat, feat]
+    nz = base_i.sum(axis=1)
+    np.testing.assert_allclose(nz, np.floor(10000 * fr + 1e-9), atol=1)
+
+    # missing tags -> zero contributions, no crash
+    rec2 = BamRecord("r1", 0, 0, 5, 60, [("M", ln)], seq,
+                     np.full(ln, 30, np.uint8), {})
+    out2 = calculate_pileup([rec2], 0, 0, 100, num_homop=5,
+                            weibull_summation=True)
+    assert out2["matrix"].sum() == 0

@@ -213,8 +213,28 @@ def bgzf_compress(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _encode_tag(tag: str, val) -> bytes:
+    """SAM aux tag encoding (subset: i, f, Z, A, and B numeric arrays)."""
+    head = tag.encode()
+    if isinstance(val, str):
+        if len(val) == 1:
+            return head + b"A" + val.encode()
+        return head + b"Z" + val.encode() + b"\x00"
+    if isinstance(val, (int, np.integer)):
+        return head + b"i" + struct.pack("<i", int(val))
+    if isinstance(val, (float, np.floating)):
+        return head + b"f" + struct.pack("<f", float(val))
+    arr = np.asarray(val)
+    sub = {"int8": b"c", "uint8": b"C", "int16": b"s", "uint16": b"S",
+           "int32": b"i", "uint32": b"I", "float32": b"f"}.get(str(arr.dtype))
+    if sub is None:
+        arr = arr.astype(np.float32)
+        sub = b"f"
+    return head + b"B" + sub + struct.pack("<I", len(arr)) + arr.tobytes()
+
+
 def write_bam(path, refs, records):
-    """Minimal BAM writer for tests/fixtures."""
+    """Minimal BAM writer for tests/fixtures (incl. aux tags)."""
     body = [b"BAM\x01", struct.pack("<i", 0), struct.pack("<i", len(refs))]
     for name, length in refs:
         nb = name.encode() + b"\x00"
@@ -248,6 +268,8 @@ def write_bam(path, refs, records):
             0,
         )
         rec += nb + cig + bytes(packed) + bytes(r.qual.astype(np.uint8))
+        for tag, val in (r.tags or {}).items():
+            rec += _encode_tag(tag, val)
         body.append(struct.pack("<i", len(rec)) + rec)
     with open(path, "wb") as f:
         f.write(bgzf_compress(b"".join(body)))

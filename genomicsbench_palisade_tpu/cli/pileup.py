@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("bam")
     ap.add_argument("region")
     ap.add_argument("threads", type=int, nargs="?", default=1, help="ignored")
+    ap.add_argument("dtypes", nargs="*", default=None,
+                    help="read-name prefixes for multi-datatype counting "
+                         "(medaka num_dtypes > 1)")
     ap.add_argument("--num-homop", type=int, default=5)
     ap.add_argument("--weibull", action="store_true",
                     help="homopolymer partial counts from WL/WK tags "
@@ -55,7 +58,8 @@ def main(argv=None):
         ce = min(cs + CHUNK_LEN, end)
         res = calculate_pileup(records, chrom_id, cs, ce,
                                num_homop=args.num_homop,
-                               weibull_summation=args.weibull)
+                               weibull_summation=args.weibull,
+                               dtypes=args.dtypes or None)
         print_pileup(res, num_homop=args.num_homop)
     print(f"Kernel time: {time.perf_counter() - t0:.3f} sec", file=sys.stderr)
     return 0

@@ -154,15 +154,23 @@ def read_events(rec, num_homop: int, weibull: bool = False,
 
 def calculate_pileup(records, chrom_id: int, start: int, end: int,
                      num_homop: int = 5, min_mapq: int = 1,
-                     weibull_summation: bool = False):
+                     weibull_summation: bool = False, dtypes=None):
     """Counts matrix for region [start, end) of reference chrom_id.
 
-    Returns dict(major [C], minor [C], matrix [C, featlen*num_homop] int64)
-    where C = positions-with-coverage + expanded insertion columns,
-    matching print_pileup_data's row layout.
+    Returns dict(major [C], minor [C], matrix [C, featlen*num_dtypes*
+    num_homop] int64) where C = positions-with-coverage + expanded
+    insertion columns, matching print_pileup_data's row layout.
+
+    dtypes: optional list of read-name prefixes (medaka num_dtypes > 1,
+    medaka_counts.c:401-426 adapted to the driver's prefix convention);
+    the feature axis becomes dtype-major (featlen*dtype*num_homop +
+    featlen*qstrat + base).  A read matching no prefix raises ValueError
+    (the reference exits(1)).
     """
+    num_dtypes = len(dtypes) if dtypes else 1
     all_pos, all_min, all_feat, all_q = [], [], [], []
     all_w = []
+    all_dt = []
     bad_reads: set = set()
     ins_map: dict[int, int] = {}
     cover = np.zeros(end - start, dtype=bool)
@@ -175,6 +183,12 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
             all_w.extend(ws)
         else:
             p, mnr, f, q, ip, il = read_events(rec, num_homop)
+        if num_dtypes > 1:
+            dt = next((i for i, pre in enumerate(dtypes)
+                       if rec.name.startswith(pre)), None)
+            if dt is None:
+                raise ValueError(f"Datatype not found for {rec.name}")
+            all_dt.extend([dt] * len(p))
         all_pos.extend(p)
         all_min.extend(mnr)
         all_feat.extend(f)
@@ -195,6 +209,9 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
     minors = np.array(all_min, dtype=np.int64)[keep]
     feats = np.array(all_feat, dtype=np.int64)[keep]
     qstrats = np.array(all_q, dtype=np.int64)[keep]
+    if num_dtypes > 1:
+        dts = np.array(all_dt, dtype=np.int64)[keep]
+        feats = feats + FEATLEN * num_homop * dts  # dtype-major offset
 
     covered_positions = np.nonzero(cover)[0] + start
     width = np.ones(len(covered_positions), dtype=np.int64)
@@ -213,7 +230,7 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
         major[s : s + w] = p
         minor[s : s + w] = np.arange(w)
 
-    matrix = np.zeros((n_cols, FEATLEN * num_homop), dtype=np.int64)
+    matrix = np.zeros((n_cols, FEATLEN * num_dtypes * num_homop), dtype=np.int64)
     if len(pos):
         slot = np.array([pos_to_slot[int(p)] for p in pos], dtype=np.int64)
         col = col_start[slot] + minors
@@ -223,7 +240,7 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
         ok = minors < width[slot]
         if weibull_summation:
             wmat = np.asarray(all_w, dtype=np.float64)[keep][ok] * 10000.0
-            fmat = np.zeros((n_cols, FEATLEN * num_homop), np.float64)
+            fmat = np.zeros((n_cols, FEATLEN * num_dtypes * num_homop), np.float64)
             for qs in range(num_homop):
                 np.add.at(fmat, (col[ok], feats[ok] + FEATLEN * qs), wmat[:, qs])
             # float accumulation, floored once at the end (the reference's

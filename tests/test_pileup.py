@@ -122,3 +122,27 @@ def test_weibull_summation():
     out2 = calculate_pileup([rec2], 0, 0, 100, num_homop=5,
                             weibull_summation=True)
     assert out2["matrix"].sum() == 0
+
+
+def test_multi_dtype_pileup():
+    """num_dtypes > 1: read-name prefixes route counts to dtype blocks."""
+    import numpy as np
+    import pytest
+    from genomicsbench_palisade_tpu.io.bam import BamRecord
+    from genomicsbench_palisade_tpu.ops.pileup import FEATLEN, calculate_pileup
+
+    def rec(name, pos):
+        return BamRecord(name, 0, 0, pos, 60, [("M", 4)],
+                         np.array([1, 2, 4, 8], np.uint8),
+                         np.full(4, 30, np.uint8), {})
+
+    out = calculate_pileup([rec("ont_a", 0), rec("pb_b", 0)], 0, 0, 50,
+                           num_homop=1, dtypes=["ont", "pb"])
+    m = out["matrix"]
+    assert m.shape[1] == FEATLEN * 2 * 1
+    # both reads aligned identically: dtype 0 block == dtype 1 block
+    np.testing.assert_array_equal(m[:, :FEATLEN], m[:, FEATLEN:])
+    assert m.sum() == 8
+    with pytest.raises(ValueError):
+        calculate_pileup([rec("xx_a", 0)], 0, 0, 50, num_homop=1,
+                         dtypes=["ont", "pb"])

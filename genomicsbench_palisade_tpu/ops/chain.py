@@ -251,11 +251,38 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
         "n": np.array([c["n"] for c in nonempty], np.int32),
     }
     c0 = nonempty[0]
-    scores, parents, peaks = chain_dp_device_batch(
-        *(jnp.asarray(stack[k]) for k in
-          ("x_lo", "qi", "qspan", "st_eff", "gap_table", "n")),
-        w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
-    )
+    # pallas fast path (ops/chain_pallas.py, ~75x the XLA scan) when every
+    # call's gap table fits the step-threshold form; 128-lane padding
+    from .chain_pallas import LANE_TILE, chain_dp_pallas_batch, gap_table_steps
+
+    import jax
+
+    steps, gap0, ok = gap_table_steps(stack["gap_table"], c0["bw"])
+    use_pallas = (bool(ok.all()) and n_pad % 64 == 0 and w <= 128
+                  and jax.default_backend() != "cpu")  # pallas-TPU kernels
+
+    if use_pallas:
+        b0 = stack["x_lo"].shape[0]
+        b_pad = -(-b0 // LANE_TILE) * LANE_TILE
+
+        def padb(a, fill=0):
+            return np.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),
+                          constant_values=fill)
+
+        scores, parents, peaks = chain_dp_pallas_batch(
+            jnp.asarray(padb(stack["x_lo"])), jnp.asarray(padb(stack["qi"])),
+            jnp.asarray(padb(stack["qspan"])), jnp.asarray(padb(stack["st_eff"])),
+            jnp.asarray(padb(steps, c0["bw"] + 1)), jnp.asarray(padb(gap0)),
+            jnp.asarray(padb(stack["n"])),
+            w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
+        )
+        scores, parents, peaks = scores[:b0], parents[:b0], peaks[:b0]
+    else:
+        scores, parents, peaks = chain_dp_device_batch(
+            *(jnp.asarray(stack[k]) for k in
+              ("x_lo", "qi", "qspan", "st_eff", "gap_table", "n")),
+            w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
+        )
     scores = np.asarray(scores)
     parents = np.asarray(parents)
     peaks = np.asarray(peaks)

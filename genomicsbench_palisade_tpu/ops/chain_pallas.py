@@ -1,0 +1,245 @@
+"""Pallas TPU kernel for batched minimap2 anchor chaining.
+
+The vmapped XLA scan (ops/chain.py chain_dp_device_batch) pays the
+~25 us/step device-loop floor per anchor step; this kernel walks all
+anchors of a 128-call lane tile inside one pallas_call (Mosaic loop
+steps are sub-microsecond), with the sequential state (scores/parents/
+peaks) resident in VMEM and everything else computed in-register.
+
+Key reformulations vs the scan (bit-exact, tested):
+  * the window is the SUBLANE axis; x/q windows are dynamic slices of
+    VMEM-resident inputs, so nothing is precomputed or streamed;
+  * the per-call f64-exact gap table (host-built, chain.prepare_call)
+    becomes per-call STEP THRESHOLDS: the table is a nondecreasing step
+    function of dd, so gap(dd) = gap[0] + #(thresholds <= dd) — S_CAP
+    row-broadcast compares instead of a per-element gather (XLA's gather
+    measured ~330 ms for the same lookups);
+  * the reference's descending-j visit order becomes suffix scans
+    (exclusive suffix-max, suffix-sum, suffix-min) via log2(w) masked
+    roll rounds;
+  * the max_skip "marked parents" scatter becomes a per-lane BITMASK:
+    OR-reduce one-hot words over the window, then per-row bit tests;
+  * the peak-parent lookup (per-lane dynamic index) becomes a masked
+    max-reduce over the window rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chain import MAX_SKIP
+
+NEG = -(1 << 28)
+LANE_TILE = 128
+S_CAP = 256  # max gap-table steps; calls needing more use the XLA path
+
+
+def _suffix_scan(v, op, w, r_iota):
+    """Inclusive suffix scan over the sublane (window) axis."""
+    k = 1
+    while k < w:
+        rolled = pltpu.roll(v, w - k, axis=0)  # cyclic up-shift by k
+        v = jnp.where(r_iota + k < w, op(v, rolled), v)
+        k <<= 1
+    return v
+
+
+def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
+            out_sc_ref, out_par_ref, out_pk_ref, sc_ref, par_ref, pk_ref):
+    w, nc, n_pad, max_dist_x, max_dist_y, bw = params
+    bt = qspan_ref.shape[1]
+    j = pl.program_id(1)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (w, bt), 0)
+    steps = steps_ref[:]  # [S_CAP, bt] i32 thresholds (bw+1 padded)
+    gap0 = gap0_ref[0:1, :]  # [1, bt]
+
+    @pl.when(j == 0)
+    def _init():
+        sc_ref[:] = jnp.zeros((n_pad + w, bt), jnp.int32)
+        par_ref[:] = jnp.full((n_pad + w, bt), -1, jnp.int32)
+        pk_ref[:] = jnp.zeros((n_pad + w, bt), jnp.int32)
+
+    n_words = (w + 31) // 32
+    s_cap = steps.shape[0]
+
+    def body(t, _):
+        i = j * nc + t  # anchor index within this call tile
+        qspan_i = qspan_ref[pl.ds(t, 1), :]  # [1, bt]
+        st_i = st_ref[pl.ds(t, 1), :]
+        x_i = x_ref[pl.ds(i + w, 1), :]
+        q_i = q_ref[pl.ds(i + w, 1), :]
+        x_win = x_ref[pl.ds(i, w)]
+        q_win = q_ref[pl.ds(i, w)]
+
+        sc_win = sc_ref[pl.ds(i, w)]
+        par_win = par_ref[pl.ds(i, w)]
+        pk_win = pk_ref[pl.ds(i, w)]
+
+        # dr in u32 wraparound of the x low words (exact within the window)
+        dr = (x_i.astype(jnp.uint32) - x_win.astype(jnp.uint32)).astype(jnp.int32)
+        dq = q_i - q_win
+        dd = jnp.abs(dr - dq)
+        j_abs = i - w + r_iota
+        eligible = (
+            (j_abs >= st_i) & (j_abs >= 0) & (dr != 0) & (dq > 0)
+            & (dq <= max_dist_y) & (dq <= max_dist_x) & (dd <= bw)
+        )
+
+        # gap(dd) = gap[0] + #(step thresholds <= dd): S_CAP row compares
+        gap = jnp.broadcast_to(gap0, (w, bt)).astype(jnp.int32)
+        for s in range(s_cap):
+            gap = gap + (dd >= steps[s : s + 1, :]).astype(jnp.int32)
+
+        min_d = jnp.minimum(jnp.minimum(dq, dr), qspan_i)
+        sc = jnp.where(eligible, min_d - gap + sc_win, NEG)
+
+        # exclusive suffix max over higher rows (later-visited anchors)
+        suff_inc = _suffix_scan(sc, jnp.maximum, w, r_iota)
+        suff_exc = jnp.where(r_iota + 1 < w,
+                             pltpu.roll(suff_inc, w - 1, axis=0), NEG)
+        rm = jnp.maximum(suff_exc, qspan_i)
+        improve = (sc > rm) & eligible
+
+        # marked-parent bitmask: mark_pos in [0, w) for in-window parents
+        mark_pos = par_win - (i - w)
+        do_mark = eligible & (par_win >= 0) & (mark_pos >= 0)
+        chunks = []
+        for word in range(n_words):
+            bit = jnp.where(
+                do_mark & ((mark_pos >> 5) == word),
+                jnp.uint32(1) << (mark_pos & 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            )
+            k = 1
+            while k < w:  # OR-reduce over rows (log tree)
+                bit = bit | jnp.where(
+                    r_iota + k < w, pltpu.roll(bit, w - k, axis=0), jnp.uint32(0))
+                k <<= 1
+            word_bits = bit[0:1, :]  # [1, bt]
+            lo, hi = 32 * word, min(32 * (word + 1), w)
+            shift = (r_iota[lo:hi] & 31).astype(jnp.uint32)
+            chunks.append(((word_bits >> shift) & 1).astype(jnp.bool_))
+        marked = chunks[0] if n_words == 1 else jnp.concatenate(chunks, axis=0)
+        skip = eligible & ~improve & marked
+
+        # max_skip walk in visit (descending-row) order: suffix cumsum of
+        # (+1 skip / -1 improve), clamped at 0 from the start of the walk
+        e = skip.astype(jnp.int32) - improve.astype(jnp.int32)
+        ssum = _suffix_scan(e, lambda a, b: a + b, w, r_iota)
+        smin = _suffix_scan(ssum, jnp.minimum, w, r_iota)
+        c_walk = ssum - jnp.minimum(jnp.int32(0), smin)
+        brk = skip & (c_walk > MAX_SKIP)
+        # first break in visit order = LARGEST breaking row
+        brk_r = jnp.max(jnp.where(brk, r_iota, -1), axis=0)[None, :]
+        processed = r_iota > brk_r
+        sc_proc = jnp.where(processed, sc, NEG)
+
+        m = jnp.max(sc_proc, axis=0)[None, :]  # [1, bt]
+        has = m > qspan_i
+        # first strict improvement in visit order = LARGEST row with sc==m
+        r_best = jnp.max(jnp.where(sc_proc == m, r_iota, -1), axis=0)[None, :]
+        j_best = i - w + r_best
+        max_f = jnp.where(has, m, qspan_i)
+        max_j = jnp.where(has, j_best, -1)
+
+        peak_parent = jnp.max(
+            jnp.where(r_iota == r_best, pk_win, NEG), axis=0)[None, :]
+        peak = jnp.where((max_j >= 0) & (peak_parent > max_f),
+                         peak_parent, max_f)
+
+        sc_ref[pl.ds(i + w, 1), :] = max_f
+        par_ref[pl.ds(i + w, 1), :] = max_j
+        pk_ref[pl.ds(i + w, 1), :] = peak
+        return ()
+
+    jax.lax.fori_loop(0, nc, body, ())
+
+    out_sc_ref[:] = sc_ref[pl.ds(j * nc + w, nc)]
+    out_par_ref[:] = par_ref[pl.ds(j * nc + w, nc)]
+    out_pk_ref[:] = pk_ref[pl.ds(j * nc + w, nc)]
+
+
+def gap_table_steps(gap_table: np.ndarray, bw: int, s_cap: int = S_CAP):
+    """Per-call step thresholds of the (nondecreasing) gap table.
+
+    Returns (steps [B, s_cap] i32 padded with bw+1, gap0 [B] i32, ok [B])
+    where ok=False marks calls whose table has more than s_cap steps
+    (they must use the XLA path)."""
+    gt = np.asarray(gap_table, np.int64)
+    b = gt.shape[0]
+    steps = np.full((b, s_cap), bw + 1, np.int32)
+    ok = np.ones(b, bool)
+    diffs = np.diff(gt, axis=1)  # [B, bw]
+    for bi in range(b):
+        if (diffs[bi] < 0).any():  # non-monotone table: XLA path
+            ok[bi] = False
+            continue
+        pos = np.repeat(np.arange(1, bw + 1), diffs[bi])
+        if len(pos) > s_cap:
+            ok[bi] = False
+            continue
+        steps[bi, : len(pos)] = pos
+    return steps, gt[:, 0].astype(np.int32), ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "n_pad", "max_dist_x", "max_dist_y", "bw",
+                     "lane_tile", "nc", "s_cap"),
+)
+def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
+                          w, n_pad, max_dist_x, max_dist_y, bw,
+                          lane_tile: int = LANE_TILE, nc: int = 64,
+                          s_cap: int = S_CAP):
+    """Batched chain DP, pallas path.  Same outputs as
+    chain_dp_device_batch; `steps`/`gap0` come from gap_table_steps."""
+    b, _ = x_lo.shape
+    assert b % lane_tile == 0 and n_pad % nc == 0, (b, lane_tile, n_pad, nc)
+
+    def pad_w(a):
+        return jnp.concatenate(
+            [jnp.zeros((b, w), jnp.int32), a.astype(jnp.int32)], axis=1).T
+
+    x_t = pad_w(x_lo)          # [n_pad + w, B]
+    q_t = pad_w(qi)
+    qspan_t = qspan.astype(jnp.int32).T   # [n_pad, B]
+    st_t = st_eff.astype(jnp.int32).T
+    steps_t = steps.astype(jnp.int32).T   # [s_cap, B]
+    gap0_t = gap0.astype(jnp.int32)[None, :]  # [1, B]
+
+    grid = (b // lane_tile, n_pad // nc)
+
+    def col(rows):
+        return pl.BlockSpec((rows, lane_tile), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def chunked(rows):
+        return pl.BlockSpec((rows, lane_tile), lambda i, j: (j, i),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((n_pad, b), jnp.int32)] * 3
+    scores, parents, peaks = pl.pallas_call(
+        functools.partial(_kernel, (w, nc, n_pad, max_dist_x, max_dist_y, bw)),
+        grid=grid,
+        in_specs=[col(n_pad + w), col(n_pad + w), chunked(nc), chunked(nc),
+                  col(s_cap), col(1)],
+        out_specs=[chunked(nc)] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_pad + w, lane_tile), jnp.int32),  # scores
+            pltpu.VMEM((n_pad + w, lane_tile), jnp.int32),  # parents
+            pltpu.VMEM((n_pad + w, lane_tile), jnp.int32),  # peaks
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=300 * b * n_pad * w, bytes_accessed=b * n_pad * 16,
+            transcendentals=0,
+        ),
+    )(x_t, q_t, qspan_t, st_t, steps_t, gap0_t)
+    return scores.T, parents.T, peaks.T

@@ -89,15 +89,28 @@ def bench_chain():
 
     from genomicsbench_palisade_tpu.ops import chain as C
 
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.ops.chain_pallas import (
+        chain_dp_pallas_batch, gap_table_steps)
+
     rng = np.random.default_rng(2)
-    n, n_calls = 4096, 64
+    n, n_calls, w = 4096, 128, 64
     calls = []
     for _ in range(n_calls):
         xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64)
-        ys = (xs + rng.integers(-200, 200, n)).astype(np.int64)
+        ys = np.maximum(xs + rng.integers(-200, 200, n), 0)
         calls.append(C.prepare_call(xs, ys, avg_qspan=25.0))
-    dt = _timeit(lambda: C.chain_calls_batched(calls, w=64, n_pad=n),
-                 lambda o: o[0][0], iters=5)
+    stack = {k: np.stack([(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
+                          for c in calls])
+             for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
+    steps, gap0, ok = gap_table_steps(stack["gap_table"], 500)
+    assert ok.all()
+    args = tuple(jax.device_put(a) for a in (
+        stack["x_lo"], stack["qi"], stack["qspan"], stack["st_eff"],
+        steps, gap0, np.full(n_calls, n, np.int32)))
+    dt = _timeit(lambda: chain_dp_pallas_batch(*args, w, n, 5000, 5000, 500),
+                 lambda o: np.asarray(o[0][:1, :1]))
     return {"kernel": "chain", "value": round(n * n_calls / dt, 1),
             "unit": "anchors/s", "n": n, "calls": n_calls}
 

@@ -43,6 +43,13 @@ def abea_fill_bands(
     n_bands_pad: int = 0,
     bandwidth: int = ALN_BANDWIDTH,
 ):
+    # hoist the pore-model lookup out of the band loop: ONE [K_pad] gather
+    # instead of three [bw] gathers per band (the per-step gathers dominated
+    # the loop at the ~25 us/step device floor)
+    ranks_all = kmer_ranks_pad
+    gm_pad = scale * level_mean[ranks_all] + shift
+    stdv_pad = level_stdv[ranks_all]
+    lstdv_pad = level_log_stdv[ranks_all]
     bw = bandwidth
     half = bw // 2
     lp_skip, lp_stay, lp_step, lp_trim = (lp_consts[i] for i in range(4))
@@ -74,13 +81,14 @@ def abea_fill_bands(
         dk2 = bk - k2
         diag = jax.lax.dynamic_slice(pad2, (1 + dk2,), (bw,))
 
-        ranks = jax.lax.dynamic_slice(kmer_ranks_pad, (bk + bw,), (bw,))
+        gm = jax.lax.dynamic_slice(gm_pad, (bk + bw,), (bw,))
+        stdv = jax.lax.dynamic_slice(stdv_pad, (bk + bw,), (bw,))
+        lstdv = jax.lax.dynamic_slice(lstdv_pad, (bk + bw,), (bw,))
         levels = jax.lax.dynamic_slice(
             event_means_rev_pad, (jnp.int32(n_events) - 1 - be + bw,), (bw,)
         )
-        gm = scale * level_mean[ranks] + shift
-        a = (levels - gm) / level_stdv[ranks]
-        lp_emit = jnp.float32(-0.918938) - level_log_stdv[ranks] - 0.5 * a * a
+        a = (levels - gm) / stdv
+        lp_emit = jnp.float32(-0.918938) - lstdv - 0.5 * a * a
 
         score_d = diag + lp_step + lp_emit
         score_u = up + lp_stay + lp_emit
@@ -160,7 +168,7 @@ def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
 
 
 def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
-               last_vals, kmer_ranks, bw, k):
+               last_vals, kmer_ranks, bw, k, seed_ei=None):
     """Host backtrack + QC from the filled bands (postalign semantics)."""
     n_events = len(event_means)
     n_kmers = len(sequence) - k + 1
@@ -183,7 +191,10 @@ def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
     max_score = -np.inf
     curr_event_idx = 0
     curr_kmer_idx = n_kmers - 1
-    for ei in range(n_events):
+    if seed_ei is not None:  # computed on device (abea_pallas)
+        curr_event_idx = seed_ei
+        last_vals = None
+    for ei in range(n_events if seed_ei is None else 0):
         bi = ei + n_kmers + 1
         if bi >= n_bands:
             break
@@ -242,13 +253,23 @@ def align_events(sequence: str, event_means: np.ndarray, model: dict,
 
 
 def align_events_batch(sequences, event_means_list, model, scales, shifts,
-                       bandwidth: int = ALN_BANDWIDTH, k: int = oracle.KMER_SIZE):
+                       bandwidth: int = ALN_BANDWIDTH, k: int = oracle.KMER_SIZE,
+                       use_pallas: bool | None = None):
     """Batched eventalign: reads grouped by padded-shape bucket, each group
     filled in ONE vmapped device dispatch; tracebacks run on the host.
 
     Returns a list of alignments ([(kmer_idx, event_idx)] or []) in input
-    order.
+    order.  On TPU the Pallas band-fill kernel is used (identical output,
+    ~2x; the vmapped scan's per-lane dynamic slices lower to slow gathers).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas and bandwidth == ALN_BANDWIDTH:
+        from .abea_pallas import align_events_batch_pallas
+
+        return align_events_batch_pallas(
+            sequences, event_means_list, model, scales, shifts,
+            bandwidth=bandwidth, k=k)
     bw = bandwidth
     results = [None] * len(sequences)
     groups = {}

@@ -1,0 +1,318 @@
+"""Pallas TPU kernel for adaptive banded event alignment (f5c eventalign).
+
+The vmapped lax.scan (ops/abea.py abea_fill_bands) lowers its per-lane
+dynamic band slices to XLA gathers (~330 ms per 64-read batch); here each
+READ is one grid step, so every band offset is a SCALAR: windows of the
+VMEM-resident per-read tables are cyclic lane-rolls (dynamic lane rolls
+are supported; dynamic lane slices are not) followed by a static slice,
+and the band state lives in vector registers.
+
+Per band it also:
+  * packs the band's move decision (down/right) into lane `bw` of the u8
+    trace row, so the host reconstructs band positions without a second
+    output;
+  * folds the backtrack-seed search (max over events of last-kmer value +
+    remaining trim, ops/abea.py _traceback) into two scalar carries,
+    returned via SMEM — so only the [n_bands, bw+8] u8 trace plane is
+    fetched.
+
+Bit-identical to abea_fill_bands (same f32 op order; tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .oracle import abea as oracle
+
+ALN_BANDWIDTH = oracle.ALN_BANDWIDTH
+FROM_D, FROM_U, FROM_L = 0, 1, 2
+NEG = np.float32(-np.inf)
+LANES = 128  # band vectors live on the lane axis (bw=100 -> 128 padded)
+
+
+def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
+            lp_ref, trace_ref, seed_ref, row_scratch, band_ref):
+    n_bands, bw = params
+    tbl_len = ev_ref.shape[2]
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    in_bw = l_iota < bw
+    half = bw // 2
+
+    r8 = pl.program_id(0) % 8  # SMEM blocks cover 8 reads (tiling rule)
+    n_events = ne_ref[r8, 0]
+    n_kmers = nk_ref[r8, 0]
+    lp_skip = lp_ref[r8, 0]
+    lp_stay = lp_ref[r8, 1]
+    lp_step = lp_ref[r8, 2]
+    lp_trim = lp_ref[r8, 3]
+
+    neg = jnp.full((1, LANES), NEG, jnp.float32)
+
+    def splat_f(x):
+        return jnp.zeros((1, LANES), jnp.float32) + x
+
+    def splat_i(x):
+        return jnp.zeros((1, LANES), jnp.int32) + x
+
+    band0 = jnp.where(l_iota == half, 0.0, neg)
+    band1 = jnp.where(l_iota == half, splat_f(lp_trim), neg)
+    band_ref[0:1, :] = band0  # ring: band bi lives at row bi % 8
+    band_ref[1:2, :] = band1
+
+    def window(ref, off):
+        """ref [1, 1, tbl_len] -> lanes [off, off+LANES) via cyclic roll."""
+        shift = (tbl_len - off % tbl_len) % tbl_len
+        return pltpu.roll(ref[0], shift, axis=1)[:, :LANES]
+
+    def scalar_at(v, lane):
+        """Extract lane `lane` of a (1, LANES) band as a scalar (max keeps
+        -inf intact)."""
+        return jnp.max(jnp.where(l_iota == lane, v, NEG))
+
+    def body(bi, carry):
+        e1, k1, e2, k2, best, best_ei = carry
+        b1 = band_ref[pl.ds((bi - 1) % 8, 1), :]
+        b2 = band_ref[pl.ds((bi - 2) % 8, 1), :]
+        ll = scalar_at(b1, 0)
+        ur = scalar_at(b1, bw - 1)
+        both_ob = jnp.isneginf(ll) & jnp.isneginf(ur)
+        right = jnp.where(both_ob, (bi % 2) == 1, ll < ur).astype(jnp.int32)
+        be = e1 + (1 - right)
+        bk = k1 + right
+
+        # shifted reads of the previous two bands (lane rolls, masked edges)
+        def shift_band(v, s):  # band value at lane o <- v[o + s - 1], s in {0,1,2}
+            if s == 1:
+                return v
+            rolled = pltpu.roll(v, (LANES - (s - 1)) % LANES, axis=1)
+            if s == 0:
+                return jnp.where(l_iota >= 1, rolled, NEG)
+            return jnp.where(l_iota < LANES - 1, rolled, NEG)
+
+        right_v = splat_i(right) == 1
+        up = jnp.where(right_v, shift_band(b1, 2), shift_band(b1, 1))
+        left = jnp.where(right_v, shift_band(b1, 1), shift_band(b1, 0))
+        dk2 = bk - k2  # in {0, 1, 2}
+        dk2_v = splat_i(dk2)
+        diag = jnp.where(
+            dk2_v == 0, shift_band(b2, 0),
+            jnp.where(dk2_v == 1, shift_band(b2, 1), shift_band(b2, 2)))
+
+        gm = window(gm_ref, bk + bw)
+        stdv = window(stdv_ref, bk + bw)
+        lstdv = window(lstdv_ref, bk + bw)
+        levels = window(ev_ref, n_events - 1 - be + bw)
+        a = (levels - gm) / stdv
+        lp_emit = jnp.float32(-0.918938) - lstdv - 0.5 * a * a
+
+        score_d = diag + lp_step + lp_emit
+        score_u = up + lp_stay + lp_emit
+        score_l = left + lp_skip
+        ms = score_d
+        frm = jnp.zeros((1, LANES), jnp.int32)
+        ms = jnp.maximum(ms, score_u)
+        frm = jnp.where(ms == score_u, FROM_U, frm)
+        ms = jnp.maximum(ms, score_l)
+        frm = jnp.where(ms == score_l, FROM_L, frm)
+
+        ei = splat_i(be) - l_iota
+        ki = splat_i(bk) + l_iota
+        valid = ((ki >= 0) & (ki < splat_i(n_kmers)) & (ei >= 0)
+                 & (ei < splat_i(n_events)) & in_bw)
+        new_band = jnp.where(valid, ms, NEG)
+        new_trace = jnp.where(valid, frm, 0)
+
+        # trim state at kmer -1
+        to = -1 - bk
+        t_ei = be - to
+        t_ok = (to >= 0) & (to < bw)
+        t_in = t_ok & (t_ei >= 0) & (t_ei < n_events)
+        t_val = jnp.where(
+            splat_i(t_in.astype(jnp.int32)) == 1,
+            splat_f(lp_trim * (t_ei + 1).astype(jnp.float32)), neg)
+        sel_to = (splat_i(t_ok.astype(jnp.int32)) == 1) & (l_iota == splat_i(to))
+        new_band = jnp.where(sel_to, t_val, new_band)
+        new_trace = jnp.where(
+            sel_to, jnp.where(splat_i(t_in.astype(jnp.int32)) == 1,
+                              FROM_U, 0), new_trace)
+
+        # last-kmer column value for the host's (f64-exact) backtrack-seed
+        # search: NEG when the column is outside this band
+        lo = (n_kmers - 1) - bk
+        l_ok = (lo >= 0) & (lo < bw)
+        band_bits = jax.lax.bitcast_convert_type(new_band, jnp.int32)
+        neg_bits = jnp.int32(np.float32(NEG).view(np.int32))  # -inf pattern
+        lv_sum = jnp.max(jnp.where(l_iota == splat_i(lo), band_bits,
+                                   jnp.int32(-(1 << 31))))
+        lv_bits = jnp.where(l_ok, lv_sum, neg_bits)
+
+        # trace row: moves in lanes [0,bw); decision bit at lane bw; the
+        # f32 last_val little-endian bytes at lanes bw+1..bw+4
+        out_row = jnp.where(l_iota == bw, splat_i(right), new_trace)
+        byte_idx = l_iota - (bw + 1)
+        lv_byte = (splat_i(lv_bits) >> (byte_idx * 8)) & 255
+        out_row = jnp.where((byte_idx >= 0) & (byte_idx < 4), lv_byte, out_row)
+        # u8 sublane-dynamic stores need 8-aligned offsets; stage rows in an
+        # i32 scratch and cast to u8 once after the loop
+        row_scratch[pl.ds(bi - 2, 1), :] = out_row
+        band_ref[pl.ds(bi % 8, 1), :] = new_band
+
+        return (be, bk, e1, k1, best, best_ei)
+
+    carry0 = (jnp.int32(half), jnp.int32(-1 - half),
+              jnp.int32(half - 1), jnp.int32(-1 - half),
+              jnp.float32(-3.0e38), jnp.int32(0))
+    out = jax.lax.fori_loop(2, n_bands, body, carry0)
+    seed_ref[r8, 0] = out[5]  # unused (kept for ABI simplicity)
+    trace_ref[0, :, :] = row_scratch[:].astype(jnp.uint8)
+
+
+def _round_up(v, q):
+    return -(-v // q) * q
+
+
+@functools.partial(jax.jit, static_argnames=("n_bands", "tbl_len", "bandwidth"))
+def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
+                           n_events, n_kmers, lp_consts,
+                           n_bands: int, tbl_len: int,
+                           bandwidth: int = ALN_BANDWIDTH):
+    """Band fill for a batch of reads, one read per grid step.
+
+    ev/gm/stdv/lstdv: [B, tbl_len] f32 per-read tables (event means
+    reversed; pore-model rows gathered per kmer, scaled); n_events/
+    n_kmers: [B] i32.  Returns (traces [B, n_bands-2, LANES] u8 with the
+    move-decision bit at lane bw, seed_ei [B] i32).
+    """
+    b = ev_pad.shape[0]
+    grid = (b,)
+
+    def row(_len):
+        return pl.BlockSpec((1, 1, _len), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem_row = pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                            memory_space=pltpu.SMEM)
+    b8 = _round_up(b, 8)
+
+    def pad8(a, ncol):
+        out = np.zeros((b8, ncol), a.dtype) if isinstance(a, np.ndarray) else None
+        return jnp.concatenate(
+            [a, jnp.zeros((b8 - b, ncol), a.dtype)], axis=0) if b8 != b else a
+
+    ne2 = pad8(n_events[:, None].astype(jnp.int32), 1)
+    nk2 = pad8(n_kmers[:, None].astype(jnp.int32), 1)
+    lp2 = pad8(lp_consts, 4)
+
+    def padrow(a):
+        if b8 == b:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((b8 - b, a.shape[1]), a.dtype)], axis=0)
+
+    traces, seed = pl.pallas_call(
+        functools.partial(_kernel, (n_bands, bandwidth)),
+        grid=(b8,),
+        in_specs=[row(tbl_len)] * 4 + [smem_row, smem_row,
+                  pl.BlockSpec((8, 4), lambda i: (i // 8, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec((1, n_bands - 2, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b8, n_bands - 2, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((b8, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_bands - 2, LANES), jnp.int32),
+                        pltpu.VMEM((8, LANES), jnp.float32)],
+    )(padrow(ev_pad)[:, None, :], padrow(gm_pad)[:, None, :],
+      padrow(stdv_pad)[:, None, :], padrow(lstdv_pad)[:, None, :],
+      ne2, nk2, lp2)
+    return traces[:b], seed[:b, 0]
+
+
+def align_events_batch_pallas(sequences, event_means_list, model, scales,
+                              shifts, bandwidth: int = ALN_BANDWIDTH,
+                              k: int = oracle.KMER_SIZE):
+    """Pallas-backed batched eventalign (same contract as
+    ops.abea.align_events_batch)."""
+    from . import abea as A
+
+    bw = bandwidth
+    results = [None] * len(sequences)
+    groups = {}
+    for i, (seq, ev) in enumerate(zip(sequences, event_means_list)):
+        if len(seq) - k + 1 < 1 or len(ev) < 1:
+            results[i] = []
+            continue
+        key = (A._bucket(len(ev)), A._bucket(len(seq) - k + 1))
+        groups.setdefault(key, []).append(i)
+
+    lm = model["level_mean"].astype(np.float32)
+    ls = model["level_stdv"].astype(np.float32)
+    lls = model["level_log_stdv"].astype(np.float32)
+    for (e_buck, k_buck), idxs in groups.items():
+        n_bands = e_buck + k_buck + 2
+        tbl_len = _round_up(max(e_buck, k_buck) + 2 * bw, LANES)
+        evs, gms, stds, lstds, lps, kranks = [], [], [], [], [], []
+        ne_v, nk_v = [], []
+        for i in idxs:
+            ev_pad, ranks_pad, lp_consts, kmer_ranks = A._prep_read(
+                sequences[i], event_means_list[i], bw, k, e_buck, k_buck)
+            sc = np.float32(scales[i])
+            sh = np.float32(shifts[i])
+            gm = (sc * lm[ranks_pad] + sh).astype(np.float32)
+            ev_row = np.zeros(tbl_len, np.float32)
+            ev_row[: len(ev_pad)] = ev_pad
+            def padded(a):
+                out = np.zeros(tbl_len, np.float32)
+                out[: len(a)] = a
+                return out
+            evs.append(ev_row)
+            gms.append(padded(gm))
+            stds.append(padded(ls[ranks_pad]))
+            lstds.append(padded(lls[ranks_pad]))
+            lps.append(lp_consts)
+            kranks.append(kmer_ranks)
+            ne_v.append(len(event_means_list[i]))
+            nk_v.append(len(sequences[i]) - k + 1)
+
+        import jax.numpy as jnp
+
+        traces_b, seed_b = abea_fill_bands_pallas(
+            jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(gms)),
+            jnp.asarray(np.stack(stds)), jnp.asarray(np.stack(lstds)),
+            jnp.asarray(np.array(ne_v, np.int32)),
+            jnp.asarray(np.array(nk_v, np.int32)),
+            jnp.asarray(np.stack(lps)),
+            n_bands=n_bands, tbl_len=tbl_len, bandwidth=bw,
+        )
+        traces_b = np.asarray(traces_b)
+        del seed_b
+        for row, i in enumerate(idxs):
+            nb = ne_v[row] + nk_v[row] + 2
+            tr = traces_b[row][: nb - 2]
+            rights = tr[:, bw].astype(np.int64)
+            # reconstruct band positions from the decision bits (vectorized)
+            half = bw // 2
+            cum_r = np.cumsum(rights)
+            bks = (-1 - half) + cum_r
+            bes = half + np.arange(1, nb - 1) - cum_r
+            # f32 last_vals from the byte lanes
+            lv = tr[:, bw + 1 : bw + 5].copy().view(np.uint32)[:, 0].view(np.float32)
+            results[i] = A._traceback(
+                sequences[i], event_means_list[i], model,
+                float(np.float32(scales[i])), float(np.float32(shifts[i])),
+                tr[:, :bw], bes, bks, lv.astype(np.float64), kranks[row],
+                bw, k,
+            )
+    return results

@@ -62,3 +62,13 @@ def test_abea_qc_failure(model):
     got = A.align_events(seq, ev, model, 1.0, 0.0)
     want = AO.align(seq, ev, model, 1.0, 0.0)
     assert got == want == []
+
+
+def test_abea_pallas_wrapper_cpu_fallback(model):
+    """align_events_batch on CPU uses the scan path (pallas is TPU-only)."""
+    rng = np.random.default_rng(9)
+    seq = "".join(rng.choice(list("ACGT"), 80))
+    ev = _synth(rng, model, seq)
+    got = A.align_events_batch([seq], [ev], model, [1.0], [0.0])
+    want = [AO.align(seq, ev, model, 1.0, 0.0)]
+    assert got == want

@@ -1,0 +1,171 @@
+"""On-chip parity harness for the Pallas production kernels.
+
+pytest runs on a virtual CPU mesh (pallas TPU kernels only run there in
+interpret mode, too slow for real sizes), so this script re-verifies
+every Pallas kernel against its reference implementation ON THE REAL
+CHIP at production shapes:
+
+  phmm  pallas vs jax scan        (bit-exact f32)
+  bsw   pallas vs jax scan        (bit-exact i32, 6 outputs)
+  chain pallas vs vmapped scan    (bit-exact i32, 3 outputs)
+  abea  pallas vs vmapped scan    (identical alignments incl. QC drops)
+  grm   device vs host f64        (2e-5, plink2 double-precision contract)
+
+Usage: python tools/chip_parity.py   — prints one OK/FAIL line per kernel
+and exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def check_phmm():
+    import jax
+
+    from genomicsbench_palisade_tpu.ops import phmm as P
+    from genomicsbench_palisade_tpu.ops.phmm_pallas import phmm_forward_pallas
+
+    rng = np.random.default_rng(0)
+    reads, haps, pairs = [], [], []
+    for i in range(256):
+        rl, hl = int(rng.integers(5, 250)), int(rng.integers(5, 300))
+        reads.append({"bases": rng.integers(0, 5, rl),
+                      "q": rng.integers(36, 60, rl),
+                      "i": rng.integers(36, 60, rl),
+                      "d": rng.integers(36, 60, rl),
+                      "c": rng.integers(36, 60, rl)})
+        haps.append(rng.integers(0, 5, hl))
+        pairs.append((i, i))
+    batch = P.prepare_batch(reads, haps, pairs, r_pad=256, h_pad=320)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    want = np.asarray(P.phmm_forward(batch)[1])
+    got = np.asarray(phmm_forward_pallas(batch)[1])
+    assert np.array_equal(got, want), "phmm mismatch"
+
+
+def check_bsw():
+    import jax
+
+    from genomicsbench_palisade_tpu.ops import bsw as W
+    from genomicsbench_palisade_tpu.ops.bsw_pallas import bsw_batch_pallas
+
+    rng = np.random.default_rng(1)
+    pairs = []
+    for _ in range(512):
+        ql, tl = int(rng.integers(5, 128)), int(rng.integers(5, 256))
+        t = rng.integers(0, 5, tl)
+        q = rng.integers(0, 5, ql)
+        if rng.random() < 0.7 and tl >= ql:
+            q = t[:ql].copy()
+            mut = rng.random(ql) < 0.1
+            q[mut] = rng.integers(0, 4, int(mut.sum()))
+        pairs.append((q, t, int(rng.integers(1, 80))))
+    batch = W.prepare_pairs(pairs, q_pad=128, t_pad=256)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    want = {k: np.asarray(v) for k, v in W.bsw_batch(batch).items()}
+    got = {k: np.asarray(v) for k, v in bsw_batch_pallas(batch).items()}
+    for key in want:
+        assert np.array_equal(got[key], want[key]), f"bsw {key} mismatch"
+
+
+def check_chain():
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.ops import chain as C
+    from genomicsbench_palisade_tpu.ops.chain_pallas import (
+        chain_dp_pallas_batch, gap_table_steps)
+
+    rng = np.random.default_rng(2)
+    b, n, w = 128, 1024, 64
+    calls = []
+    for _ in range(b):
+        xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64) + 1000
+        ys = np.maximum(xs + rng.integers(-300, 300, n), 0)
+        calls.append(C.prepare_call(xs, ys, avg_qspan=float(rng.uniform(10, 30))))
+    stack = {k: np.stack([(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
+                          for c in calls])
+             for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
+    steps, gap0, ok = gap_table_steps(stack["gap_table"], 500)
+    assert ok.all()
+    args = tuple(jnp.asarray(stack[k])
+                 for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table"))
+    want = C.chain_dp_device_batch(*args, jnp.full(b, n, np.int32),
+                                   w, n, 5000, 5000, 500)
+    got = chain_dp_pallas_batch(
+        args[0], args[1], args[2], args[3], jnp.asarray(steps),
+        jnp.asarray(gap0), jnp.full(b, n, np.int32), w, n, 5000, 5000, 500)
+    for a, bb, name in zip(got, want, ("scores", "parents", "peaks")):
+        assert np.array_equal(np.asarray(a), np.asarray(bb)), f"chain {name}"
+
+
+def check_abea():
+    from genomicsbench_palisade_tpu.ops import abea as A
+    from genomicsbench_palisade_tpu.ops.abea_pallas import (
+        align_events_batch_pallas)
+    from genomicsbench_palisade_tpu.ops.oracle.abea import get_kmer_rank
+
+    rng = np.random.default_rng(3)
+    k = 6
+    model = {"level_mean": rng.normal(90, 12, 4096).astype(np.float32),
+             "level_stdv": (rng.random(4096) * 2 + 1).astype(np.float32)}
+    model["level_log_stdv"] = np.log(model["level_stdv"]).astype(np.float32)
+    seqs, evs, scales, shifts = [], [], [], []
+    for i in range(24):
+        n = int(rng.integers(40, 220))
+        seq = "".join(rng.choice(list("ACGT"), n))
+        raw = []
+        for p in range(len(seq) - k + 1):
+            r = get_kmer_rank(seq[p:p + k])
+            raw.extend(model["level_mean"][r]
+                       + rng.normal(0, 0.4, int(rng.integers(1, 3))))
+        seqs.append(seq)
+        evs.append(np.array(raw, np.float32))
+        scales.append(1.0)
+        shifts.append(0.0)
+    seqs.append("".join(rng.choice(list("ACGT"), 100)))  # QC-drop read
+    evs.append(rng.normal(0, 1, 150).astype(np.float32))
+    scales.append(1.0)
+    shifts.append(0.0)
+    want = A.align_events_batch(seqs, evs, model, scales, shifts,
+                                use_pallas=False)
+    got = align_events_batch_pallas(seqs, evs, model, scales, shifts)
+    assert got == want, "abea mismatch"
+
+
+def check_grm():
+    from genomicsbench_palisade_tpu.ops import grm as G
+
+    rng = np.random.default_rng(4)
+    geno = rng.choice([0, 1, 2, 3], size=(512, 256),
+                      p=[.5, .3, .15, .05]).astype(np.int8)
+    got, got_cnt = G.compute_grm(geno, block=128)
+    z, v, _ = G.normalize_block_np(geno)
+    sums = z.astype(np.float64).T @ z.astype(np.float64)
+    cnts = v.astype(np.float64).T @ v.astype(np.float64)
+    want = (sums / np.maximum(cnts, 1.0)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(got_cnt, cnts.astype(np.float32))
+
+
+def main():
+    failures = 0
+    for name, fn in (("phmm", check_phmm), ("bsw", check_bsw),
+                     ("chain", check_chain), ("abea", check_abea),
+                     ("grm", check_grm)):
+        try:
+            fn()
+            print(f"OK   {name}")
+        except Exception as e:
+            failures += 1
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:160]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

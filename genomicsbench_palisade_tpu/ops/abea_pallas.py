@@ -11,10 +11,9 @@ Per band it also:
   * packs the band's move decision (down/right) into lane `bw` of the u8
     trace row, so the host reconstructs band positions without a second
     output;
-  * folds the backtrack-seed search (max over events of last-kmer value +
-    remaining trim, ops/abea.py _traceback) into two scalar carries,
-    returned via SMEM — so only the [n_bands, bw+8] u8 trace plane is
-    fetched.
+  * byte-packs each band's f32 last-kmer value into spare trace lanes so
+    the host keeps its f64-exact backtrack-seed search with no second
+    fetch.
 
 Bit-identical to abea_fill_bands (same f32 op order; tested).
 """

@@ -150,7 +150,16 @@ def _kernel(
         y1_ref[:] = y_new
         return ()
 
-    jax.lax.fori_loop(1, rp + hp, body, ())
+    # two diagonals per iteration amortize the ~1 us fixed per-step cost
+    def body2(k, _):
+        body(2 * k + 1, ())
+        body(2 * k + 2, ())
+        return ()
+
+    n_d = rp + hp - 1
+    jax.lax.fori_loop(0, n_d // 2, body2, ())
+    if n_d % 2:
+        body(n_d, ())
 
 
 @functools.partial(jax.jit, static_argnames=("lane_tile",))

@@ -168,7 +168,7 @@ def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
 
 
 def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
-               last_vals, kmer_ranks, bw, k, seed_ei=None):
+               last_vals, kmer_ranks, bw, k):
     """Host backtrack + QC from the filled bands (postalign semantics)."""
     n_events = len(event_means)
     n_kmers = len(sequence) - k + 1
@@ -191,10 +191,7 @@ def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
     max_score = -np.inf
     curr_event_idx = 0
     curr_kmer_idx = n_kmers - 1
-    if seed_ei is not None:  # computed on device (abea_pallas)
-        curr_event_idx = seed_ei
-        last_vals = None
-    for ei in range(n_events if seed_ei is None else 0):
+    for ei in range(n_events):
         bi = ei + n_kmers + 1
         if bi >= n_bands:
             break

@@ -37,7 +37,7 @@ LANES = 128  # band vectors live on the lane axis (bw=100 -> 128 padded)
 
 
 def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
-            lp_ref, trace_ref, seed_ref, row_scratch, band_ref):
+            lp_ref, trace_ref, row_scratch, band_ref):
     n_bands, bw = params
     tbl_len = ev_ref.shape[2]
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -76,7 +76,7 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         return jnp.max(jnp.where(l_iota == lane, v, NEG))
 
     def body(bi, carry):
-        e1, k1, e2, k2, best, best_ei = carry
+        e1, k1, e2, k2 = carry
         b1 = band_ref[pl.ds((bi - 1) % 8, 1), :]
         b2 = band_ref[pl.ds((bi - 2) % 8, 1), :]
         ll = scalar_at(b1, 0)
@@ -163,13 +163,11 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         row_scratch[pl.ds(bi - 2, 1), :] = out_row
         band_ref[pl.ds(bi % 8, 1), :] = new_band
 
-        return (be, bk, e1, k1, best, best_ei)
+        return (be, bk, e1, k1)
 
     carry0 = (jnp.int32(half), jnp.int32(-1 - half),
-              jnp.int32(half - 1), jnp.int32(-1 - half),
-              jnp.float32(-3.0e38), jnp.int32(0))
-    out = jax.lax.fori_loop(2, n_bands, body, carry0)
-    seed_ref[r8, 0] = out[5]  # unused (kept for ABI simplicity)
+              jnp.int32(half - 1), jnp.int32(-1 - half))
+    jax.lax.fori_loop(2, n_bands, body, carry0)
     trace_ref[0, :, :] = row_scratch[:].astype(jnp.uint8)
 
 
@@ -186,11 +184,11 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
 
     ev/gm/stdv/lstdv: [B, tbl_len] f32 per-read tables (event means
     reversed; pore-model rows gathered per kmer, scaled); n_events/
-    n_kmers: [B] i32.  Returns (traces [B, n_bands-2, LANES] u8 with the
-    move-decision bit at lane bw, seed_ei [B] i32).
+    n_kmers: [B] i32.  Returns traces [B, n_bands-2, LANES] u8 with the
+    move-decision bit at lane bw and the last-kmer f32 bytes at lanes
+    bw+1..bw+4.
     """
     b = ev_pad.shape[0]
-    grid = (b,)
 
     def row(_len):
         return pl.BlockSpec((1, 1, _len), lambda i: (i, 0, 0),
@@ -200,43 +198,32 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
                             memory_space=pltpu.SMEM)
     b8 = _round_up(b, 8)
 
-    def pad8(a, ncol):
-        out = np.zeros((b8, ncol), a.dtype) if isinstance(a, np.ndarray) else None
-        return jnp.concatenate(
-            [a, jnp.zeros((b8 - b, ncol), a.dtype)], axis=0) if b8 != b else a
-
-    ne2 = pad8(n_events[:, None].astype(jnp.int32), 1)
-    nk2 = pad8(n_kmers[:, None].astype(jnp.int32), 1)
-    lp2 = pad8(lp_consts, 4)
-
     def padrow(a):
+        """Pad the read axis to b8 (SMEM blocks tile 8 reads)."""
         if b8 == b:
             return a
         return jnp.concatenate(
             [a, jnp.zeros((b8 - b, a.shape[1]), a.dtype)], axis=0)
 
-    traces, seed = pl.pallas_call(
+    ne2 = padrow(n_events[:, None].astype(jnp.int32))
+    nk2 = padrow(n_kmers[:, None].astype(jnp.int32))
+    lp2 = padrow(lp_consts)
+
+    traces = pl.pallas_call(
         functools.partial(_kernel, (n_bands, bandwidth)),
         grid=(b8,),
         in_specs=[row(tbl_len)] * 4 + [smem_row, smem_row,
                   pl.BlockSpec((8, 4), lambda i: (i // 8, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=[
-            pl.BlockSpec((1, n_bands - 2, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b8, n_bands - 2, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((b8, 1), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((1, n_bands - 2, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, n_bands - 2, LANES), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((n_bands - 2, LANES), jnp.int32),
                         pltpu.VMEM((8, LANES), jnp.float32)],
     )(padrow(ev_pad)[:, None, :], padrow(gm_pad)[:, None, :],
       padrow(stdv_pad)[:, None, :], padrow(lstdv_pad)[:, None, :],
       ne2, nk2, lp2)
-    return traces[:b], seed[:b, 0]
+    return traces[:b]
 
 
 def align_events_batch_pallas(sequences, event_means_list, model, scales,
@@ -285,9 +272,7 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
             ne_v.append(len(event_means_list[i]))
             nk_v.append(len(sequences[i]) - k + 1)
 
-        import jax.numpy as jnp
-
-        traces_b, seed_b = abea_fill_bands_pallas(
+        traces_b = abea_fill_bands_pallas(
             jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(gms)),
             jnp.asarray(np.stack(stds)), jnp.asarray(np.stack(lstds)),
             jnp.asarray(np.array(ne_v, np.int32)),
@@ -296,7 +281,6 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
             n_bands=n_bands, tbl_len=tbl_len, bandwidth=bw,
         )
         traces_b = np.asarray(traces_b)
-        del seed_b
         for row, i in enumerate(idxs):
             nb = ne_v[row] + nk_v[row] + 2
             tr = traces_b[row][: nb - 2]

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import fmi as F
@@ -27,7 +29,7 @@ SPLIT_FACTOR = 1.5
 
 
 @functools.partial(
-    __import__("jax").jit,
+    jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv",
                      "split_len", "m_cap", "reseed_cap"),
 )
@@ -48,9 +50,6 @@ def fmi_pipeline_device(
     s[cap]].  Rows 0..B-1 = phase 1, B..B+R-1 = phase 2 reseeds (rid = -1
     for unused reseed lanes), B+R.. = phase 3.
     """
-    import jax
-    import jax.numpy as jnp
-
     b, l_max = enc.shape
     r = reseed_cap if reseed_cap is not None else 2 * b
     lane_rid = jnp.arange(b, dtype=jnp.int32)
@@ -121,8 +120,9 @@ def _extract_packed(packed: np.ndarray, cap: int, rid_offset: int = 0):
     for ci, key in enumerate(("m", "n", "k", "l", "s")):
         cols[key] = packed[:, 3 + ci * cap : 3 + (ci + 1) * cap]
     lanes = np.repeat(np.arange(len(counts)), counts)
-    slot = (np.concatenate([np.arange(c) for c in counts])
-            if lanes.size else np.zeros(0, int))
+    slot = (np.arange(int(counts.sum()))
+            - np.repeat(np.cumsum(counts) - counts, counts)
+            if lanes.size else np.zeros(0, np.int64))
     out = {"rid": rid[lanes].astype(np.int64) + rid_offset}
     for key in ("m", "n", "k", "l", "s"):
         out[key] = cols[key][lanes, slot].astype(np.int64)
@@ -143,8 +143,6 @@ def fmi_pipeline_dispatch(
 
     Lets the driver software-pipeline batches: dispatch batch k+1 before
     fetching batch k, hiding the ~27 ms relay fetch + host unpack."""
-    import jax.numpy as jnp
-
     split_len = int(min_seed_len * split_factor + 0.499)
     return fmi_pipeline_device(
         index, jnp.asarray(enc), jnp.asarray(readlen),

@@ -95,12 +95,12 @@ inline Smem root(const Idx& ix, int64_t rid, int64_t x, int a) {
 // getSMEMsOnePosOneThread per-read body (oracle get_smems_one_pos)
 int64_t one_pos(const Idx& ix, const int8_t* read, int64_t rl, int64_t rid,
                 int64_t x, int64_t min_intv, int min_seed_len,
-                std::vector<Smem>& matches) {
+                std::vector<Smem>& matches, std::vector<Smem>& prev) {
     int a = read[x];
     int64_t next_x = x + 1;
     if (a >= 4) return next_x;
     Smem smem = root(ix, rid, x, a);
-    std::vector<Smem> prev;
+    prev.clear();  // caller-owned scratch: no per-position allocation
     for (int64_t j = x + 1; j < rl; j++) {
         a = read[j];
         next_x = j + 1;
@@ -162,9 +162,11 @@ int64_t one_pos(const Idx& ix, const int8_t* read, int64_t rl, int64_t rid,
 }
 
 void all_pos(const Idx& ix, const int8_t* read, int64_t rl, int64_t rid,
-             int64_t min_intv, int min_seed_len, std::vector<Smem>& matches) {
+             int64_t min_intv, int min_seed_len, std::vector<Smem>& matches,
+             std::vector<Smem>& prev) {
     int64_t x = 0;
-    while (x < rl) x = one_pos(ix, read, rl, rid, x, min_intv, min_seed_len, matches);
+    while (x < rl)
+        x = one_pos(ix, read, rl, rid, x, min_intv, min_seed_len, matches, prev);
 }
 
 // bwtSeedStrategyAllPosOneThread (oracle bwt_seed_strategy_one_read)
@@ -223,18 +225,18 @@ void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
             FmiResult& out = parts[tix];
             int64_t lo = tix * chunk;
             int64_t hi = std::min<int64_t>(lo + chunk, n_reads);
-            std::vector<Smem> m1;
+            std::vector<Smem> m1, prev;
             for (int64_t r = lo; r < hi; r++) {
                 const int8_t* rd = reads + read_off[r];
                 int64_t rl = read_len[r];
                 m1.clear();
-                all_pos(ix, rd, rl, r, 1, min_seed_len, m1);
+                all_pos(ix, rd, rl, r, 1, min_seed_len, m1, prev);
                 // phase 2: reseed qualifying phase-1 SMEMs in emit order
                 for (const Smem& sm : m1) {
                     if ((sm.n + 1 - sm.m) >= split_len && sm.s <= split_width) {
                         int64_t mid = (sm.n + 1 + sm.m) >> 1;
                         one_pos(ix, rd, rl, r, mid, sm.s + 1, min_seed_len,
-                                out.s2);
+                                out.s2, prev);
                     }
                 }
                 out.s1.insert(out.s1.end(), m1.begin(), m1.end());

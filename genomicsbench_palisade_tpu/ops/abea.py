@@ -239,6 +239,86 @@ def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
     return out
 
 
+def _traceback_batch(sequences_g, events_g, model, scales_g, shifts_g,
+                     traces_g, bes_g, last_vals_g, kranks_g, bw, k):
+    """Vectorized-across-reads host traceback (same results as per-read
+    _traceback, bit-exactly: identical f32 emission op order and f64
+    accumulation order — each read's walk steps happen in the same order,
+    just in lockstep with the other reads under an `active` mask)."""
+    g_n = len(sequences_g)
+    ne = np.array([len(e) for e in events_g], np.int64)
+    nk = np.array([len(s) - k + 1 for s in sequences_g], np.int64)
+    nb = ne + nk + 2
+    nb_max = int(nb.max())
+    half = bw // 2
+    lp_trim = np.log(0.01)
+
+    trace_full = np.zeros((g_n, nb_max, bw), np.uint8)
+    bll_e = np.zeros((g_n, nb_max), np.int64)
+    ranks = np.zeros((g_n, int(nk.max())), np.int64)
+    evm = np.zeros((g_n, int(ne.max())), np.float32)
+    ce = np.zeros(g_n, np.int64)  # backtrack seed event per read
+    for g in range(g_n):
+        trace_full[g, 1, half] = FROM_U
+        trace_full[g, 2 : nb[g]] = traces_g[g]
+        bll_e[g, 0], bll_e[g, 1] = half - 1, half
+        bll_e[g, 2 : nb[g]] = bes_g[g]
+        ranks[g, : nk[g]] = kranks_g[g]
+        evm[g, : ne[g]] = events_g[g]
+        # seed: first index attaining the max of last_val + remaining trim
+        s = (np.asarray(last_vals_g[g], np.float64)[nk[g] - 1 : nk[g] - 1 + ne[g]]
+             + (ne[g] - np.arange(ne[g])) * lp_trim)
+        ce[g] = int(np.argmax(s))
+
+    lm32 = model["level_mean"].astype(np.float32)
+    ls32 = model["level_stdv"].astype(np.float32)
+    lls32 = model["level_log_stdv"].astype(np.float32)
+    sc32 = np.array(scales_g, np.float32)
+    sh32 = np.array(shifts_g, np.float32)
+
+    ck = nk - 1
+    active = (ck >= 0) & (ce >= 0)
+    sum_em = np.zeros(g_n, np.float64)
+    n_aligned = np.zeros(g_n, np.int64)
+    curr_gap = np.zeros(g_n, np.int64)
+    max_gap = np.zeros(g_n, np.int64)
+    gidx = np.arange(g_n)
+    hist_k, hist_e = [], []
+    while active.any():
+        hist_k.append(np.where(active, ck, -1))
+        hist_e.append(ce.copy())
+        r = ranks[gidx, np.maximum(ck, 0)]
+        gp_mean = sc32 * lm32[r] + sh32
+        a = (evm[gidx, np.maximum(ce, 0)] - gp_mean) / ls32[r]
+        lp = np.float32(-0.918938) - lls32[r] + np.float32(-0.5) * a * a
+        sum_em = np.where(active, sum_em + lp.astype(np.float64), sum_em)
+        n_aligned += active
+
+        bi = np.minimum(ce + ck + 2, nb_max - 1)
+        off = np.clip(bll_e[gidx, bi] - ce, 0, bw - 1)
+        frm = trace_full[gidx, bi, off]
+        is_l = frm == FROM_L
+        ck = np.where(active & (frm != FROM_U), ck - 1, ck)
+        ce = np.where(active & ~is_l, ce - 1, ce)
+        curr_gap = np.where(active, np.where(is_l, curr_gap + 1, 0), curr_gap)
+        max_gap = np.maximum(max_gap, curr_gap)
+        active = active & (ck >= 0) & (ce >= 0)
+
+    hk = np.array(hist_k)  # [T, G]
+    he = np.array(hist_e)
+    results = []
+    for g in range(g_n):
+        sel = hk[:, g] >= 0
+        pairs = list(zip(hk[sel, g][::-1].tolist(), he[sel, g][::-1].tolist()))
+        avg = sum_em[g] / max(int(n_aligned[g]), 1)
+        spanned = bool(pairs) and pairs[0][0] == 0 and pairs[-1][0] == nk[g] - 1
+        if avg < -5.0 or not spanned or max_gap[g] > 50:
+            results.append([])
+        else:
+            results.append(pairs)
+    return results
+
+
 def align_events(sequence: str, event_means: np.ndarray, model: dict,
                  scale: float, shift: float, bandwidth: int = ALN_BANDWIDTH,
                  k: int = oracle.KMER_SIZE):
@@ -311,15 +391,17 @@ def align_events_batch(sequences, event_means_list, model, scales, shifts,
         )
         traces_b = np.asarray(traces_b)
         bes_b = np.asarray(bes_b)
-        bks_b = np.asarray(bks_b)
         lv_b = np.asarray(lv_b)
+        nbs = [n_events_v[r] + n_kmers_v[r] + 2 for r in range(len(idxs))]
+        group_res = _traceback_batch(
+            [sequences[i] for i in idxs],
+            [event_means_list[i] for i in idxs], model,
+            [float(np.float32(scales[i])) for i in idxs],
+            [float(np.float32(shifts[i])) for i in idxs],
+            [traces_b[r][: nbs[r] - 2] for r in range(len(idxs))],
+            [bes_b[r][: nbs[r] - 2] for r in range(len(idxs))],
+            [lv_b[r][: nbs[r] - 2] for r in range(len(idxs))],
+            kranks, bw, k)
         for row, i in enumerate(idxs):
-            nb = n_events_v[row] + n_kmers_v[row] + 2
-            results[i] = _traceback(
-                sequences[i], event_means_list[i], model,
-                float(np.float32(scales[i])), float(np.float32(shifts[i])),
-                traces_b[row][: nb - 2], bes_b[row][: nb - 2],
-                bks_b[row][: nb - 2], lv_b[row][: nb - 2],
-                kranks[row], bw, k,
-            )
+            results[i] = group_res[row]
     return results

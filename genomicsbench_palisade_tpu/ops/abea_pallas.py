@@ -7,13 +7,13 @@ VMEM-resident per-read tables are cyclic lane-rolls (dynamic lane rolls
 are supported; dynamic lane slices are not) followed by a static slice,
 and the band state lives in vector registers.
 
-Per band it also:
-  * packs the band's move decision (down/right) into lane `bw` of the u8
-    trace row, so the host reconstructs band positions without a second
-    output;
-  * byte-packs each band's f32 last-kmer value into spare trace lanes so
-    the host keeps its f64-exact backtrack-seed search with no second
-    fetch.
+Per band the trace row also carries the move decision (down/right, lane
+bw) and the band's f32 last-kmer value spread as 16 2-bit pieces (lanes
+LV_LANE0..+15), so the host reconstructs band positions and runs its
+f64-exact backtrack-seed search from the single trace fetch.  Every cell
+of a trace row is <=2 bits, so rows are packed 4 cells/byte on device —
+the host fetch through the relay (the abea bottleneck, see PERF.md)
+shrinks 4x.
 
 Bit-identical to abea_fill_bands (same f32 op order; tested).
 """
@@ -34,6 +34,7 @@ ALN_BANDWIDTH = oracle.ALN_BANDWIDTH
 FROM_D, FROM_U, FROM_L = 0, 1, 2
 NEG = np.float32(-np.inf)
 LANES = 128  # band vectors live on the lane axis (bw=100 -> 128 padded)
+LV_LANE0 = 104  # first of the 16 lanes holding the 2-bit last_val pieces
 
 
 def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
@@ -153,11 +154,14 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         lv_bits = jnp.where(l_ok, lv_sum, neg_bits)
 
         # trace row: moves in lanes [0,bw); decision bit at lane bw; the
-        # f32 last_val little-endian bytes at lanes bw+1..bw+4
+        # f32 last_val spread as 16 2-bit pieces at lanes 104..119 — every
+        # cell of the row is then <=2 bits, so the wrapper packs 4 cells
+        # per byte (the trace fetch through the relay is the abea
+        # bottleneck; see PERF.md)
         out_row = jnp.where(l_iota == bw, splat_i(right), new_trace)
-        byte_idx = l_iota - (bw + 1)
-        lv_byte = (splat_i(lv_bits) >> (byte_idx * 8)) & 255
-        out_row = jnp.where((byte_idx >= 0) & (byte_idx < 4), lv_byte, out_row)
+        two_idx = l_iota - LV_LANE0
+        lv_two = (splat_i(lv_bits) >> jnp.clip(two_idx * 2, 0, 31)) & 3
+        out_row = jnp.where((two_idx >= 0) & (two_idx < 16), lv_two, out_row)
         # u8 sublane-dynamic stores need 8-aligned offsets; stage rows in an
         # i32 scratch and cast to u8 once after the loop
         row_scratch[pl.ds(bi - 2, 1), :] = out_row
@@ -184,10 +188,13 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
 
     ev/gm/stdv/lstdv: [B, tbl_len] f32 per-read tables (event means
     reversed; pore-model rows gathered per kmer, scaled); n_events/
-    n_kmers: [B] i32.  Returns traces [B, n_bands-2, LANES] u8 with the
-    move-decision bit at lane bw and the last-kmer f32 bytes at lanes
-    bw+1..bw+4.
+    n_kmers: [B] i32.  Returns PACKED traces [B, n_bands-2, LANES//4] u8:
+    cell c of a row (2 bits: move for c<bw, decision at c=bw, last-val
+    pieces at LV_LANE0..+15) lives in bits 2*(c//32) of byte c%32 —
+    unpack with unpack_trace_rows.  Packing shrinks the host fetch 4x
+    (the relay transfer is the abea bottleneck).
     """
+    assert bandwidth <= LV_LANE0 and LV_LANE0 + 16 <= LANES
     b = ev_pad.shape[0]
 
     def row(_len):
@@ -223,7 +230,20 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
     )(padrow(ev_pad)[:, None, :], padrow(gm_pad)[:, None, :],
       padrow(stdv_pad)[:, None, :], padrow(lstdv_pad)[:, None, :],
       ne2, nk2, lp2)
-    return traces[:b]
+    q = LANES // 4
+    packed = (traces[:b, :, 0:q] | (traces[:b, :, q : 2 * q] << jnp.uint8(2))
+              | (traces[:b, :, 2 * q : 3 * q] << jnp.uint8(4))
+              | (traces[:b, :, 3 * q :] << jnp.uint8(6)))
+    return packed
+
+
+def unpack_trace_rows(packed: np.ndarray) -> np.ndarray:
+    """[..., LANES//4] u8 packed rows -> [..., LANES] 2-bit cells."""
+    q = LANES // 4
+    cells = np.empty(packed.shape[:-1] + (LANES,), np.uint8)
+    for kk in range(4):
+        cells[..., q * kk : q * (kk + 1)] = (packed >> (2 * kk)) & 3
+    return cells
 
 
 def align_events_batch_pallas(sequences, event_means_list, model, scales,
@@ -246,6 +266,9 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
     lm = model["level_mean"].astype(np.float32)
     ls = model["level_stdv"].astype(np.float32)
     lls = model["level_log_stdv"].astype(np.float32)
+    # phase 1: prep + dispatch every group (async), so device fill of later
+    # groups overlaps host decode/traceback of earlier ones
+    pending = []
     for (e_buck, k_buck), idxs in groups.items():
         n_bands = e_buck + k_buck + 2
         tbl_len = _round_up(max(e_buck, k_buck) + 2 * bw, LANES)
@@ -272,7 +295,7 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
             ne_v.append(len(event_means_list[i]))
             nk_v.append(len(sequences[i]) - k + 1)
 
-        traces_b = abea_fill_bands_pallas(
+        dev_traces = abea_fill_bands_pallas(
             jnp.asarray(np.stack(evs)), jnp.asarray(np.stack(gms)),
             jnp.asarray(np.stack(stds)), jnp.asarray(np.stack(lstds)),
             jnp.asarray(np.array(ne_v, np.int32)),
@@ -280,22 +303,32 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
             jnp.asarray(np.stack(lps)),
             n_bands=n_bands, tbl_len=tbl_len, bandwidth=bw,
         )
-        traces_b = np.asarray(traces_b)
-        for row, i in enumerate(idxs):
+        pending.append((idxs, dev_traces, ne_v, nk_v, kranks))
+
+    # phase 2: fetch packed traces, decode, vectorized traceback per group
+    half = bw // 2
+    for idxs, dev_traces, ne_v, nk_v, kranks in pending:
+        traces_b = np.asarray(dev_traces)
+        moves_g, bes_g, lv_g = [], [], []
+        for row in range(len(idxs)):
             nb = ne_v[row] + nk_v[row] + 2
-            tr = traces_b[row][: nb - 2]
-            rights = tr[:, bw].astype(np.int64)
-            # reconstruct band positions from the decision bits (vectorized)
-            half = bw // 2
+            cells = unpack_trace_rows(traces_b[row][: nb - 2])
+            rights = cells[:, bw].astype(np.int64)
+            # reconstruct band positions from the decision bits
             cum_r = np.cumsum(rights)
-            bks = (-1 - half) + cum_r
-            bes = half + np.arange(1, nb - 1) - cum_r
-            # f32 last_vals from the byte lanes
-            lv = tr[:, bw + 1 : bw + 5].copy().view(np.uint32)[:, 0].view(np.float32)
-            results[i] = A._traceback(
-                sequences[i], event_means_list[i], model,
-                float(np.float32(scales[i])), float(np.float32(shifts[i])),
-                tr[:, :bw], bes, bks, lv.astype(np.float64), kranks[row],
-                bw, k,
-            )
+            bes_g.append(half + np.arange(1, nb - 1) - cum_r)
+            # f32 last_vals from the 2-bit pieces
+            lv_bits = np.zeros(nb - 2, np.uint32)
+            for t in range(16):
+                lv_bits |= cells[:, LV_LANE0 + t].astype(np.uint32) << np.uint32(2 * t)
+            lv_g.append(lv_bits.view(np.float32).astype(np.float64))
+            moves_g.append(cells[:, :bw])
+        group_res = A._traceback_batch(
+            [sequences[i] for i in idxs],
+            [event_means_list[i] for i in idxs], model,
+            [float(np.float32(scales[i])) for i in idxs],
+            [float(np.float32(shifts[i])) for i in idxs],
+            moves_g, bes_g, lv_g, kranks, bw, k)
+        for row, i in enumerate(idxs):
+            results[i] = group_res[row]
     return results

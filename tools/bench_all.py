@@ -8,6 +8,7 @@ Prints one JSON line per kernel at reference-like workload shapes:
           predecessor hits at GenomicsBench anchor densities)
   kmer  — bases/s (5.5 kbp reads, k=17)
   fmi   — reads/s (101 bp reads vs a 5 Mbp synthetic index, batch 512)
+  abea  — reads/s (64 x 500 bp model-synthesized nanopore reads)
 
 Timing follows the axon protocol (CLAUDE.md): chain ITERS executions,
 fetch one output to host.  bench.py remains the driver's single-line
@@ -168,6 +169,40 @@ def bench_fmi():
 
 
 
+def bench_abea():
+    from genomicsbench_palisade_tpu.ops.abea_pallas import (
+        align_events_batch_pallas)
+    from genomicsbench_palisade_tpu.ops.oracle.abea import get_kmer_rank
+
+    rng = np.random.default_rng(7)
+    k = 6
+    model = {"level_mean": rng.normal(90, 12, 4096).astype(np.float32),
+             "level_stdv": (rng.random(4096) * 2 + 1).astype(np.float32)}
+    model["level_log_stdv"] = np.log(model["level_stdv"]).astype(np.float32)
+    b = 64
+    seqs, evs = [], []
+    for _ in range(b):
+        seq = "".join(rng.choice(list("ACGT"), 500))
+        raw = []
+        for p in range(len(seq) - k + 1):
+            r = get_kmer_rank(seq[p : p + k])
+            raw.extend(model["level_mean"][r]
+                       + rng.normal(0, 0.4, int(rng.integers(1, 3))))
+        seqs.append(seq)
+        evs.append(np.array(raw, np.float32))
+    ones = [1.0] * b
+    zeros = [0.0] * b
+    align_events_batch_pallas(seqs, evs, model, ones, zeros)  # warm
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        res = align_events_batch_pallas(seqs, evs, model, ones, zeros)
+    dt = (time.perf_counter() - t0) / iters
+    assert all(res), "QC-dropped synthetic reads"
+    return {"kernel": "abea", "value": round(b / dt, 1), "unit": "reads/s",
+            "b": b, "seq_len": 500}
+
+
 def bench_grm():
     import jax
     import jax.numpy as jnp
@@ -196,7 +231,8 @@ def bench_grm():
 
 def main():
     results = []
-    for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi, bench_grm):
+    for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi,
+               bench_abea, bench_grm):
         try:
             r = fn()
         except Exception as e:  # record the failure, keep going

@@ -33,6 +33,20 @@ import numpy as np
 
 NEG_INF = -(1 << 31) + 1024  # spoa kNegativeInfinity
 
+@functools.lru_cache(maxsize=None)
+def _batched_align(params, w_cap, a_cap):
+    """Cached jit of the vmapped aligner (re-creating the vmap closure per
+    call would re-trace the whole DP every round, ~50 ms host time)."""
+    def run(sc, sl, ga):
+        ai, aj, cnt = jax.vmap(
+            lambda sc1, sl1, ga1: poa_align_device(
+                sc1, sl1, ga1, params, w_cap, a_cap)
+        )(sc, sl, ga)
+        # one packed output -> ONE host fetch (each relay fetch ~27 ms)
+        return jnp.concatenate([ai, aj, cnt[:, None]], axis=1)
+
+    return jax.jit(run)
+
 
 def graph_to_arrays(graph, n_cap: int, p_cap: int):
     """Host: PoaGraph -> padded rank-space arrays. Returns None on overflow."""
@@ -88,28 +102,90 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
     valid_j = j_iota <= seqlen  # columns 0..seqlen are live
 
     # ---------------- matrix init ----------------
+    # Only H/F/O matrices are carried (predecessor rows are random-access);
+    # E/Q couple within a row only, so their rows are consumed in-place by
+    # the traceback bit planes (below) and never stored.
     big = (n_cap + 1, w)
     H = jnp.zeros(big, jnp.int32)
     F = jnp.zeros(big, jnp.int32)
-    E = jnp.zeros(big, jnp.int32)
     O = jnp.zeros(big, jnp.int32)
-    Q = jnp.zeros(big, jnp.int32)
     row0_O = jnp.where(j_iota == 0, 0, NEG_INF)
     row0_Q = jnp.where(j_iota == 0, 0, q + (j_iota - 1) * c)
     row0_F = jnp.where(j_iota == 0, 0, NEG_INF)
     row0_E = jnp.where(j_iota == 0, 0, g + (j_iota - 1) * e)
     row0_H = jnp.where(j_iota == 0, 0, jnp.maximum(row0_Q, row0_E))
     O = O.at[0].set(row0_O)
-    Q = Q.at[0].set(row0_Q)
     F = F.at[0].set(row0_F)
-    E = E.at[0].set(row0_E)
     H = H.at[0].set(row0_H)
 
     # column-0 boundary rows are produced inside the row scan (they depend
     # on predecessor rows, same recurrence restricted to j==0)
 
+    def _row_planes(h_row, e_row, q_row, f_row, o_row,
+                    pred_idx, pred_mask, pm_eu, H_p, F_p, O_p, H_p_sh, prof):
+        """The reference traceback's decision predicates for one row, as
+        [w]-wide planes (computed where the pred rows are already in hand —
+        XLA gathers are ~160 MB/s, so the traceback must not re-gather)."""
+        neg1 = jnp.full((1,), NEG_INF, jnp.int32)
+        pred_col = pred_idx[:, None]  # [P, 1]
+
+        def first_true(ok):  # [P, w] -> mask of the FIRST true slot per col
+            return ok & (jnp.cumsum(ok.astype(jnp.int32), axis=0) == 1)
+
+        def pick(first_mask):  # pred_idx at the first-true slot (0 if none)
+            return jnp.max(jnp.where(first_mask, pred_col, -1), axis=0
+                           ).clip(0)
+
+        diag_ok = (pred_mask[:, None] & (h_row[None, :] == H_p_sh + prof[None, :])
+                   & (j_iota[None, :] != 0))
+        found_d = jnp.any(diag_ok, axis=0)
+        prev_d = pick(first_true(diag_ok))
+
+        c1 = pred_mask[:, None] & (h_row[None, :] == F_p + e)
+        c2 = pred_mask[:, None] & (h_row[None, :] == H_p + g)
+        c3 = pred_mask[:, None] & (h_row[None, :] == O_p + c)
+        c4 = pred_mask[:, None] & (h_row[None, :] == H_p + q)
+        vert_ok = c1 | c2 | c3 | c4
+        found_v = jnp.any(vert_ok, axis=0)
+        first_v = first_true(vert_ok)
+        prev_v = pick(first_v)
+        ext_up = jnp.any(first_v & (c1 | (~c2 & c3)), axis=0)
+
+        def sh(v):
+            return jnp.concatenate([neg1, v[:-1]])
+
+        e1 = h_row == sh(e_row) + e
+        e2 = h_row == sh(h_row) + g
+        e3 = h_row == sh(q_row) + c
+        e4 = h_row == sh(h_row) + q
+        found_h = (j_iota != 0) & (e1 | e2 | e3 | e4)
+        ext_left = e1 | (~e2 & e3)
+
+        def nx(v):
+            return jnp.concatenate([v[1:], jnp.zeros((1,), jnp.int32)])
+
+        el_stop = (e_row + e != nx(e_row)) & (q_row + c != nx(q_row))
+
+        cond_a = pm_eu[:, None] & ((f_row[None, :] == F_p + e)
+                                   | (o_row[None, :] == O_p + c))
+        hit_a = jnp.any(cond_a, axis=0)
+        prev_a = pick(first_true(cond_a))
+        cond_b = pm_eu[:, None] & ((f_row[None, :] == H_p + g)
+                                   | (o_row[None, :] == H_p + q))
+        hit_b = jnp.any(cond_b, axis=0)
+        prev_b = pick(first_true(cond_b))
+
+        return jnp.stack([
+            found_d.astype(jnp.int32), prev_d,
+            found_v.astype(jnp.int32), prev_v, ext_up.astype(jnp.int32),
+            found_h.astype(jnp.int32), ext_left.astype(jnp.int32),
+            el_stop.astype(jnp.int32),
+            hit_a.astype(jnp.int32), prev_a,
+            hit_b.astype(jnp.int32), prev_b,
+        ])  # [12, w]
+
     def row_step(mats, r):
-        H, F, E, O, Q = mats
+        H, F, O = mats
         i = r + 1
         code_i = garr["code"][r]
         np_r = garr["npreds"][r]
@@ -169,6 +245,10 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
         e_row = jnp.where(j_iota == 0, NEG_INF, _lazy_chain(h_row, g, e, j_iota, w))
         q_row = jnp.where(j_iota == 0, NEG_INF, _lazy_chain(h_row, q, c, j_iota, w))
 
+        planes = _row_planes(
+            h_row, e_row, q_row, F_row, O_row, pred_idx, pred_mask,
+            jnp.arange(p_cap) < np_r, H_p, F_p, O_p, H_p_sh, prof)
+
         live = r < n_nodes
         def put(mat, row):
             return jax.lax.cond(
@@ -176,13 +256,11 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
             )
         H = put(H, h_row)
         F = put(F, F_row)
-        E = put(E, e_row)
         O = put(O, O_row)
-        Q = put(Q, q_row)
-        return (H, F, E, O, Q), None
+        return (H, F, O), planes
 
-    (H, F, E, O, Q), _ = jax.lax.scan(
-        row_step, (H, F, E, O, Q), jnp.arange(n_cap, dtype=jnp.int32)
+    (H, F, O), planes_r = jax.lax.scan(
+        row_step, (H, F, O), jnp.arange(n_cap, dtype=jnp.int32)
     )
 
     # ---------------- find max (kNW: last column, sink rows) ----------------
@@ -198,116 +276,91 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
     max_j = seqlen
 
     # ---------------- traceback ----------------
-    aln_i = jnp.full(a_cap, -2, jnp.int32)
-    aln_j = jnp.full(a_cap, -2, jnp.int32)
+    # The per-step predecessor gathers + .at[cnt].set appends of a naive
+    # device while-loop cost ~35 us EACH inside a loop (PERF.md), which
+    # made traceback 5x the fill.  Instead every decision predicate of the
+    # reference's walk (sisd_alignment_engine.cpp backtrack order: diag
+    # over preds, vertical over preds with extend-up, horizontal with
+    # extend-left, and both repair loops' conditions) was emitted by the
+    # fill scan as per-row bit planes (planes_r), and the walk becomes a
+    # fixed-length scan that reads one [NPLANES] column per step and emits
+    # exactly one alignment entry — no scatters, no nested loops.
+    neg1 = jnp.full((1,), NEG_INF, jnp.int32)
+    zero_plane = jnp.zeros(w, jnp.int32)
+    e1_0 = row0_H == jnp.concatenate([neg1, row0_E[:-1]]) + e
+    e2_0 = row0_H == jnp.concatenate([neg1, row0_H[:-1]]) + g
+    e3_0 = row0_H == jnp.concatenate([neg1, row0_Q[:-1]]) + c
+    e4_0 = row0_H == jnp.concatenate([neg1, row0_H[:-1]]) + q
+    found_h0 = (j_iota != 0) & (e1_0 | e2_0 | e3_0 | e4_0)
+    ext_left0 = e1_0 | (~e2_0 & e3_0)
+    zero1 = jnp.zeros((1,), jnp.int32)
+    el_stop0 = ((row0_E + e != jnp.concatenate([row0_E[1:], zero1]))
+                & (row0_Q + c != jnp.concatenate([row0_Q[1:], zero1])))
+    planes_0 = jnp.stack([
+        zero_plane, zero_plane, zero_plane, zero_plane, zero_plane,
+        found_h0.astype(jnp.int32), ext_left0.astype(jnp.int32),
+        el_stop0.astype(jnp.int32),
+        zero_plane, zero_plane, zero_plane, zero_plane,
+    ])  # [12, w]
+    bits = jnp.concatenate(
+        [planes_0[:, None, :], jnp.moveaxis(planes_r, 0, 1)], axis=1
+    )  # [12, N+1, W]
 
-    def tb_cond(st):
-        return (st["i"] != 0) | (st["j"] != 0)
+    MODE_NORMAL, MODE_EL, MODE_EU = 0, 1, 2
 
-    def tb_body(st):
-        i, j = st["i"], st["j"]
-        h_ij = H[i, j]
-        r = i - 1
-        np_r = jnp.where(i > 0, garr["npreds"][r], 0)
-        pred_idx = jnp.where(jnp.arange(p_cap) < jnp.maximum(np_r, 1), garr["preds"][jnp.maximum(r, 0)], 0)
-        pmask = jnp.arange(p_cap) < jnp.maximum(np_r, 1)
-        code_i = garr["code"][jnp.maximum(r, 0)]
-        sc = jnp.where(j > 0, jnp.where(seqcode[jnp.maximum(j - 1, 0)] == code_i, m, nmis), 0)
+    def tb_step(st, _):
+        i, j, mode, done = st
+        j_eff = jnp.where(mode == MODE_EL, j - 1, j)
+        v = jax.lax.dynamic_slice(
+            bits, (0, i, jnp.maximum(j_eff, 0)), (12, 1, 1))[:, 0, 0]
 
-        # 1) diagonal over preds
-        diag_ok = (i != 0) & (j != 0) & pmask & (h_ij == H[pred_idx, j - 1] + sc)
-        diag_p = jnp.argmax(diag_ok)
-        found_d = jnp.any(diag_ok)
+        # --- normal step (reference outer-loop body) ---
+        at_end = (i == 0) & (j == 0)
+        fd = (v[0] == 1) & ~at_end
+        fv = (v[2] == 1) & ~fd & ~at_end
+        fh = (v[5] == 1) & ~fd & ~fv & ~at_end
+        anyf = fd | fv | fh
+        n_prev_i = jnp.where(fd, v[1], jnp.where(fv, v[3], i))
+        n_prev_j = jnp.where(fd | fh, j - 1, j)
+        n_prev_i = jnp.where(anyf, n_prev_i, 0)
+        n_prev_j = jnp.where(anyf, n_prev_j, 0)
+        n_oi = jnp.where(i == n_prev_i, -1, i - 1)
+        n_oj = jnp.where(j == n_prev_j, -1, j - 1)
+        n_mode = jnp.where(fv & (v[4] == 1), MODE_EU,
+                           jnp.where(fh & (v[6] == 1), MODE_EL, MODE_NORMAL))
 
-        # 2) vertical over preds (with extend_up flag per the |= chain)
-        c1 = pmask & (h_ij == F[pred_idx, j] + e)
-        c2 = pmask & (h_ij == H[pred_idx, j] + g)
-        c3 = pmask & (h_ij == O[pred_idx, j] + c)
-        c4 = pmask & (h_ij == H[pred_idx, j] + q)
-        vert_ok = (i != 0) & (c1 | c2 | c3 | c4)
-        vert_p = jnp.argmax(vert_ok)
-        found_v = jnp.any(vert_ok) & ~found_d
-        ext_up = found_v & (c1[vert_p] | (~c2[vert_p] & c3[vert_p]))
+        # --- extend-left step (el_body) ---
+        el_more = v[7] == 0  # stop bit at (i, j-1)
+        # --- extend-up step (eu_body) ---
+        eu_prev = jnp.where(v[8] == 1, v[9], jnp.where(v[10] == 1, v[11], 0))
+        eu_more = (v[8] == 1) & (eu_prev != 0)
 
-        # 3) horizontal
-        e1 = h_ij == E[i, jnp.maximum(j - 1, 0)] + e
-        e2 = h_ij == H[i, jnp.maximum(j - 1, 0)] + g
-        e3 = h_ij == Q[i, jnp.maximum(j - 1, 0)] + c
-        e4 = h_ij == H[i, jnp.maximum(j - 1, 0)] + q
-        found_h = (j != 0) & ~found_d & ~found_v & (e1 | e2 | e3 | e4)
-        ext_left = found_h & (e1 | (~e2 & e3))
+        is_n = mode == MODE_NORMAL
+        is_el = mode == MODE_EL
+        oi = jnp.where(is_n, n_oi, jnp.where(is_el, -1, i - 1))
+        oj = jnp.where(is_n, n_oj, jnp.where(is_el, j - 1, -1))
+        i2 = jnp.where(is_n, n_prev_i, jnp.where(is_el, i, eu_prev))
+        j2 = jnp.where(is_n, n_prev_j, jnp.where(is_el, j - 1, j))
+        mode2 = jnp.where(
+            is_n, n_mode,
+            jnp.where(is_el,
+                      jnp.where(el_more, MODE_EL, MODE_NORMAL),
+                      jnp.where(eu_more, MODE_EU, MODE_NORMAL)))
 
-        prev_i = jnp.where(found_d, pred_idx[diag_p], jnp.where(found_v, pred_idx[vert_p], i))
-        prev_j = jnp.where(found_d, j - 1, jnp.where(found_v, j, jnp.where(found_h, j - 1, j)))
-        # NW at boundary: if nothing found (shouldn't happen), step to 0,0
-        prev_i = jnp.where(found_d | found_v | found_h, prev_i, 0)
-        prev_j = jnp.where(found_d | found_v | found_h, prev_j, 0)
+        emit = ~done & ~(is_n & at_end)
+        done2 = done | (is_n & at_end)
+        oi = jnp.where(emit, oi, -2)
+        oj = jnp.where(emit, oj, -2)
+        i3 = jnp.where(done2, i, i2)
+        j3 = jnp.where(done2, j, j2)
+        mode3 = jnp.where(done2, mode, mode2)
+        return (i3, j3, mode3, done2), (oi, oj, emit)
 
-        out_i = jnp.where(i == prev_i, -1, i - 1)
-        out_j = jnp.where(j == prev_j, -1, j - 1)
-        cnt = st["cnt"]
-        ai = st["ai"].at[cnt].set(out_i)
-        aj = st["aj"].at[cnt].set(out_j)
-        cnt = cnt + 1
-        i2, j2 = prev_i, prev_j
-
-        # extend-left repair loop
-        def el_cond(s):
-            return s[3]
-
-        def el_body(s):
-            ai, aj, cnt, _, jj = s
-            ai = ai.at[cnt].set(-1)
-            aj = aj.at[cnt].set(jj - 1)
-            cnt = cnt + 1
-            jj = jj - 1
-            more = ~(
-                (E[i2, jj] + e != E[i2, jj + 1]) & (Q[i2, jj] + c != Q[i2, jj + 1])
-            )
-            return (ai, aj, cnt, more, jj)
-
-        ai, aj, cnt, _, j2 = jax.lax.while_loop(
-            el_cond, el_body, (ai, aj, cnt, ext_left, j2)
-        )
-
-        # extend-up repair loop
-        def eu_cond(s):
-            return s[3]
-
-        def eu_body(s):
-            ai, aj, cnt, _, ii = s
-            rr = ii - 1
-            npr = garr["npreds"][jnp.maximum(rr, 0)]
-            pidx = jnp.where(jnp.arange(p_cap) < jnp.maximum(npr, 1), garr["preds"][jnp.maximum(rr, 0)], 0)
-            pm = jnp.arange(p_cap) < npr
-            cond_a = pm & (
-                (F[ii, j2] == F[pidx, j2] + e) | (O[ii, j2] == O[pidx, j2] + c)
-            )
-            hit_a = jnp.any(cond_a)
-            pa = jnp.argmax(cond_a)
-            cond_b = pm & (
-                (F[ii, j2] == H[pidx, j2] + g) | (O[ii, j2] == H[pidx, j2] + q)
-            )
-            hit_b = jnp.any(cond_b)
-            pb = jnp.argmax(cond_b)
-            prev = jnp.where(hit_a, pidx[pa], jnp.where(hit_b, pidx[pb], 0))
-            stop = ~hit_a
-            ai = ai.at[cnt].set(ii - 1)
-            aj = aj.at[cnt].set(-1)
-            cnt = cnt + 1
-            ii = prev
-            more = ~stop & (ii != 0)
-            return (ai, aj, cnt, more, ii)
-
-        ai, aj, cnt, _, i2 = jax.lax.while_loop(
-            eu_cond, eu_body, (ai, aj, cnt, ext_up, i2)
-        )
-
-        return dict(i=i2, j=j2, ai=ai, aj=aj, cnt=cnt)
-
-    st = dict(i=max_i, j=max_j, ai=aln_i, aj=aln_j, cnt=jnp.int32(0))
-    st = jax.lax.while_loop(tb_cond, tb_body, st)
-    return st["ai"], st["aj"], st["cnt"]
+    st0 = (max_i, jnp.int32(max_j), jnp.int32(MODE_NORMAL), jnp.bool_(False))
+    _, (aln_i, aln_j, emits) = jax.lax.scan(
+        tb_step, st0, None, length=a_cap)
+    cnt = jnp.sum(emits.astype(jnp.int32))
+    return aln_i, aln_j, cnt
 
 
 def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap=16,
@@ -348,25 +401,22 @@ def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap
         seq_arr[i, : len(codes)] = codes
         seq_len[i] = len(codes)
 
-    fn = jax.vmap(
-        lambda sc, sl, ga: poa_align_device(sc, sl, ga, params, w_cap, a_cap),
-        in_axes=(0, 0, 0),
-    )
-    ai, aj, cnt = fn(jnp.asarray(seq_arr), jnp.asarray(seq_len), garr_stack)
-    ai, aj, cnt = np.asarray(ai), np.asarray(aj), np.asarray(cnt)
+    fn = _batched_align(tuple(params), w_cap, a_cap)
+    packed = np.asarray(
+        fn(jnp.asarray(seq_arr), jnp.asarray(seq_len), garr_stack))
+    ai, aj, cnt = packed[:, :a_cap], packed[:, a_cap:-1], packed[:, -1]
 
     out = []
     for gi, g in enumerate(graphs):
         if fallback[gi] or not g.nodes:
             out.append(convex_nw_align(seqs[gi], g))
             continue
-        rank_to_node_id = g.rank_to_node_id
-        aln = []
-        for t in range(cnt[gi] - 1, -1, -1):
-            r = int(ai[gi, t])
-            j = int(aj[gi, t])
-            aln.append((-1 if r < 0 else rank_to_node_id[r], j))
-        out.append(aln)
+        n = int(cnt[gi])
+        ranks = ai[gi, :n][::-1]
+        cols = aj[gi, :n][::-1]
+        node_ids = np.asarray(g.rank_to_node_id, np.int64)
+        ids = np.where(ranks < 0, -1, node_ids[np.maximum(ranks, 0)])
+        out.append(list(zip(ids.tolist(), cols.tolist())))
     return out
 
 

@@ -8,6 +8,7 @@ Prints one JSON line per kernel at reference-like workload shapes:
           predecessor hits at GenomicsBench anchor densities)
   kmer  — bases/s (5.5 kbp reads, k=17)
   fmi   — reads/s (101 bp reads vs a 5 Mbp synthetic index, batch 512)
+  poa   — seqs/s (32 windows x 6 seqs x 200 bp, full consensus loop)
   abea  — reads/s (64 x 500 bp model-synthesized nanopore reads)
 
 Timing follows the axon protocol (CLAUDE.md): chain ITERS executions,
@@ -169,6 +170,31 @@ def bench_fmi():
 
 
 
+def bench_poa():
+    from genomicsbench_palisade_tpu.ops.poa import msa_consensus_batch
+
+    rng = np.random.default_rng(6)
+    def mk_window(length, n_seq):
+        base = "".join(rng.choice(list("ACGT"), length))
+        seqs = []
+        for _ in range(n_seq):
+            s = list(base)
+            for pos in np.nonzero(rng.random(length) < 0.05)[0]:
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            seqs.append("".join(s))
+        return seqs
+
+    w_n, s_n, length = 32, 6, 200
+    batches = [mk_window(length, s_n) for _ in range(w_n)]
+    msa_consensus_batch(batches)  # warm
+    t0 = time.perf_counter()
+    out = msa_consensus_batch(batches)
+    dt = time.perf_counter() - t0
+    assert all(out)
+    return {"kernel": "poa", "value": round(w_n * s_n / dt, 1),
+            "unit": "seqs/s", "windows": w_n, "seqs": s_n, "len": length}
+
+
 def bench_abea():
     from genomicsbench_palisade_tpu.ops.abea_pallas import (
         align_events_batch_pallas)
@@ -232,7 +258,7 @@ def bench_grm():
 def main():
     results = []
     for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi,
-               bench_abea, bench_grm):
+               bench_poa, bench_abea, bench_grm):
         try:
             r = fn()
         except Exception as e:  # record the failure, keep going

@@ -9,6 +9,7 @@ CHIP at production shapes:
   bsw   pallas vs jax scan        (bit-exact i32, 6 outputs)
   chain pallas vs vmapped scan    (bit-exact i32, 3 outputs)
   abea  pallas vs vmapped scan    (identical alignments incl. QC drops)
+  poa   device DP vs host oracle  (identical alignments, 5 rounds/graph)
   grm   device vs host f64        (2e-5, plink2 double-precision contract)
 
 Usage: python tools/chip_parity.py   — prints one OK/FAIL line per kernel
@@ -138,6 +139,32 @@ def check_abea():
     assert got == want, "abea mismatch"
 
 
+def check_poa():
+    from genomicsbench_palisade_tpu.ops import poa as PP
+    from genomicsbench_palisade_tpu.ops.oracle.poa import (
+        PoaGraph, convex_nw_align)
+
+    rng = np.random.default_rng(5)
+    w_n, s_n, length = 8, 5, 120
+    batches = []
+    for _ in range(w_n):
+        base = "".join(rng.choice(list("ACGT"), length))
+        seqs = []
+        for _ in range(s_n):
+            s = list(base)
+            for pos in np.nonzero(rng.random(length) < 0.06)[0]:
+                s[pos] = "ACGT"[rng.integers(0, 4)]
+            seqs.append("".join(s))
+        batches.append(seqs)
+    graphs = [PoaGraph() for _ in range(w_n)]
+    for k in range(s_n):
+        alns = PP.align_batch(graphs, [b[k] for b in batches])
+        for gi in range(w_n):
+            want = convex_nw_align(batches[gi][k], graphs[gi])
+            assert alns[gi] == want, f"poa window {gi} round {k}"
+            graphs[gi].add_alignment(alns[gi], batches[gi][k])
+
+
 def check_grm():
     from genomicsbench_palisade_tpu.ops import grm as G
 
@@ -157,7 +184,7 @@ def main():
     failures = 0
     for name, fn in (("phmm", check_phmm), ("bsw", check_bsw),
                      ("chain", check_chain), ("abea", check_abea),
-                     ("grm", check_grm)):
+                     ("poa", check_poa), ("grm", check_grm)):
         try:
             fn()
             print(f"OK   {name}")

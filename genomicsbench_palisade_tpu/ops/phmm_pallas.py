@@ -133,6 +133,8 @@ def _kernel(
         y_new = jnp.where(row0, init_y, y_new)
 
         # accumulate last-row M/X: select row rslen, mask column range
+        # (kept as TWO accumulators: result = res_m + res_x must match the
+        # scan's f32 summation order bit-exactly)
         c_at = d - rslen  # [1, Bt]
         cmask = ((c_at >= 1) & (c_at <= haplen)).astype(jnp.float32)
         res_m_ref[:] = res_m_ref[:] + cmask * jnp.sum(
@@ -150,16 +152,18 @@ def _kernel(
         y1_ref[:] = y_new
         return ()
 
-    # two diagonals per iteration amortize the ~1 us fixed per-step cost
-    def body2(k, _):
-        body(2 * k + 1, ())
-        body(2 * k + 2, ())
+    # four diagonals per iteration amortize the ~1 us fixed per-step cost
+    def body4(k, _):
+        body(4 * k + 1, ())
+        body(4 * k + 2, ())
+        body(4 * k + 3, ())
+        body(4 * k + 4, ())
         return ()
 
     n_d = rp + hp - 1
-    jax.lax.fori_loop(0, n_d // 2, body2, ())
-    if n_d % 2:
-        body(n_d, ())
+    jax.lax.fori_loop(0, n_d // 4, body4, ())
+    for t in range(n_d % 4):
+        body(n_d - (n_d % 4) + 1 + t, ())
 
 
 @functools.partial(jax.jit, static_argnames=("lane_tile",))

@@ -48,26 +48,48 @@ def _batched_align(params, w_cap, a_cap):
     return jax.jit(run)
 
 
-def graph_to_arrays(graph, n_cap: int, p_cap: int):
-    """Host: PoaGraph -> padded rank-space arrays. Returns None on overflow."""
+def graph_to_arrays(graph, n_cap: int, p_cap: int, code_map=None):
+    """Host: PoaGraph -> padded rank-space arrays. Returns None on overflow.
+
+    Vectorized over the edge list (a per-node Python loop cost ~15-30 ms
+    per align round at 32 windows x ~230 nodes).  `code_map` optionally
+    translates per-graph codes to global ACGT codes in the same pass.
+    Pred slots keep the node.in_edges order (edges are appended to
+    in_edges at creation, so stable-sorting by end rank preserves it)."""
     n = len(graph.nodes)
     if n > n_cap:
         return None
-    node_rank = {nid: r for r, nid in enumerate(graph.rank_to_node_id)}
     code = np.zeros(n_cap, np.int32)
     preds = np.zeros((n_cap, p_cap), np.int32)
     npreds = np.zeros(n_cap, np.int32)
     out_empty = np.zeros(n_cap, bool)
-    for r, nid in enumerate(graph.rank_to_node_id):
-        node = graph.nodes[nid]
-        code[r] = node.code
-        ins = node.in_edges
-        if len(ins) > p_cap:
-            return None
-        for p, ei in enumerate(ins):
-            preds[r, p] = node_rank[graph.edges[ei].begin] + 1
-        npreds[r] = len(ins)
-        out_empty[r] = len(node.out_edges) == 0
+    if n:
+        r2n = np.asarray(graph.rank_to_node_id, np.int64)
+        node_rank = np.empty(n, np.int64)
+        node_rank[r2n] = np.arange(n)
+        node_codes = np.fromiter((nd.code for nd in graph.nodes), np.int64, n)
+        if code_map is None:
+            code[:n] = node_codes[r2n]
+        else:
+            glob = np.array([code_map.get(ch, 9) for ch in graph.decoder],
+                            np.int64)
+            code[:n] = glob[node_codes[r2n]]
+        ne = len(graph.edges)
+        out_empty[:n] = True
+        if ne:
+            eb = np.fromiter((ed.begin for ed in graph.edges), np.int64, ne)
+            ee = np.fromiter((ed.end for ed in graph.edges), np.int64, ne)
+            er = node_rank[ee]
+            order = np.argsort(er, kind="stable")
+            er_s = er[order]
+            deg = np.bincount(er_s, minlength=n)
+            if deg.max() > p_cap:
+                return None
+            starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+            slots = np.arange(ne) - starts[er_s]
+            preds[er_s, slots] = node_rank[eb[order]] + 1
+            npreds[:n] = deg
+            out_empty[:n] = np.bincount(node_rank[eb], minlength=n) == 0
     return {
         "code": code,
         "preds": preds,
@@ -385,7 +407,7 @@ def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap
     fallback = [False] * b
     for gi, g in enumerate(graphs):
         # device codes are global ACGT codes, not the per-graph coder
-        arr = graph_to_arrays(_with_global_codes(g, code_map), n_cap, p_cap)
+        arr = graph_to_arrays(g, n_cap, p_cap, code_map=code_map)
         if arr is None or not g.nodes:
             fallback[gi] = True
             arr = graph_to_arrays(_EMPTY_GARR_GRAPH, n_cap, p_cap)
@@ -427,31 +449,6 @@ class _EmptyGraph:
 
 
 _EMPTY_GARR_GRAPH = _EmptyGraph()
-
-
-def _with_global_codes(graph, code_map):
-    """View of a PoaGraph whose node codes are global ACGT codes."""
-
-    class _View:
-        pass
-
-    v = _View()
-    v.edges = graph.edges
-    v.rank_to_node_id = graph.rank_to_node_id
-
-    class _N:
-        __slots__ = ("code", "in_edges", "out_edges")
-
-    nodes = []
-    for nd in graph.nodes:
-        n2 = _N()
-        ch = graph.decoder[nd.code]
-        n2.code = code_map.get(ch, 9)
-        n2.in_edges = nd.in_edges
-        n2.out_edges = nd.out_edges
-        nodes.append(n2)
-    v.nodes = nodes
-    return v
 
 
 def msa_consensus_batch(batches, params=(2, -4, -4, -2, -24, -1),

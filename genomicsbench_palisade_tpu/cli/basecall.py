@@ -29,13 +29,15 @@ from ..models import bonito as B
 MAX_READ_SIZE = 4e6  # basecall.py:592
 
 
-def load_model(source: str):
+def load_model(source: str, dtype=None):
     # validate BEFORE the (expensive) model init so a typo fails instantly
     if source != "random" and not source.endswith(
         (".tar", ".pth", ".pt", ".msgpack")
     ):
         raise ValueError(f"unrecognized model source: {source}")
-    model, params = B.init_model()
+    import jax.numpy as jnp
+
+    model, params = B.init_model(dtype=dtype or jnp.float32)
     if source == "random":
         return model, params
     if source.endswith((".tar", ".pth", ".pt")):
@@ -58,13 +60,19 @@ def main(argv=None):
     ap.add_argument("--chunksize", default=4000, type=int)
     ap.add_argument("--overlap", default=0, type=int)
     ap.add_argument("--beamsize", default=1, type=int, help="1 = viterbi (only mode)")
+    # the reference driver defaults to half precision when the GPU supports
+    # it (basecall.py:642); bf16 is the TPU analog (decoder stays f32)
+    ap.add_argument("--precision", choices=("bf16", "f32"), default="bf16")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
     _enable_cache()
 
+    import jax.numpy as jnp
+
     sys.stderr.write("> loading model\n")
-    model, params = load_model(args.model_source)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    model, params = load_model(args.model_source, dtype=dtype)
 
     if args.reads.endswith(".fast5"):
         signals = load_signals_fast5(args.reads)

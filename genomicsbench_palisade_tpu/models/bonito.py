@@ -44,6 +44,7 @@ class TCSConv(nn.Module):
     kernel_size: int
     stride: int = 1
     separable: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # x: [B, T, C]
@@ -53,17 +54,17 @@ class TCSConv(nn.Module):
             x = nn.Conv(
                 c_in, (self.kernel_size,), strides=(self.stride,),
                 padding=(pad,), feature_group_count=c_in, use_bias=False,
-                name="depthwise",
+                name="depthwise", dtype=self.dtype,
             )(x)
             # reference quirk: the pointwise conv also carries the stride
             x = nn.Conv(
                 self.out_channels, (1,), strides=(self.stride,), use_bias=False,
-                name="pointwise",
+                name="pointwise", dtype=self.dtype,
             )(x)
         else:
             x = nn.Conv(
                 self.out_channels, (self.kernel_size,), strides=(self.stride,),
-                padding=(pad,), use_bias=False, name="conv",
+                padding=(pad,), use_bias=False, name="conv", dtype=self.dtype,
             )(x)
         return x
 
@@ -75,44 +76,55 @@ class Block(nn.Module):
     stride: int
     residual: bool
     separable: bool
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=True, epsilon=1e-3, momentum=0.9, name=name
+                use_running_average=True, epsilon=1e-3, momentum=0.9,
+                name=name, dtype=self.dtype,
             )
 
         h = x
         for r in range(self.repeat):
             h = TCSConv(
                 self.out_channels, self.kernel_size, self.stride,
-                self.separable, name=f"tcs{r}",
+                self.separable, name=f"tcs{r}", dtype=self.dtype,
             )(h)
             h = bn(f"bn{r}")(h)
             if r < self.repeat - 1:
                 h = swish(h)
         if self.residual:
-            res = TCSConv(self.out_channels, 1, 1, False, name="res_tcs")(x)
+            res = TCSConv(self.out_channels, 1, 1, False, name="res_tcs",
+                          dtype=self.dtype)(x)
             res = bn("res_bn")(res)
             h = h + res
         return swish(h)
 
 
 class BonitoModel(nn.Module):
+    """dtype=bfloat16 mirrors the reference driver's default half-precision
+    inference (basecall.py:642 `--half` defaults to half_supported()); the
+    decoder conv + log_softmax stay float32."""
+
     blocks: tuple = tuple(DNA_R941_BLOCKS)
     n_classes: int = 5
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # x: [B, T, 1] normalized signal
+        x = x.astype(self.dtype)
         for i, (f, rep, k, s, res, sep) in enumerate(self.blocks):
-            x = Block(f, rep, k, s, res, sep, name=f"block{i}")(x)
+            x = Block(f, rep, k, s, res, sep, name=f"block{i}",
+                      dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         x = nn.Conv(self.n_classes, (1,), use_bias=True, name="decoder")(x)
         return jax.nn.log_softmax(x, axis=-1)
 
 
-def init_model(rng_seed=0, chunk=4000, blocks=None):
-    model = BonitoModel(blocks=tuple(blocks or DNA_R941_BLOCKS))
+def init_model(rng_seed=0, chunk=4000, blocks=None, dtype=jnp.float32):
+    model = BonitoModel(blocks=tuple(blocks or DNA_R941_BLOCKS), dtype=dtype)
     params = model.init(jax.random.PRNGKey(rng_seed), jnp.zeros((1, chunk, 1)))
     return model, params
 

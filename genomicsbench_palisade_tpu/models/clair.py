@@ -50,6 +50,9 @@ class BiLSTM(nn.Module):
                 split_rngs={"params": False},
                 in_axes=1,
                 out_axes=1,
+                # T=33 is static and small: full unroll removes the ~25 us
+                # per-step device-loop floor (PERF.md)
+                unroll=POSITIONS,
             )
             _, ys = scan(cell, carry, seq)
             return ys

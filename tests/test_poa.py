@@ -63,6 +63,24 @@ def test_jax_alignment_matches_oracle():
             graphs[i].add_alignment(want, batches[i][k])
 
 
+def test_jax_alignment_long_gaps():
+    """Multi-base deletion/insertion bursts force the traceback's
+    extend-left / extend-up repair loops through multiple iterations."""
+    rng = np.random.default_rng(7)
+    truth = "".join(rng.choice(list("ACGT"), 80))
+    seqs = [truth]
+    for dele, ins in ((slice(20, 32), ""), (slice(50, 50), "GGTTAACCGGTT"),
+                      (slice(5, 9), "AC"), (slice(60, 75), "T")):
+        s = truth[: dele.start] + ins + truth[dele.stop:]
+        seqs.append(s)
+    g = PO.PoaGraph()
+    for s in seqs:
+        aln_d = P.align_batch([g], [s])[0]
+        want = PO.convex_nw_align(s, g)
+        assert aln_d == want
+        g.add_alignment(want, s)
+
+
 def test_jax_consensus_end_to_end():
     rng = np.random.default_rng(2)
     batches, _ = _noisy_batches(rng, 4)

@@ -124,7 +124,9 @@ def bench_kmer():
     from genomicsbench_palisade_tpu.ops import kmer as K
 
     rng = np.random.default_rng(3)
-    reads = ["".join(rng.choice(list("ACGT"), 5500)) for _ in range(64)]
+    # 512 reads ~ the sustained regime (the sort-based counter amortizes:
+    # 64 reads -> 55 Mbases/s, 512 -> 186, 2048 -> 212)
+    reads = ["".join(rng.choice(list("ACGT"), 5500)) for _ in range(512)]
     bases, lengths = K.encode_reads_np(reads)
     bases_d = jax.device_put(bases.astype(np.int32))
     lengths_d = jax.device_put(lengths)

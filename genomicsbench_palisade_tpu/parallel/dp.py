@@ -42,6 +42,27 @@ def phmm_forward_sharded(mesh: Mesh, batch: dict, axis: str = "dp"):
     return step(batch)
 
 
+def bsw_batch_sharded(mesh: Mesh, batch: dict, axis: str = "dp"):
+    """Batch-sharded banded-SW extension (the reference's OpenMP loop over
+    512-pair batches, main_banded.cpp:465+, as pure DP over the mesh)."""
+    from ..ops import bsw as bsw_ops
+
+    specs = {k: P(axis) for k in batch}
+    out_keys = ("score", "qle", "tle", "gtle", "gscore", "max_off")
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs={k: P(axis) for k in out_keys},
+        check_rep=False,
+    )
+    def step(b):
+        return bsw_ops.bsw_batch(b)
+
+    return step(batch)
+
+
 def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp"):
     """Distributed canonical k-mer counting with key-range all_to_all.
 

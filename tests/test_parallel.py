@@ -39,6 +39,24 @@ def test_phmm_sharded_matches_single(mesh8):
     np.testing.assert_allclose(got[:n], want, rtol=0, atol=0)
 
 
+def test_bsw_sharded_matches_single(mesh8):
+    from genomicsbench_palisade_tpu.ops import bsw as W
+
+    rng = np.random.default_rng(4)
+    pairs = []
+    for _ in range(16):
+        ql, tl = int(rng.integers(5, 40)), int(rng.integers(5, 60))
+        pairs.append((rng.integers(0, 5, ql), rng.integers(0, 5, tl),
+                      int(rng.integers(1, 40))))
+    batch = W.prepare_pairs(pairs, q_pad=64, t_pad=64)
+    want = {k: np.asarray(v) for k, v in W.bsw_batch(batch).items()}
+    sharded, n = M.shard_batch(batch, mesh8)
+    got = {k: np.asarray(v)[:n]
+           for k, v in dp.bsw_batch_sharded(mesh8, sharded).items()}
+    for key in want:
+        np.testing.assert_array_equal(got[key], want[key])
+
+
 def test_kmer_sharded_matches_oracle(mesh8):
     rng = np.random.default_rng(9)
     unit = "".join(rng.choice(list("ACGT"), 30))

@@ -263,3 +263,59 @@ def detect_events_native(raw: np.ndarray):
     ev["mean"] = mean[:n]
     ev["stdv"] = stdv[:n]
     return ev
+
+
+def abea_traceback_native(trace, bll_e, lv, ranks, events, model,
+                          scales, shifts, ne, nk, bw, lp_trim):
+    """Native abea traceback+QC for one bucket group (native/abea_tb.cpp,
+    bit-exact transcription of ops/abea._traceback).  Returns a list of
+    [(kmer_idx, event_idx)] per read, or None when the lib isn't built.
+
+    trace: [G, nb_max, bw] u8 (full, rows 0/1 seeded); bll_e: [G, nb_max]
+    i64; lv: [G, nb_max-2] f64; ranks: [G, nk_max] i32; events: [G, ne_max]
+    f32; ne/nk: [G] i64.
+    """
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_abea_tb_ready"):
+        lib.gt_abea_traceback.restype = ctypes.c_int
+        lib.gt_abea_traceback.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 12 + [ctypes.c_int64] * 4
+            + [ctypes.c_double] + [ctypes.c_void_p] * 2 + [ctypes.c_int64]
+        )
+        lib._abea_tb_ready = True
+    g_n, nb_max, bw_a = trace.shape
+    assert bw_a == bw
+    trace = np.ascontiguousarray(trace, np.uint8)
+    bll_e = np.ascontiguousarray(bll_e, np.int64)
+    lv = np.ascontiguousarray(lv, np.float64)
+    ranks = np.ascontiguousarray(ranks, np.int32)
+    events = np.ascontiguousarray(events, np.float32)
+    lm = np.ascontiguousarray(model["level_mean"], np.float32)
+    ls = np.ascontiguousarray(model["level_stdv"], np.float32)
+    lls = np.ascontiguousarray(model["level_log_stdv"], np.float32)
+    sc = np.ascontiguousarray(scales, np.float32)
+    sh = np.ascontiguousarray(shifts, np.float32)
+    ne = np.ascontiguousarray(ne, np.int64)
+    nk = np.ascontiguousarray(nk, np.int64)
+    cap = int(ne.max() + nk.max())
+    out_pairs = np.empty((g_n, 2 * cap), np.int32)
+    out_n = np.empty(g_n, np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.gt_abea_traceback(
+        g_n, p(trace), p(bll_e), p(lv), p(ranks), p(events),
+        p(lm), p(ls), p(lls), p(sc), p(sh), p(ne), p(nk),
+        nb_max, bw, ranks.shape[1], events.shape[1],
+        float(lp_trim), p(out_pairs), p(out_n), cap)
+    if rc != 0:
+        raise RuntimeError(f"gt_abea_traceback failed rc={rc}")
+    results = []
+    for g in range(g_n):
+        n = int(out_n[g])
+        pr = out_pairs[g, : 2 * n].reshape(n, 2)
+        results.append(list(zip(pr[:, 0].tolist(), pr[:, 1].tolist())))
+    return results

@@ -143,6 +143,21 @@ def _bucket(n, q=256):
     return -(-n // q) * q
 
 
+_RANK_TABLE = np.zeros(256, np.int32)
+for _ch, _v in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _RANK_TABLE[ord(_ch)] = _v
+
+
+def _kmer_ranks(sequence: str, k: int, n_kmers: int) -> np.ndarray:
+    """Vectorized oracle.get_kmer_rank over all windows (the per-kmer
+    Python call was ~40% of abea host prep; non-ACGT chars rank as A)."""
+    codes = _RANK_TABLE[np.frombuffer(sequence.encode(), np.uint8)]
+    ranks = np.zeros(n_kmers, np.int32)
+    for j in range(k):
+        ranks |= codes[j : j + n_kmers] << (2 * (k - 1 - j))
+    return ranks
+
+
 def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
     """Host-side padded inputs for one read at a given bucket."""
     n_events = len(event_means)
@@ -155,10 +170,7 @@ def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
     lp_trim = np.log(0.01)
     lp_consts = np.array([lp_skip, lp_stay, lp_step, lp_trim], dtype=np.float32)
 
-    kmer_ranks = np.array(
-        [oracle.get_kmer_rank(sequence[i : i + k]) for i in range(n_kmers)],
-        dtype=np.int32,
-    )
+    kmer_ranks = _kmer_ranks(sequence, k, n_kmers)
     ranks_pad = np.zeros(k_buck + 2 * bw, np.int32)
     ranks_pad[bw : bw + n_kmers] = kmer_ranks
     ev_rev = event_means[::-1].astype(np.float32)
@@ -240,11 +252,15 @@ def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
 
 
 def _traceback_batch(sequences_g, events_g, model, scales_g, shifts_g,
-                     traces_g, bes_g, last_vals_g, kranks_g, bw, k):
+                     traces_g, bes_g, last_vals_g, kranks_g, bw, k,
+                     use_native: bool | None = None):
     """Vectorized-across-reads host traceback (same results as per-read
     _traceback, bit-exactly: identical f32 emission op order and f64
     accumulation order — each read's walk steps happen in the same order,
-    just in lockstep with the other reads under an `active` mask)."""
+    just in lockstep with the other reads under an `active` mask).
+
+    When the native lib is built the walk runs in C++ (native/abea_tb.cpp,
+    same bit-exact contract; ~80x on the Python lockstep walk)."""
     g_n = len(sequences_g)
     ne = np.array([len(e) for e in events_g], np.int64)
     nk = np.array([len(s) - k + 1 for s in sequences_g], np.int64)
@@ -257,7 +273,7 @@ def _traceback_batch(sequences_g, events_g, model, scales_g, shifts_g,
     bll_e = np.zeros((g_n, nb_max), np.int64)
     ranks = np.zeros((g_n, int(nk.max())), np.int64)
     evm = np.zeros((g_n, int(ne.max())), np.float32)
-    ce = np.zeros(g_n, np.int64)  # backtrack seed event per read
+    lv_mat = np.full((g_n, nb_max - 2), -np.inf)
     for g in range(g_n):
         trace_full[g, 1, half] = FROM_U
         trace_full[g, 2 : nb[g]] = traces_g[g]
@@ -265,8 +281,24 @@ def _traceback_batch(sequences_g, events_g, model, scales_g, shifts_g,
         bll_e[g, 2 : nb[g]] = bes_g[g]
         ranks[g, : nk[g]] = kranks_g[g]
         evm[g, : ne[g]] = events_g[g]
+        lv_mat[g, : nb[g] - 2] = np.asarray(last_vals_g[g], np.float64)
+
+    if use_native is None or use_native:
+        from ..io.native import abea_traceback_native
+
+        native = abea_traceback_native(
+            trace_full, bll_e, lv_mat, ranks.astype(np.int32), evm, model,
+            np.array(scales_g, np.float32), np.array(shifts_g, np.float32),
+            ne, nk, bw, lp_trim)
+        if native is not None:
+            return native
+        if use_native:
+            raise RuntimeError("native lib not built (make -C native)")
+
+    ce = np.zeros(g_n, np.int64)  # backtrack seed event per read
+    for g in range(g_n):
         # seed: first index attaining the max of last_val + remaining trim
-        s = (np.asarray(last_vals_g[g], np.float64)[nk[g] - 1 : nk[g] - 1 + ne[g]]
+        s = (lv_mat[g, nk[g] - 1 : nk[g] - 1 + ne[g]]
              + (ne[g] - np.arange(ne[g])) * lp_trim)
         ce[g] = int(np.argmax(s))
 

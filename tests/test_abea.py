@@ -64,6 +64,55 @@ def test_abea_qc_failure(model):
     assert got == want == []
 
 
+def test_abea_native_traceback_matches_python(model):
+    """native/abea_tb.cpp vs the numpy lockstep walk, incl. a QC-drop read."""
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    import functools
+
+    import jax
+
+    from genomicsbench_palisade_tpu.ops.abea import (
+        _bucket, _prep_read, _traceback_batch, abea_fill_bands)
+
+    rng = np.random.default_rng(11)
+    seqs, evs = [], []
+    for _ in range(6):
+        seq = "".join(rng.choice(list("ACGT"), int(rng.integers(60, 120))))
+        seqs.append(seq)
+        evs.append(_synth(rng, model, seq))
+    seqs.append("".join(rng.choice(list("ACGT"), 80)))  # QC-drop read
+    evs.append(rng.normal(0, 1, 120).astype(np.float32))
+
+    bw, k = 100, 6
+    e_buck = _bucket(max(len(e) for e in evs))
+    k_buck = _bucket(max(len(s) - k + 1 for s in seqs))
+    lm = np.asarray(model["level_mean"], np.float32)
+    ls = np.asarray(model["level_stdv"], np.float32)
+    lls = np.asarray(model["level_log_stdv"], np.float32)
+    fill = functools.partial(abea_fill_bands, n_bands_pad=e_buck + k_buck + 2)
+    traces_g, bes_g, lv_g, kranks_g = [], [], [], []
+    for seq, ev in zip(seqs, evs):
+        ev_pad, ranks_pad, lp_consts, kranks = _prep_read(
+            seq, ev, bw, k, e_buck, k_buck)
+        tr, bes, _, lv = jax.jit(fill)(
+            ev_pad, ranks_pad, len(ev), len(seq) - k + 1,
+            lm, ls, lls, np.float32(1.0), np.float32(0.0), lp_consts)
+        nb = len(ev) + len(seq) - k + 1 + 2
+        traces_g.append(np.asarray(tr)[: nb - 2])
+        bes_g.append(np.asarray(bes)[: nb - 2])
+        lv_g.append(np.asarray(lv)[: nb - 2].astype(np.float64))
+        kranks_g.append(kranks)
+    args = (seqs, evs, model, [1.0] * len(seqs), [0.0] * len(seqs),
+            traces_g, bes_g, lv_g, kranks_g, bw, k)
+    got = _traceback_batch(*args, use_native=True)
+    want = _traceback_batch(*args, use_native=False)
+    assert got == want
+    assert want[-1] == [] and any(want[:-1])
+
+
 def test_abea_pallas_wrapper_cpu_fallback(model):
     """align_events_batch on CPU uses the scan path (pallas is TPU-only)."""
     rng = np.random.default_rng(9)

@@ -59,6 +59,34 @@ def test_chain_tiny_and_gap_table():
         np.testing.assert_array_equal(parents, want["parents"])
 
 
+def test_gap_table_steps_contract():
+    """Step-threshold reconstruction == table lookup; fallback flags."""
+    from genomicsbench_palisade_tpu.ops.chain_pallas import gap_table_steps
+
+    bw = 500
+    rng = np.random.default_rng(3)
+    # realistic monotone tables from prepare_call at several avg_qspans
+    tables = []
+    for q in (5.0, 22.5, 40.0):
+        prep = C.prepare_call(
+            np.cumsum(rng.integers(1, 40, 8)).astype(np.int64),
+            np.arange(8).astype(np.int64), q)
+        tables.append(prep["gap_table"])
+    gt = np.stack(tables)
+    steps, gap0, ok = gap_table_steps(gt, bw)
+    assert ok.all()
+    dd = np.arange(bw + 1)
+    for b in range(gt.shape[0]):
+        rebuilt = gap0[b] + (dd[:, None] >= steps[b][None, :]).sum(1)
+        np.testing.assert_array_equal(rebuilt, gt[b])
+    # a non-monotone table and a too-steep table must flag the XLA path
+    bad = gt[:1].copy()
+    bad[0, 10] = bad[0, 9] - 1
+    steep = np.arange(0, 3 * (bw + 1), 3)[None, :]
+    _, _, ok2 = gap_table_steps(np.concatenate([bad, steep]), bw)
+    assert not ok2.any()
+
+
 def test_chain_calls_batched_matches_single():
     """Batched (vmapped) calls == per-call results, mixed sizes + empty."""
     import numpy as np

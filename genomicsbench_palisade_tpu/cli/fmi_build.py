@@ -25,6 +25,8 @@ def main(argv=None):
                     help="output prefix (default: the fasta path)")
     ap.add_argument("--bwt2bit", action="store_true",
                     help="also write the bwa-mem2 .bwt.2bit.64 binary")
+    ap.add_argument("--bntseq", action="store_true",
+                    help="also write the bwa .ann/.amb/.pac metadata")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
@@ -32,7 +34,8 @@ def main(argv=None):
 
     prefix = args.prefix or args.fasta
     t0 = time.perf_counter()
-    idx, names, lengths = build_from_fasta(args.fasta, prefix, args.bwt2bit)
+    idx, names, lengths = build_from_fasta(args.fasta, prefix, args.bwt2bit,
+                                           bntseq=args.bntseq)
     dt = time.perf_counter() - t0
 
     print(f"* Index prefix: {prefix}")

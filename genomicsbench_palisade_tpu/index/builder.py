@@ -31,25 +31,41 @@ for _ch, _v in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
     _CODE_TABLE[ord(_ch.lower())] = _v
 
 
-def pack_fasta(path: str, ambig_seed: int = 11):
-    """FASTA -> (codes uint8[L], names, lengths).  Non-ACGT become a
-    seeded-random base (bntseq.cpp packing semantics)."""
+def pack_fasta(path: str, ambig_seed: int = 11, with_holes: bool = False):
+    """FASTA -> (codes uint8[L], names, lengths[, holes]).  Non-ACGT become
+    a seeded-random base (bntseq.cpp packing semantics); with_holes=True
+    also returns the bntseq ambiguity runs [(offset, len, char)] in
+    concatenated coordinates (consecutive equal ambiguous chars merge into
+    one hole, bntseq.cpp:1640-1665 semantics) for the .amb/.ann writers."""
     from ..io.fastq import read_sequences
 
     rng = np.random.default_rng(ambig_seed)
-    names, lengths, parts = [], [], []
-    for name, seq, _q in read_sequences(path):
-        codes = _CODE_TABLE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    names, lengths, parts, holes = [], [], [], []
+    off = 0
+    for name, seq, _q in read_sequences(path, full_names=with_holes):
+        raw = np.frombuffer(seq.encode(), dtype=np.uint8)
+        codes = _CODE_TABLE[raw]
         amb = codes == 255
         if amb.any():
             codes = codes.copy()
             codes[amb] = rng.integers(0, 4, int(amb.sum()), dtype=np.uint8)
+            if with_holes:
+                # runs of the SAME ambiguous character = one hole each
+                starts = np.nonzero(amb & ~(np.concatenate(
+                    [[False], amb[:-1] & (raw[1:] == raw[:-1])])))[0]
+                for s in starts:
+                    e = int(s)
+                    while e + 1 < len(raw) and amb[e + 1] and raw[e + 1] == raw[s]:
+                        e += 1
+                    holes.append((off + int(s), e - int(s) + 1, chr(raw[s])))
         names.append(name)
         lengths.append(len(codes))
         parts.append(codes)
+        off += len(codes)
     if not parts:
         raise ValueError(f"no sequences in {path}")
-    return np.concatenate(parts), names, np.asarray(lengths, np.int64)
+    out = (np.concatenate(parts), names, np.asarray(lengths, np.int64))
+    return out + (holes,) if with_holes else out
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
@@ -155,14 +171,56 @@ def save_npz_full(idx: DeviceFmIndex, path: str, names=None, lengths=None):
     )
 
 
-def build_from_fasta(fasta_path: str, prefix: str, bwt2bit: bool = False):
-    """Offline index build: <prefix>.npz (+ optional <prefix>.bwt.2bit.64).
+def write_bntseq(prefix: str, codes: np.ndarray, names, lengths, holes,
+                 seed: int = 11):
+    """Reference-format sequence metadata: <prefix>.ann / .amb / .pac.
+
+    Text formats per bntseq.cpp:85-111 (`l_pac n_seqs seed`, then per
+    contig `gi name [comment]` + `offset len n_ambs`; .amb header
+    `l_pac n_seqs n_holes` + `offset len char` per ambiguity run); .pac is
+    the 2-bit forward pack, base i in bits (~i&3)*2 of byte i>>2, with the
+    reference's trailer (bntseq.cpp:1718-1728: a zero pad byte when
+    l_pac%4==0, then one byte holding l_pac%4)."""
+    l_pac = int(len(codes))
+    offs = np.concatenate([[0], np.cumsum(np.asarray(lengths, np.int64))])
+    with open(prefix + ".ann", "w") as f:
+        f.write(f"{l_pac} {len(names)} {seed}\n")
+        for i, name in enumerate(names):
+            parts = str(name).split(None, 1)
+            head = f"0 {parts[0]}"
+            if len(parts) > 1:
+                head += f" {parts[1]}"
+            n_ambs = sum(1 for (o, _l, _c) in holes
+                         if offs[i] <= o < offs[i + 1])
+            f.write(f"{head}\n{int(offs[i])} {int(lengths[i])} {n_ambs}\n")
+    with open(prefix + ".amb", "w") as f:
+        f.write(f"{l_pac} {len(names)} {len(holes)}\n")
+        for o, length, ch in holes:
+            f.write(f"{o} {length} {ch}\n")
+    pac = np.zeros((l_pac + 3) // 4, np.uint8)
+    shifts = (3 - (np.arange(l_pac) & 3)) << 1
+    np.bitwise_or.at(pac, np.arange(l_pac) >> 2,
+                     (codes.astype(np.uint8) << shifts).astype(np.uint8))
+    with open(prefix + ".pac", "wb") as f:
+        f.write(pac.tobytes())
+        if l_pac % 4 == 0:
+            f.write(b"\x00")
+        f.write(bytes([l_pac % 4]))
+
+
+def build_from_fasta(fasta_path: str, prefix: str, bwt2bit: bool = False,
+                     bntseq: bool = False):
+    """Offline index build: <prefix>.npz (+ optional <prefix>.bwt.2bit.64
+    and the reference's <prefix>.ann/.amb/.pac sequence metadata).
 
     Returns (DeviceFmIndex, names, lengths).
     """
-    codes, names, lengths = pack_fasta(fasta_path)
+    codes, names, lengths, holes = pack_fasta(fasta_path, with_holes=True)
+    short = [str(n).split(None, 1)[0] for n in names]
     idx = build_arrays(codes)
-    save_npz_full(idx, prefix + ".npz", names, lengths)
+    save_npz_full(idx, prefix + ".npz", short, lengths)
     if bwt2bit:
         write_bwt2bit64(idx, prefix + ".bwt.2bit.64")
-    return idx, names, lengths
+    if bntseq:
+        write_bntseq(prefix, codes, names, lengths, holes)
+    return idx, short, lengths

@@ -20,8 +20,11 @@ def _open(path):
     return f
 
 
-def read_sequences(path, limit: int | None = None):
-    """Yields (name, seq, qual_or_None) from FASTA or FASTQ."""
+def read_sequences(path, limit: int | None = None, full_names: bool = False):
+    """Yields (name, seq, qual_or_None) from FASTA or FASTQ.
+
+    name is the first header token (kseq semantics); full_names=True keeps
+    the whole header line (bntseq .ann stores the comment too)."""
     count = 0
     with _open(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else None
@@ -32,7 +35,8 @@ def read_sequences(path, limit: int | None = None):
                 line = f.readline()
                 continue
             if line.startswith(b">"):  # FASTA (multi-line sequences)
-                name = line[1:].split()[0].decode()
+                name = (line[1:] if full_names
+                        else line[1:].split()[0]).decode()
                 seq_parts = []
                 line = f.readline()
                 while line and not line.startswith(b">") and not line.startswith(b"@"):

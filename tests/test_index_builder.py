@@ -59,6 +59,36 @@ def test_bwt2bit64_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.sa_ls_word, idx.sa_ls_word)
 
 
+def test_bntseq_artifacts(tmp_path):
+    """.ann/.amb/.pac match the bntseq formats and round-trip the codes."""
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">c1 first contig\nACGTNNNACGTRAC\n>c2\nGGTTAA\n")
+    prefix = str(tmp_path / "ref")
+    IB.build_from_fasta(str(fa), prefix, bntseq=True)
+
+    ann = (tmp_path / "ref.ann").read_text().splitlines()
+    l_pac = 14 + 6
+    assert ann[0] == f"{l_pac} 2 11"
+    assert ann[1] == "0 c1 first contig"
+    assert ann[2] == "0 14 2"  # holes: NNN run + R
+    assert ann[3] == "0 c2"
+    assert ann[4] == "14 6 0"
+
+    amb = (tmp_path / "ref.amb").read_text().splitlines()
+    assert amb[0] == f"{l_pac} 2 2"
+    assert amb[1] == "4 3 N"
+    assert amb[2] == "11 1 R"
+
+    # .pac: 2-bit decode (base i at bits (~i&3)*2) reproduces pack_fasta
+    codes, _, _ = IB.pack_fasta(str(fa))
+    raw = np.frombuffer((tmp_path / "ref.pac").read_bytes(), np.uint8)
+    assert raw[-1] == l_pac % 4
+    body = raw[:-1] if l_pac % 4 else raw[:-2]
+    i = np.arange(l_pac)
+    dec = (body[i >> 2] >> ((3 - (i & 3)) << 1)) & 3
+    np.testing.assert_array_equal(dec, codes)
+
+
 def test_fmi_build_cli_and_search(tmp_path, capsys):
     """Build from FASTA via the CLI, then run SMEM search on the artifact."""
     rng = np.random.default_rng(2)

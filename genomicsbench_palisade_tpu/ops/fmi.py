@@ -54,27 +54,40 @@ def _masks_for_y(y):
     return hi_mask, lo_mask
 
 
+def occ_from_pack_row(row, pp, out_dt):
+    """GET_OCC from an already-fetched packed 64-byte block row.
+
+    row: [..., 16] u32 (cp_count lo/hi words + one-hot hi/lo planes);
+    pp: the positions the rows were fetched for.  Shared by occ_all and
+    the sharded-index path (parallel.dp.fmi_backward_search_sharded)."""
+    y = (pp & 63).astype(jnp.int32)
+    hi_mask, lo_mask = _masks_for_y(y)
+    base = row[..., 0:4].astype(out_dt)
+    if out_dt == jnp.int64:
+        base = base + (row[..., 4:8].astype(out_dt) << 32)
+    hi = row[..., 8:12]
+    lo = row[..., 12:16]
+    cnt = jax.lax.population_count(hi & hi_mask[..., None]) + jax.lax.population_count(
+        lo & lo_mask[..., None]
+    )
+    return base + cnt.astype(base.dtype)
+
+
 def occ_all(index, pp):
     """occ(pp, c) for all four bases: pp [...] -> [..., 4] (GET_OCC).
 
     Uses the packed 64-byte block row (one gather per position, the
     reference's cache-line CP_OCC layout) when the index provides it."""
     blk = (pp >> 6).astype(jnp.int32)
-    y = (pp & 63).astype(jnp.int32)
-    hi_mask, lo_mask = _masks_for_y(y)
     pack = index.get("cp_pack")
     if pack is not None:
         row = pack[blk]  # [..., 16] — ONE contiguous gather
-        out_dt = index["cp_count"].dtype
-        base = row[..., 0:4].astype(out_dt)
-        if out_dt == jnp.int64:
-            base = base + (row[..., 4:8].astype(out_dt) << 32)
-        hi = row[..., 8:12]
-        lo = row[..., 12:16]
-    else:
-        base = index["cp_count"][blk]  # [..., 4]
-        hi = index["one_hot_hi"][blk]
-        lo = index["one_hot_lo"][blk]
+        return occ_from_pack_row(row, pp, index["cp_count"].dtype)
+    y = (pp & 63).astype(jnp.int32)
+    hi_mask, lo_mask = _masks_for_y(y)
+    base = index["cp_count"][blk]  # [..., 4]
+    hi = index["one_hot_hi"][blk]
+    lo = index["one_hot_lo"][blk]
     cnt = jax.lax.population_count(hi & hi_mask[..., None]) + jax.lax.population_count(
         lo & lo_mask[..., None]
     )
@@ -83,13 +96,20 @@ def occ_all(index, pp):
 
 def backward_ext(index, k, l, s, a):
     """Batched backwardExt: (k,l,s,a) [...] -> new (k,l,s)."""
+    occ_sp = occ_all(index, k)  # [..., 4]
+    occ_ep = occ_all(index, k + s)
+    return backward_ext_from_occ(
+        index["count"], index["sentinel_index"], k, l, s, a, occ_sp, occ_ep)
+
+
+def backward_ext_from_occ(count, sentinel, k, l, s, a, occ_sp, occ_ep):
+    """backwardExt given already-computed occ(k)/occ(k+s) (shared with the
+    sharded-index path, where the occ rows arrive via collectives)."""
     sp = k
     ep = k + s
-    occ_sp = occ_all(index, sp)  # [..., 4]
-    occ_ep = occ_all(index, ep)
-    k4 = index["count"][:4] + occ_sp
+    k4 = count[:4] + occ_sp
     s4 = occ_ep - occ_sp
-    sent = index["sentinel_index"]
+    sent = sentinel
     off = ((sp <= sent) & (ep > sent)).astype(k4.dtype)
     # l[3]=l+off; l[2]=l[3]+s[3]; l[1]=l[2]+s[2]; l[0]=l[1]+s[1]
     l3 = l + off

@@ -148,6 +148,74 @@ def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp
     return {"total_kmers": total, "hash_size": over, "occurrences": occ}
 
 
+def fmi_backward_search_sharded(mesh: Mesh, index: dict, enc, lengths,
+                                axis: str = "dp"):
+    """Exact-match backward search with the FM-index SHARDED across the
+    mesh — the genome index is the suite's true "long context" (SURVEY
+    §2.4/§5): hg38's cp_occ is ~6 GB and outgrows one chip's HBM, so the
+    packed 64-byte block rows are sharded by block range; each occ lookup
+    gathers locally on the owner shard and is broadcast with one psum.
+    Reads are replicated (tiny next to the index).
+
+    enc: [B, L] i32 2-bit codes; lengths: [B].  Returns (k, l, s) [B]
+    intervals of the full reads, identical to repeated ops.fmi
+    backward_ext from the last base's root interval.
+    """
+    from ..ops.fmi import backward_ext_from_occ, occ_from_pack_row
+
+    cp_pack = index["cp_pack"]
+    count = index["count"]
+    sentinel = index["sentinel_index"]
+    ndev = mesh.devices.size
+    pad = (-cp_pack.shape[0]) % ndev
+    if pad:
+        cp_pack = jnp.concatenate(
+            [cp_pack, jnp.zeros((pad, cp_pack.shape[1]), cp_pack.dtype)])
+    rows_per = cp_pack.shape[0] // ndev
+    out_dt = count.dtype
+    b, l_max = enc.shape
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None), P(None)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def run(pack_local, enc_r, lengths_r, count_r):
+        off = jax.lax.axis_index(axis).astype(jnp.int32) * rows_per
+
+        def occ(pp):
+            blk = (pp >> 6).astype(jnp.int32)
+            loc = blk - off
+            mine = (loc >= 0) & (loc < rows_per)
+            row = pack_local[jnp.clip(loc, 0, rows_per - 1)]
+            row = jnp.where(mine[..., None], row, 0)
+            row = jax.lax.psum(row, axis)  # owner shard broadcasts the row
+            return occ_from_pack_row(row, pp, out_dt)
+
+        def base_at(pos):  # per-read base at a per-read position
+            idx = jnp.clip(pos, 0, l_max - 1)[:, None]
+            return jnp.take_along_axis(enc_r, idx, axis=1)[:, 0]
+
+        a0 = base_at(lengths_r - 1)
+        k = count_r[a0]
+        l = count_r[3 - a0]
+        s = count_r[a0 + 1] - count_r[a0]
+
+        def step(t, kls):
+            k, l, s = kls
+            a = base_at(lengths_r - 2 - t)
+            k2, l2, s2 = backward_ext_from_occ(
+                count_r, sentinel, k, l, s, a, occ(k), occ(k + s))
+            live = (t < lengths_r - 1) & (s > 0)
+            return (jnp.where(live, k2, k), jnp.where(live, l2, l),
+                    jnp.where(live, s2, s))
+
+        return jax.lax.fori_loop(0, l_max - 1, step, (k, l, s))
+
+    return run(cp_pack, jnp.asarray(enc), jnp.asarray(lengths), count)
+
+
 def grm_sharded(mesh: Mesh, geno_i8, two_f, inv_stdev, ok, block: int = 512,
                 axis: str = "dp"):
     """GRM with the VARIANT axis sharded across the mesh (model-parallel

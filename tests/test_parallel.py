@@ -57,6 +57,53 @@ def test_bsw_sharded_matches_single(mesh8):
         np.testing.assert_array_equal(got[key], want[key])
 
 
+def test_fmi_sharded_index_search(mesh8):
+    """FM-index sharded by block range over the mesh == single-device."""
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.index.builder import build_arrays
+    from genomicsbench_palisade_tpu.ops import fmi as F
+
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, 4000).astype(np.uint8)
+    index = build_arrays(genome).as_device_arrays()
+    b, l_max = 16, 24
+    enc = np.zeros((b, l_max), np.int32)
+    lengths = np.zeros(b, np.int32)
+    for i in range(b):
+        n = int(rng.integers(8, l_max + 1))
+        s = int(rng.integers(0, len(genome) - n))
+        enc[i, :n] = genome[s : s + n]
+        lengths[i] = n
+    if rng.random() < 2:  # one read with a mismatch (s hits 0 mid-walk)
+        enc[0, 2] = (enc[0, 2] + 1) % 4
+
+    # single-device reference: repeated backward_ext from the root
+    count = np.asarray(index["count"])
+    want_k = np.zeros(b, np.int64)
+    want_l = np.zeros(b, np.int64)
+    want_s = np.zeros(b, np.int64)
+    for i in range(b):
+        n = int(lengths[i])
+        a = int(enc[i, n - 1])
+        k, l, s = count[a], count[3 - a], count[a + 1] - count[a]
+        for t in range(n - 2, -1, -1):
+            if s <= 0:
+                break
+            k2, l2, s2 = F.backward_ext(
+                index, jnp.asarray([k]), jnp.asarray([l]), jnp.asarray([s]),
+                jnp.asarray([enc[i, t]]))
+            k, l, s = int(k2[0]), int(l2[0]), int(s2[0])
+        want_k[i], want_l[i], want_s[i] = k, l, s
+
+    got_k, got_l, got_s = dp.fmi_backward_search_sharded(
+        mesh8, index, enc, lengths)
+    np.testing.assert_array_equal(np.asarray(got_k), want_k)
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+    np.testing.assert_array_equal(np.asarray(got_s), want_s)
+    assert (np.asarray(got_s)[1:] > 0).all()  # true substrings must match
+
+
 def test_kmer_sharded_matches_oracle(mesh8):
     rng = np.random.default_rng(9)
     unit = "".join(rng.choice(list("ACGT"), 30))

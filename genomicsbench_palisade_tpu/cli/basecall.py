@@ -59,7 +59,8 @@ def main(argv=None):
     ap.add_argument("reads", help=".npz (name->raw signal) or .fast5")
     ap.add_argument("--chunksize", default=4000, type=int)
     ap.add_argument("--overlap", default=0, type=int)
-    ap.add_argument("--beamsize", default=1, type=int, help="1 = viterbi (only mode)")
+    ap.add_argument("--beamsize", default=5, type=int,
+                    help="CTC prefix beam width (reference default 5; 1 = viterbi)")
     # the reference driver defaults to half precision when the GPU supports
     # it (basecall.py:642); bf16 is the TPU analog (decoder stays f32)
     ap.add_argument("--precision", choices=("bf16", "f32"), default="bf16")
@@ -92,7 +93,8 @@ def main(argv=None):
         samples += len(raw)
         norm = B.norm_by_noisiest_section(raw)
         seq = B.basecall_read(model, params, norm,
-                              chunksize=args.chunksize, overlap=args.overlap)
+                              chunksize=args.chunksize, overlap=args.overlap,
+                              beamsize=args.beamsize)
         sys.stdout.write(f">{read_id}\n{seq}\n")
     duration = time.perf_counter() - t0
 

@@ -141,6 +141,42 @@ def viterbi_decode(log_probs, alphabet=DEFAULT_ALPHABET):
     return "".join(out)
 
 
+def beam_search_decode(log_probs, alphabet=DEFAULT_ALPHABET, beam_size=5,
+                       threshold=1e-3):
+    """CTC prefix beam search (the reference's fast_ctc_decode beam_search
+    path, basecall.py:100-105, default beamsize=5 threshold=1e-3):
+    label 0 is the blank, per-step classes below `threshold` posterior are
+    pruned, beams keep (p_blank, p_nonblank) mass per collapsed prefix."""
+    probs = np.exp(np.asarray(log_probs, np.float64))
+    beams = {(): (1.0, 0.0)}
+    for t in range(probs.shape[0]):
+        p_t = probs[t]
+        live = np.nonzero(p_t >= threshold)[0]
+        nxt = {}
+
+        def add(prefix, pb, pnb):
+            b0, n0 = nxt.get(prefix, (0.0, 0.0))
+            nxt[prefix] = (b0 + pb, n0 + pnb)
+
+        for prefix, (pb, pnb) in beams.items():
+            last = prefix[-1] if prefix else -1
+            for c in live:
+                p = p_t[c]
+                if c == 0:  # blank extends every prefix unchanged
+                    add(prefix, (pb + pnb) * p, 0.0)
+                elif c == last:
+                    add(prefix, 0.0, pnb * p)  # repeat collapses
+                    add(prefix + (c,), 0.0, pb * p)  # blank-separated
+                else:
+                    add(prefix + (c,), 0.0, (pb + pnb) * p)
+        beams = dict(sorted(nxt.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))
+                     [:beam_size])
+        if not beams:  # every class pruned this step: keep prior beams
+            beams = {(): (1.0, 0.0)}
+    best = max(beams.items(), key=lambda kv: kv[1][0] + kv[1][1])[0]
+    return "".join(alphabet[c] for c in best)
+
+
 def basecall(model, params, signal, chunksize=4000, overlap=0):
     """Chunked single-read basecall; returns the called sequence."""
     t = len(signal)
@@ -284,9 +320,10 @@ def stitch(predictions, overlap_out):
 
 
 def basecall_read(model, params, signal, chunksize=4000, overlap=0,
-                  stride=MODEL_STRIDE):
+                  stride=MODEL_STRIDE, beamsize=1):
     """Full single-read pipeline: chunk -> ONE batched forward (MXU) ->
-    stitch posteriors -> viterbi decode (basecall.py main(), :600-620).
+    stitch posteriors -> decode (basecall.py main(), :600-620; beamsize>1
+    uses the reference's default prefix beam search, 1 = viterbi).
 
     The chunk batch is padded to a power-of-two bucket so mixed-length
     reads share one compiled forward (each distinct chunk count would
@@ -300,4 +337,6 @@ def basecall_read(model, params, signal, chunksize=4000, overlap=0,
     lp = model.apply(params, jnp.asarray(chunks[:, :, None]))
     posteriors = stitch(np.asarray(lp)[:n], overlap // stride // 2)
     posteriors = posteriors[: len(signal)]
+    if beamsize > 1:
+        return beam_search_decode(posteriors, beam_size=beamsize)
     return viterbi_decode(posteriors)

@@ -38,6 +38,19 @@ def test_bonito_ctc_decode():
     assert BM.viterbi_decode(jnp.asarray(lp)) == "ACG"
 
 
+def test_bonito_beam_search():
+    lp = np.full((6, 5), -12.0)
+    for t, lab in enumerate([1, 1, 0, 2, 0, 3]):
+        lp[t, lab] = -0.01
+    # peaked posteriors: beam == viterbi
+    assert BM.beam_search_decode(lp) == BM.viterbi_decode(jnp.asarray(lp)) == "ACG"
+    # the classic greedy failure: argmax path is blank-blank ("") but the
+    # summed mass of label-1-containing paths wins -> beam returns "A"
+    lp2 = np.log(np.array([[0.55, 0.45, 0, 0, 0]] * 2).clip(1e-12))
+    assert BM.viterbi_decode(jnp.asarray(lp2)) == ""
+    assert BM.beam_search_decode(lp2) == "A"
+
+
 def test_bonito_basecall_runs(tiny_bonito):
     model, params = tiny_bonito
     rng = np.random.default_rng(0)

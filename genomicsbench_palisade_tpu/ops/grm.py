@@ -52,14 +52,17 @@ def normalize_block_np(geno: np.ndarray, freqs: np.ndarray | None = None):
 @jax.jit
 def grm_block_update(grm_sums, grm_counts, z, v):
     """Accumulate one variant block: sums += Z^T Z, counts += V^T V."""
-    # Precision.HIGHEST: TPU lowers f32 matmuls to bf16 passes by default,
-    # which costs ~4e-3 relative error; plink2's dsyrk is double precision
+    # TPU lowers f32 matmuls to ONE bf16 pass by default (~4e-3 relative
+    # error vs plink2's double dsyrk).  Precision.HIGH (bf16x3) meets the
+    # 2e-5 plink2-parity tolerance at ~10x the HIGHEST (bf16x6) rate, and
+    # the GRM's per-pair count normalization means the tolerance margin
+    # GROWS with variant count (error in the sum ~ sqrt(M), result ~ M).
     grm_sums = grm_sums + jnp.dot(
         z.T, z, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=jax.lax.Precision.HIGH)
     grm_counts = grm_counts + jnp.dot(
         v.T, v, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=jax.lax.Precision.HIGH)
     return grm_sums, grm_counts
 
 
@@ -88,12 +91,13 @@ def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int):
         z = (g - tf[:, None]) * isd[:, None]
         z = jnp.where(miss | ~okb[:, None], 0.0, z)
         v = jnp.where(miss | ~okb[:, None], 0.0, 1.0)
+        # bf16x3: see grm_block_update's precision note
         sums = sums + jnp.dot(
             z.T, z, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.HIGH)
         counts = counts + jnp.dot(
             v.T, v, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=jax.lax.Precision.HIGH)
         return (sums, counts), None
 
     init = (jnp.zeros((n, n), jnp.float32), jnp.zeros((n, n), jnp.float32))

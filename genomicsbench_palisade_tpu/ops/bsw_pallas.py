@@ -169,6 +169,9 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
         jnp.full((bt,), -1, jnp.int32),
         zero,
     )
+    # NB: a 2-step unroll (body2 calling body twice) crashes the Mosaic
+    # layout inferer on the 1-D [Bt] carries ("layout.h:320 Check failed:
+    # arr.size() >= layout_rank"); keep the plain loop.
     st = jax.lax.fori_loop(0, tp, body, st)
     (_b, _e2, _al, mmax, max_i, max_j, max_ie, gscore, max_off) = st
     out = jnp.stack(

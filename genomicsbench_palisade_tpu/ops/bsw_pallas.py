@@ -171,7 +171,10 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
     )
     # NB: a 2-step unroll (body2 calling body twice) crashes the Mosaic
     # layout inferer on the 1-D [Bt] carries ("layout.h:320 Check failed:
-    # arr.size() >= layout_rank"); keep the plain loop.
+    # arr.size() >= layout_rank").  Reworking the carries to [1, Bt] rows
+    # makes the unroll compile but measures NO faster (7.16 vs 6.98 ms on
+    # 8192 pairs): the ~0.44 us/step average is real vector work on the
+    # [Qe, Bt] tiles, not loop overhead.  Keep the plain loop.
     st = jax.lax.fori_loop(0, tp, body, st)
     (_b, _e2, _al, mmax, max_i, max_j, max_ie, gscore, max_off) = st
     out = jnp.stack(

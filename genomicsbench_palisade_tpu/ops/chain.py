@@ -264,6 +264,13 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     if use_pallas:
         b0 = stack["x_lo"].shape[0]
         b_pad = -(-b0 // LANE_TILE) * LANE_TILE
+        # the kernel's gap(dd) is s_cap unrolled row-compares per anchor —
+        # ~2/3 of its per-step work at the 256 cap.  Typical tables need
+        # far fewer thresholds (avg_qspan 22.5 -> ~120), so size s_cap to
+        # this batch's maximum, rounded to 64 (bounded compile variants).
+        used = int((steps <= c0["bw"]).sum(axis=1).max()) if steps.size else 0
+        s_cap_eff = max(64, -(-used // 64) * 64)
+        steps = steps[:, :s_cap_eff]
 
         def padb(a, fill=0):
             return np.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),

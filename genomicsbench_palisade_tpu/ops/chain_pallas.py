@@ -192,15 +192,17 @@ def gap_table_steps(gap_table: np.ndarray, bw: int, s_cap: int = S_CAP):
 @functools.partial(
     jax.jit,
     static_argnames=("w", "n_pad", "max_dist_x", "max_dist_y", "bw",
-                     "lane_tile", "nc", "s_cap"),
+                     "lane_tile", "nc"),
 )
 def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
                           w, n_pad, max_dist_x, max_dist_y, bw,
-                          lane_tile: int = LANE_TILE, nc: int = 64,
-                          s_cap: int = S_CAP):
+                          lane_tile: int = LANE_TILE, nc: int = 64):
     """Batched chain DP, pallas path.  Same outputs as
-    chain_dp_device_batch; `steps`/`gap0` come from gap_table_steps."""
+    chain_dp_device_batch; `steps`/`gap0` come from gap_table_steps
+    (callers may slice the step axis down to the batch's real maximum —
+    the unrolled gap loop is ~2/3 of per-step work at the full 256)."""
     b, _ = x_lo.shape
+    s_cap = steps.shape[1]
     assert b % lane_tile == 0 and n_pad % nc == 0, (b, lane_tile, n_pad, nc)
 
     def pad_w(a):

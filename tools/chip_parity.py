@@ -94,6 +94,9 @@ def check_chain():
              for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
     steps, gap0, ok = gap_table_steps(stack["gap_table"], 500)
     assert ok.all()
+    # production path sizes the step axis to the batch max (ops/chain.py)
+    used = int((steps <= 500).sum(axis=1).max())
+    steps = steps[:, : max(64, -(-used // 64) * 64)]
     args = tuple(jnp.asarray(stack[k])
                  for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table"))
     want = C.chain_dp_device_batch(*args, jnp.full(b, n, np.int32),

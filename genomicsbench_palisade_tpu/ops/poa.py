@@ -126,19 +126,17 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
     # ---------------- matrix init ----------------
     # Only H/F/O matrices are carried (predecessor rows are random-access);
     # E/Q couple within a row only, so their rows are consumed in-place by
-    # the traceback bit planes (below) and never stored.
-    big = (n_cap + 1, w)
-    H = jnp.zeros(big, jnp.int32)
-    F = jnp.zeros(big, jnp.int32)
-    O = jnp.zeros(big, jnp.int32)
+    # the traceback bit planes (below) and never stored.  The three
+    # matrices live PACKED as one [N+1, 3, w] array: in-loop scatters and
+    # gathers cost ~35 us EACH (PERF.md), so one .at[i].set and one
+    # [pred_idx] gather per row replace three of each.
     row0_O = jnp.where(j_iota == 0, 0, NEG_INF)
     row0_Q = jnp.where(j_iota == 0, 0, q + (j_iota - 1) * c)
     row0_F = jnp.where(j_iota == 0, 0, NEG_INF)
     row0_E = jnp.where(j_iota == 0, 0, g + (j_iota - 1) * e)
     row0_H = jnp.where(j_iota == 0, 0, jnp.maximum(row0_Q, row0_E))
-    O = O.at[0].set(row0_O)
-    F = F.at[0].set(row0_F)
-    H = H.at[0].set(row0_H)
+    HFO = jnp.zeros((n_cap + 1, 3, w), jnp.int32)
+    HFO = HFO.at[0].set(jnp.stack([row0_H, row0_F, row0_O]))
 
     # column-0 boundary rows are produced inside the row scan (they depend
     # on predecessor rows, same recurrence restricted to j==0)
@@ -206,8 +204,7 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
             hit_b.astype(jnp.int32), prev_b,
         ])  # [12, w]
 
-    def row_step(mats, r):
-        H, F, O = mats
+    def row_step(HFO, r):
         i = r + 1
         code_i = garr["code"][r]
         np_r = garr["npreds"][r]
@@ -216,9 +213,10 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
         )
         pred_mask = jnp.arange(p_cap) < jnp.maximum(np_r, 1)  # [P]
 
-        H_p = H[pred_idx]  # [P, W]
-        F_p = F[pred_idx]
-        O_p = O[pred_idx]
+        HFO_p = HFO[pred_idx]  # [P, 3, W] — ONE gather
+        H_p = HFO_p[:, 0]
+        F_p = HFO_p[:, 1]
+        O_p = HFO_p[:, 2]
         neg = jnp.full((p_cap, w), NEG_INF, jnp.int32)
         H_pm = jnp.where(pred_mask[:, None], H_p, neg)
         F_pm = jnp.where(pred_mask[:, None], F_p, neg)
@@ -272,18 +270,17 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
             jnp.arange(p_cap) < np_r, H_p, F_p, O_p, H_p_sh, prof)
 
         live = r < n_nodes
-        def put(mat, row):
-            return jax.lax.cond(
-                live, lambda: mat.at[i].set(row), lambda: mat
-            )
-        H = put(H, h_row)
-        F = put(F, F_row)
-        O = put(O, O_row)
-        return (H, F, O), planes
+        HFO = jax.lax.cond(
+            live,
+            lambda: HFO.at[i].set(jnp.stack([h_row, F_row, O_row])),
+            lambda: HFO,
+        )
+        return HFO, planes
 
-    (H, F, O), planes_r = jax.lax.scan(
-        row_step, (H, F, O), jnp.arange(n_cap, dtype=jnp.int32)
+    HFO, planes_r = jax.lax.scan(
+        row_step, HFO, jnp.arange(n_cap, dtype=jnp.int32)
     )
+    H = HFO[:, 0, :]
 
     # ---------------- find max (kNW: last column, sink rows) ----------------
     rows = jnp.arange(n_cap, dtype=jnp.int32)

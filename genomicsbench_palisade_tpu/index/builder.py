@@ -197,10 +197,14 @@ def write_bntseq(prefix: str, codes: np.ndarray, names, lengths, holes,
         f.write(f"{l_pac} {len(names)} {len(holes)}\n")
         for o, length, ch in holes:
             f.write(f"{o} {length} {ch}\n")
-    pac = np.zeros((l_pac + 3) // 4, np.uint8)
-    shifts = (3 - (np.arange(l_pac) & 3)) << 1
-    np.bitwise_or.at(pac, np.arange(l_pac) >> 2,
-                     (codes.astype(np.uint8) << shifts).astype(np.uint8))
+    # O(l_pac) bytes: pad to a multiple of 4 and combine columns (an
+    # np.bitwise_or.at over int64 index/shift temporaries costs ~25x the
+    # genome size in RAM and minutes of ufunc.at time at hg38 scale)
+    pad4 = (-l_pac) % 4
+    quad = np.concatenate([codes.astype(np.uint8),
+                           np.zeros(pad4, np.uint8)]).reshape(-1, 4)
+    pac = ((quad[:, 0] << 6) | (quad[:, 1] << 4)
+           | (quad[:, 2] << 2) | quad[:, 3]).astype(np.uint8)
     with open(prefix + ".pac", "wb") as f:
         f.write(pac.tobytes())
         if l_pac % 4 == 0:

@@ -319,3 +319,30 @@ def abea_traceback_native(trace, bll_e, lv, ranks, events, model,
         pr = out_pairs[g, : 2 * n].reshape(n, 2)
         results.append(list(zip(pr[:, 0].tolist(), pr[:, 1].tolist())))
     return results
+
+
+def ctc_beam_native(log_probs, beam_size: int, threshold: float):
+    """Native CTC prefix beam search (native/ctc_beam.cpp, same contract
+    as models.bonito.beam_search_decode).  Returns the label list, or
+    None when the lib isn't built."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_ctc_ready"):
+        lib.gt_ctc_beam.restype = ctypes.c_int64
+        lib.gt_ctc_beam.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._ctc_ready = True
+    lp = np.ascontiguousarray(log_probs, np.float32)
+    t_len, n_class = lp.shape
+    cap = t_len + 1
+    out = np.empty(cap, np.int32)
+    n = lib.gt_ctc_beam(
+        lp.ctypes.data_as(ctypes.c_void_p), t_len, n_class,
+        beam_size, float(threshold),
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        raise RuntimeError("gt_ctc_beam output overflow")
+    return out[:n].tolist()

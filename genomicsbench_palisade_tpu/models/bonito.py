@@ -146,7 +146,18 @@ def beam_search_decode(log_probs, alphabet=DEFAULT_ALPHABET, beam_size=5,
     """CTC prefix beam search (the reference's fast_ctc_decode beam_search
     path, basecall.py:100-105, default beamsize=5 threshold=1e-3):
     label 0 is the blank, per-step classes below `threshold` posterior are
-    pruned, beams keep (p_blank, p_nonblank) mass per collapsed prefix."""
+    pruned, beams keep (p_blank, p_nonblank) mass per collapsed prefix.
+
+    Runs in C++ when the native lib is built (native/ctc_beam.cpp, same
+    construction order/tie-breaks; the Python walk below is the fallback
+    and the semantic spec — the per-timestep dict rebuild costs seconds
+    per long read)."""
+    from ..io.native import ctc_beam_native
+
+    labels = ctc_beam_native(np.asarray(log_probs, np.float32),
+                             beam_size, threshold)
+    if labels is not None:
+        return "".join(alphabet[c] for c in labels)
     probs = np.exp(np.asarray(log_probs, np.float64))
     beams = {(): (1.0, 0.0)}
     for t in range(probs.shape[0]):

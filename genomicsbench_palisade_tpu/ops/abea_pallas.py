@@ -194,7 +194,9 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
     unpack with unpack_trace_rows.  Packing shrinks the host fetch 4x
     (the relay transfer is the abea bottleneck).
     """
-    assert bandwidth <= LV_LANE0 and LV_LANE0 + 16 <= LANES
+    # strict <: at bandwidth == LV_LANE0 the decision bit at lane bw would
+    # collide with last-val piece 0 (the lv write lands after it)
+    assert bandwidth < LV_LANE0 and LV_LANE0 + 16 <= LANES
     b = ev_pad.shape[0]
 
     def row(_len):

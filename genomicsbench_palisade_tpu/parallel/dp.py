@@ -163,14 +163,23 @@ def fmi_backward_search_sharded(mesh: Mesh, index: dict, enc, lengths,
     """
     from ..ops.fmi import backward_ext_from_occ, occ_from_pack_row
 
+    import numpy as _np
+
     cp_pack = index["cp_pack"]
     count = index["count"]
     sentinel = index["sentinel_index"]
     ndev = mesh.devices.size
     pad = (-cp_pack.shape[0]) % ndev
+    # pad on the HOST and device_put with the row sharding directly: a
+    # jnp.concatenate here would materialize the whole (hg38: ~6 GB)
+    # index on the default device — the thing this function exists to
+    # avoid — before shard_map resharded it
+    cp_host = _np.asarray(cp_pack)
     if pad:
-        cp_pack = jnp.concatenate(
-            [cp_pack, jnp.zeros((pad, cp_pack.shape[1]), cp_pack.dtype)])
+        cp_host = _np.concatenate(
+            [cp_host, _np.zeros((pad, cp_host.shape[1]), cp_host.dtype)])
+    cp_pack = jax.device_put(
+        cp_host, NamedSharding(mesh, P(axis, None)))
     rows_per = cp_pack.shape[0] // ndev
     out_dt = count.dtype
     b, l_max = enc.shape

@@ -68,7 +68,10 @@ extern "C" int gt_abea_traceback(
             sum_em += (double)lp;
             n_aligned++;
             const int64_t bi = ce + ck + 2;
-            const uint8_t frm = tr[bi * bw + (be[bi] - ce)];
+            int64_t off = be[bi] - ce;  // clamp like the numpy walk's
+            if (off < 0) off = 0;       // np.clip (degenerate seeds can
+            if (off >= bw) off = bw - 1;  // step outside the band)
+            const uint8_t frm = tr[bi * bw + off];
             if (frm == FROM_D) { ck--; ce--; gap = 0; }
             else if (frm == FROM_U) { ce--; gap = 0; }
             else { ck--; gap++; if (gap > max_gap) max_gap = gap; }

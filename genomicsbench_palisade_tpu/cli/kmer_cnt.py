@@ -72,8 +72,9 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     if use_minimizers:
-        # buildIndexMinimizers path (vertex_index.cpp:391-489)
-        from ..ops.oracle.kmer import build_minimizer_index
+        # buildIndexMinimizers path (vertex_index.cpp:391-489); native
+        # C++ deque walk when built, oracle fallback
+        from ..ops.kmer import build_minimizer_index
 
         log.info("Building minimizer index")
         wnd = int(cfg.get("minimizer_window", 5))

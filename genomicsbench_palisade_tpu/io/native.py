@@ -346,3 +346,43 @@ def ctc_beam_native(log_probs, beam_size: int, threshold: float):
     if n < 0:
         raise RuntimeError("gt_ctc_beam output overflow")
     return out[:n].tolist()
+
+
+def minimizer_counts_native(reads_codes, k: int, window: int,
+                            min_read_length: int):
+    """Flye minimizer counting (native/minimizers.cpp; contract =
+    ops.oracle.kmer.yield_minimizers + canonical Counter).  reads_codes:
+    list of uint8 2-bit code arrays.  Returns {canonical_code: count} or
+    None when the lib isn't built."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_mini_ready"):
+        lib.gt_minimizers_count.restype = ctypes.c_void_p
+        lib.gt_minimizers_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.gt_minimizers_size.restype = ctypes.c_int64
+        lib.gt_minimizers_size.argtypes = [ctypes.c_void_p]
+        lib.gt_minimizers_copy.argtypes = [ctypes.c_void_p] * 3
+        lib.gt_minimizers_free.argtypes = [ctypes.c_void_p]
+        lib._mini_ready = True
+    lengths = np.array([len(c) for c in reads_codes], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    flat = (np.concatenate(reads_codes).astype(np.uint8)
+            if len(reads_codes) else np.zeros(0, np.uint8))
+    h = lib.gt_minimizers_count(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        len(reads_codes), k, window, min_read_length)
+    try:
+        n = lib.gt_minimizers_size(h)
+        keys = np.empty(n, np.uint64)
+        counts = np.empty(n, np.int64)
+        lib.gt_minimizers_copy(h, keys.ctypes.data_as(ctypes.c_void_p),
+                               counts.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.gt_minimizers_free(h)
+    return dict(zip(keys.tolist(), counts.tolist()))

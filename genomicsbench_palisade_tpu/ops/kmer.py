@@ -146,3 +146,50 @@ def count_kmers(reads, k: int = DEFAULT_K, min_read_length: int = 5000):
     bases, lengths = encode_reads_np(kept)
     out = count_kmers_device(jnp.asarray(bases.astype(np.int32)), jnp.asarray(lengths), k)
     return {key: int(v) for key, v in out.items()}
+
+
+def build_minimizer_index(reads, k: int = DEFAULT_K, window: int = 5,
+                          min_coverage: int = 1, repeat_rate: float = 1.0,
+                          min_read_length: int = 5000):
+    """Production buildIndexMinimizers (same contract/metrics as
+    ops.oracle.kmer.build_minimizer_index, which stays the pure spec):
+    the monotone-deque selection runs in C++ when the native lib is built
+    (native/minimizers.cpp, fuzz-exact vs the oracle, ~28x the Python
+    deque walk)."""
+    from collections import Counter
+
+    from ..io.native import minimizer_counts_native
+    from .oracle import kmer as KO
+
+    kept_reads = [r for r in reads if len(r) >= min_read_length]
+    codes = [KO.encode_seq(r).astype(np.uint8) for r in kept_reads]
+    native = minimizer_counts_native(codes, k, window, 0)
+    if native is not None:
+        counter = Counter(native)
+    else:
+        counter = Counter()
+        for rc_codes in codes:
+            if len(rc_codes) - k <= 0:
+                continue
+            for _pos, fwd in KO.yield_minimizers(rc_codes, k, window):
+                rc = KO.revcomp_code(fwd, k)
+                counter[min(fwd, rc)] += 1
+
+    total = sum(c for c in counter.values() if c >= min_coverage)
+    unique = sum(1 for c in counter.values() if c >= min_coverage)
+    mean_freq = total / (unique + 1)
+    rep_freq = repeat_rate * mean_freq
+    filtered = sum(c for c in counter.values() if c > rep_freq)
+    kept = {km: c for km, c in counter.items() if not c > rep_freq}
+    index_size = sum(kept.values())
+    selected = len(kept)
+    return {
+        "counter": counter,
+        "mean_frequency": mean_freq,
+        "repetitive_frequency": rep_freq,
+        "filtered": filtered,
+        "filtered_rate": (filtered / total) if total else 0.0,
+        "selected_kmers": selected,
+        "index_size": index_size,
+        "mean_index_frequency": (index_size / selected) if selected else 0.0,
+    }

@@ -115,3 +115,27 @@ def test_kmer_cnt_cli_minimizers(tmp_path, capsys):
     assert "Selected k-mers: " in out.err
     assert "Index size: " in out.err
     assert "Kernel time:" in out.err
+
+
+def test_minimizer_index_production_matches_oracle():
+    """ops.kmer.build_minimizer_index (native path when built) == oracle."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.ops.kmer import (
+        build_minimizer_index as prod)
+    from genomicsbench_palisade_tpu.ops.oracle.kmer import (
+        build_minimizer_index as spec)
+
+    rng = np.random.default_rng(3)
+    reads = []
+    for _ in range(6):
+        n = int(rng.integers(60, 500))
+        seq = rng.integers(0, 4, n)
+        if rng.random() < 0.5:  # homopolymer runs stress equal-hash ties
+            s = int(rng.integers(0, n - 20))
+            seq[s : s + 15] = seq[s]
+        reads.append("".join("ACGT"[c] for c in seq))
+    for k, w in ((15, 5), (17, 1), (7, 8)):
+        got = prod(reads, k=k, window=w, min_read_length=50)
+        want = spec(reads, k=k, window=w, min_read_length=50)
+        assert got == want, (k, w)

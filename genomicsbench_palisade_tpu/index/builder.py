@@ -6,8 +6,9 @@ array over fwd+revcomp and checkpointed occ blocks
 build_index; bntseq.cpp packs the FASTA).  This builder produces the
 same artifacts with everything vectorized:
 
-  * suffix array: native SA-IS (native/sais.cpp, ~8 s per 100 Mbp) with
-    the oracle's prefix-doubling numpy fallback
+  * suffix array: native SA-IS (native/sais.cpp; a 100 Mbp genome's
+    fwd+revcomp 200 Mchar build measures ~5.5 min end-to-end) with the
+    oracle's prefix-doubling numpy fallback
   * BWT / cumulative counts / per-64bp-block cp_occ checkpoints + MSB-
     first one-hot planes: pure numpy bit packing
   * ambiguous bases: bwa-mem2 replaces non-ACGT with a random base when

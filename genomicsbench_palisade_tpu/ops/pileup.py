@@ -70,12 +70,18 @@ def read_events(rec, num_homop: int, weibull: bool = False,
                 bad_reads: set | None = None):
     """Expand one BAM record into pileup events.
 
+    The non-weibull path is vectorized per cigar op (_read_events_fast;
+    the per-base Python loop below is the weibull path and the spec —
+    tests assert fast == slow).
+
     Returns (positions, minors, features, qstrats, ins_pos, ins_len[,
     weights]): counting events + insertion-anchor info for the max_ins
     pass.  With weibull=True, non-deletion events carry [num_homop]
     fractional weights (x10000 at accumulation, medaka_counts.c:453-459)
     instead of a qstrat, and weights is the extra return.
     """
+    if not weibull:
+        return _read_events_fast(rec, num_homop)
     positions, minors, feats, qstrats = [], [], [], []
     weights = []
     ins_pos, ins_len = [], []
@@ -152,6 +158,70 @@ def read_events(rec, num_homop: int, weibull: bool = False,
     return positions, minors, feats, qstrats, ins_pos, ins_len
 
 
+def _read_events_fast(rec, num_homop: int):
+    """Vectorized read_events (no weibull): same events in the same
+    order, arrays instead of Python lists."""
+    positions, minors, feats, qstrats = [], [], [], []
+    ins_pos, ins_len = [], []
+    rp = rec.pos
+    qp = 0
+    rev = rec.is_reverse
+    rev_off = 16 if rev else 0
+    del_feat = REV_DEL if rev else FWD_DEL
+    seq = np.asarray(rec.seq_nt16, np.int64)
+    qual = np.asarray(rec.qual, np.int64)
+    cigar = rec.cigar
+    nops = len(cigar)
+
+    def emit(q_idx, r_pos, minor_val):
+        bi = NUM2COUNTBASE[seq[q_idx] + rev_off].astype(np.int64)
+        q = qual[q_idx]
+        if num_homop > 1:
+            qs = np.maximum(np.minimum(q, num_homop) - 1, 0)
+        else:
+            qs = np.zeros(len(q_idx), np.int64)
+        keep = bi != -1
+        positions.append(r_pos[keep])
+        minors.append(minor_val[keep])
+        feats.append(bi[keep])
+        qstrats.append(qs[keep])
+
+    for oi, (op, ln) in enumerate(cigar):
+        if op in ("M", "=", "X"):
+            idx = np.arange(ln)
+            emit(qp + idx, rp + idx, np.zeros(ln, np.int64))
+            if oi + 1 < nops and cigar[oi + 1][0] == "I":
+                ili = cigar[oi + 1][1]
+                anchor_r = rp + ln - 1
+                anchor_q = qp + ln - 1
+                ins_pos.append(anchor_r)
+                ins_len.append(ili)
+                j = np.arange(1, ili + 1)
+                emit(anchor_q + j, np.full(ili, anchor_r, np.int64), j)
+            rp += ln
+            qp += ln
+        elif op == "D":
+            positions.append(rp + np.arange(ln))
+            minors.append(np.zeros(ln, np.int64))
+            feats.append(np.full(ln, del_feat, np.int64))
+            qstrats.append(np.zeros(ln, np.int64))
+            if oi + 1 < nops and cigar[oi + 1][0] == "I":
+                ins_pos.append(rp + ln - 1)
+                ins_len.append(cigar[oi + 1][1])
+            rp += ln
+        elif op in ("I", "S"):
+            qp += ln
+        elif op == "N":
+            rp += ln
+        # H, P consume nothing
+
+    def cat(parts):
+        return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+
+    return (cat(positions), cat(minors), cat(feats), cat(qstrats),
+            ins_pos, ins_len)
+
+
 def calculate_pileup(records, chrom_id: int, start: int, end: int,
                      num_homop: int = 5, min_mapq: int = 1,
                      weibull_summation: bool = False, dtypes=None):
@@ -188,11 +258,11 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
                        if rec.name.startswith(pre)), None)
             if dt is None:
                 raise ValueError(f"Datatype not found for {rec.name}")
-            all_dt.extend([dt] * len(p))
-        all_pos.extend(p)
-        all_min.extend(mnr)
-        all_feat.extend(f)
-        all_q.extend(q)
+            all_dt.append(np.full(len(p), dt, np.int64))
+        all_pos.append(np.asarray(p, np.int64))
+        all_min.append(np.asarray(mnr, np.int64))
+        all_feat.append(np.asarray(f, np.int64))
+        all_q.append(np.asarray(q, np.int64))
         for a, b in zip(ip, il):
             if start <= a < end:
                 ins_map[a] = max(ins_map.get(a, 0), b)
@@ -203,14 +273,18 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
         if e > s:
             cover[s - start : e - start] = True
 
-    pos = np.array(all_pos, dtype=np.int64)
+    def _cat(parts):
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, np.int64))
+
+    pos = _cat(all_pos)
     keep = (pos >= start) & (pos < end)
     pos = pos[keep]
-    minors = np.array(all_min, dtype=np.int64)[keep]
-    feats = np.array(all_feat, dtype=np.int64)[keep]
-    qstrats = np.array(all_q, dtype=np.int64)[keep]
+    minors = _cat(all_min)[keep]
+    feats = _cat(all_feat)[keep]
+    qstrats = _cat(all_q)[keep]
     if num_dtypes > 1:
-        dts = np.array(all_dt, dtype=np.int64)[keep]
+        dts = _cat(all_dt)[keep]
         feats = feats + FEATLEN * num_homop * dts  # dtype-major offset
 
     covered_positions = np.nonzero(cover)[0] + start
@@ -222,17 +296,13 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
     col_start = np.concatenate([[0], np.cumsum(width)])
     n_cols = int(col_start[-1])
 
-    major = np.zeros(n_cols, dtype=np.int64)
-    minor = np.zeros(n_cols, dtype=np.int64)
-    for i, p in enumerate(covered_positions):
-        s = col_start[i]
-        w = width[i]
-        major[s : s + w] = p
-        minor[s : s + w] = np.arange(w)
+    major = np.repeat(covered_positions, width)
+    minor = np.arange(n_cols) - np.repeat(col_start[:-1], width)
 
     matrix = np.zeros((n_cols, FEATLEN * num_dtypes * num_homop), dtype=np.int64)
     if len(pos):
-        slot = np.array([pos_to_slot[int(p)] for p in pos], dtype=np.int64)
+        # covered_positions is sorted and every event position is covered
+        slot = np.searchsorted(covered_positions, pos)
         col = col_start[slot] + minors
         # drop events in minor columns beyond the column width (insertions
         # whose anchor's max_ins came only from filtered-out regions can't

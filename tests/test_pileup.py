@@ -146,3 +146,40 @@ def test_multi_dtype_pileup():
     with pytest.raises(ValueError):
         calculate_pileup([rec("xx_a", 0)], 0, 0, 50, num_homop=1,
                          dtypes=["ont", "pb"])
+
+
+def test_read_events_fast_matches_slow():
+    """Vectorized read_events == the per-base loop (the weibull-path spec)
+    on randomized cigars incl. insertions after M and D, skips, Ns."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.io.bam import BamRecord
+    from genomicsbench_palisade_tpu.ops import pileup as P
+
+    rng = np.random.default_rng(8)
+    for t in range(30):
+        cigar = []
+        qlen = rlen = 0
+        for _ in range(int(rng.integers(1, 8))):
+            op = str(rng.choice(list("MIDSN=X")))
+            ln = int(rng.integers(1, 30))
+            if cigar and cigar[-1][0] == op:
+                continue
+            cigar.append((op, ln))
+            if op in "MIS=X":
+                qlen += ln
+            if op in "MDN=X":
+                rlen += ln
+        if not any(op in "M=X" for op, _ in cigar):
+            continue
+        rec = BamRecord(
+            f"r{t}", 16 if rng.random() < 0.5 else 0, 0,
+            int(rng.integers(0, 50)), 60, cigar,
+            rng.integers(1, 16, qlen).astype(np.uint8),
+            rng.integers(0, 40, qlen).astype(np.uint8), {})
+        fast = P.read_events(rec, 5)
+        slow = P.read_events(rec, 5, weibull=True, bad_reads=set())  # spec
+        for a, b in zip(fast[:4], slow[:4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert list(fast[4]) == list(slow[4])
+        assert list(fast[5]) == list(slow[5])

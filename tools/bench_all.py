@@ -10,6 +10,7 @@ Prints one JSON line per kernel at reference-like workload shapes:
   fmi   — reads/s (101 bp reads vs a 5 Mbp synthetic index, batch 512)
   poa   — seqs/s (32 windows x 6 seqs x 200 bp, full consensus loop)
   abea  — reads/s (64 x 500 bp model-synthesized nanopore reads)
+  pileup — Mbases/s (host counting, 2000 x 300 bp over a 60 kb region)
 
 Timing follows the axon protocol (CLAUDE.md): chain ITERS executions,
 fetch one output to host.  bench.py remains the driver's single-line
@@ -172,6 +173,27 @@ def bench_fmi():
 
 
 
+def bench_pileup():
+    from genomicsbench_palisade_tpu.io.bam import BamRecord
+    from genomicsbench_palisade_tpu.ops.pileup import calculate_pileup
+
+    rng = np.random.default_rng(9)
+    recs = []
+    for i in range(2000):
+        ln = 300
+        recs.append(BamRecord(
+            f"r{i}", 0, 0, int(rng.integers(0, 50000)), 60, [("M", ln)],
+            rng.integers(1, 16, ln).astype(np.uint8),
+            rng.integers(10, 40, ln).astype(np.uint8), {}))
+    calculate_pileup(recs, 0, 0, 60000)  # warm
+    t0 = time.perf_counter()
+    out = calculate_pileup(recs, 0, 0, 60000)
+    dt = time.perf_counter() - t0
+    assert out["n_cols"] > 0
+    return {"kernel": "pileup", "value": round(2000 * 300 / dt / 1e6, 2),
+            "unit": "Mbases/s", "reads": 2000, "len": 300}
+
+
 def bench_poa():
     from genomicsbench_palisade_tpu.ops.poa import msa_consensus_batch
 
@@ -260,7 +282,7 @@ def bench_grm():
 def main():
     results = []
     for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi,
-               bench_poa, bench_abea, bench_grm):
+               bench_poa, bench_abea, bench_pileup, bench_grm):
         try:
             r = fn()
         except Exception as e:  # record the failure, keep going

@@ -52,6 +52,8 @@ def main(argv=None):
         span = sum(ln for op, ln in rec.cigar if op in "MDN=X")
         reads.append((rec.pos, rec.pos + span, seq, rec.qual, rec.flag))
 
+    from ..io.native import dbg_window_native
+
     t0 = time.perf_counter()
     n_windows = 0
     total_nodes = 0
@@ -62,9 +64,18 @@ def main(argv=None):
             for pos, rend, seq, quals, flag in reads
             if pos < assem_end and rend > assem_start
         ]
-        g, bubbles = assemble_window(ref[ref_start:ref_end], ref_start, window_reads)
+        # native C++ window assembly when built (native/dbg.cpp, ~21x;
+        # fuzz-exact vs ops.dbg.assemble_window)
+        nat = dbg_window_native(ref[ref_start:ref_end], ref_start,
+                                window_reads, 15, 20, 2)
+        if nat is not None:
+            n_nodes, bubbles = nat
+        else:
+            g, bubbles = assemble_window(
+                ref[ref_start:ref_end], ref_start, window_reads)
+            n_nodes = len(g.nodes)
         n_windows += 1
-        total_nodes += len(g.nodes)
+        total_nodes += n_nodes
         total_bubbles += len(bubbles)
     dt = time.perf_counter() - t0
     print(f"Found {n_windows} batches.")

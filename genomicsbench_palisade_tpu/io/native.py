@@ -386,3 +386,48 @@ def minimizer_counts_native(reads_codes, k: int, window: int,
     finally:
         lib.gt_minimizers_free(h)
     return dict(zip(keys.tolist(), counts.tolist()))
+
+
+def dbg_window_native(ref_seq: str, ref_start: int, reads,
+                      kmer_size: int, min_qual: int, min_reads: int):
+    """Native colored-DBG window assembly (native/dbg.cpp; contract =
+    ops.dbg.assemble_window).  reads: list of (seq, quals, flag).
+    Returns (n_nodes, [bubble path sequences]) or None when unbuilt."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_dbg_ready"):
+        lib.gt_dbg_window.restype = ctypes.c_void_p
+        lib.gt_dbg_window.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        for fn in ("gt_dbg_n_nodes", "gt_dbg_n_bubbles", "gt_dbg_seq_bytes"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.gt_dbg_copy.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.gt_dbg_free.argtypes = [ctypes.c_void_p]
+        lib._dbg_ready = True
+    seqs = b"".join(s.encode() for s, _q, _f in reads)
+    lens = np.array([len(s) for s, _q, _f in reads], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    quals = (np.concatenate([np.asarray(q, np.uint8) for _s, q, _f in reads])
+             if reads else np.zeros(0, np.uint8))
+    flags = np.array([f for _s, _q, f in reads], np.int32)
+    h = lib.gt_dbg_window(
+        ref_seq.encode(), len(ref_seq), ref_start,
+        seqs, offs.ctypes.data_as(ctypes.c_void_p),
+        quals.ctypes.data_as(ctypes.c_void_p),
+        flags.ctypes.data_as(ctypes.c_void_p), len(reads),
+        kmer_size, min_qual, min_reads)
+    try:
+        n_nodes = lib.gt_dbg_n_nodes(h)
+        nb = lib.gt_dbg_seq_bytes(h)
+        buf = ctypes.create_string_buffer(int(nb))
+        lib.gt_dbg_copy(h, buf)
+        bubbles = buf.raw.decode().split("\n")[:-1] if nb else []
+    finally:
+        lib.gt_dbg_free(h)
+    return n_nodes, bubbles

@@ -59,3 +59,32 @@ def test_window_schedule():
     wins = D.window_batches(0, 3000)
     assert wins[0] == (0, 1500, 0, 3000)
     assert wins[1][0] == 750
+
+
+def test_native_window_matches_python():
+    """native/dbg.cpp vs assemble_window on fuzzed windows (Ns, indel-ish
+    noise, QC-fail flags, bubble sequences compared verbatim)."""
+    import pytest
+
+    from genomicsbench_palisade_tpu.io.native import available, dbg_window_native
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(5)
+    for t in range(10):
+        ln = int(rng.integers(120, 500))
+        ref = "".join(rng.choice(list("ACGTN"), p=[.24, .24, .24, .24, .04],
+                                 size=ln))
+        reads = []
+        for _ in range(int(rng.integers(2, 20))):
+            s = int(rng.integers(0, max(ln - 60, 1)))
+            seq = list(ref[s : s + 60].replace("N", "A"))
+            for pos in np.nonzero(rng.random(len(seq)) < 0.05)[0]:
+                seq[pos] = "ACGTN"[rng.integers(0, 5)]
+            q = rng.integers(5, 41, len(seq)).astype(np.uint8)
+            reads.append(("".join(seq), q,
+                          0x200 if rng.random() < 0.1 else 0))
+        g, bubbles = D.assemble_window(ref, 3, reads, kmer_size=15,
+                                       min_qual=20, min_reads=2)
+        want = (len(g.nodes), [D.path_sequence(p, 15) for p in bubbles])
+        assert dbg_window_native(ref, 3, reads, 15, 20, 2) == want, t

@@ -431,3 +431,66 @@ def dbg_window_native(ref_seq: str, ref_start: int, reads,
     finally:
         lib.gt_dbg_free(h)
     return n_nodes, bubbles
+
+
+def pileup_events_native(records, num2countbase, del_fwd, del_rev,
+                         num_homop: int):
+    """Batched medaka event extraction (native/pileup_events.cpp; contract
+    = ops.pileup read_events fast path, applied to every record in one
+    call).  records: list of BamRecord-likes already filtered for
+    flags/mapq.  Returns (pos, minor, feat, qstrat, rec_id, ins_pos,
+    ins_len) int arrays, or None when unbuilt."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_pileup_ready"):
+        lib.gt_pileup_events.restype = ctypes.c_void_p
+        lib.gt_pileup_events.argtypes = (
+            [ctypes.c_void_p] * 7 + [ctypes.c_int64]
+            + [ctypes.c_void_p] + [ctypes.c_int64] * 3
+        )
+        for fn in ("gt_pileup_n_events", "gt_pileup_n_ins"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.gt_pileup_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+        lib.gt_pileup_free.argtypes = [ctypes.c_void_p]
+        lib._pileup_ready = True
+    from .bam import CIGAR_OPS
+
+    op_idx = {c: i for i, c in enumerate(CIGAR_OPS)}
+    seq = (np.concatenate([np.asarray(r.seq_nt16, np.uint8) for r in records])
+           if records else np.zeros(0, np.uint8))
+    qual = (np.concatenate([np.asarray(r.qual, np.uint8) for r in records])
+            if records else np.zeros(0, np.uint8))
+    seq_off = np.concatenate(
+        [[0], np.cumsum([len(r.seq_nt16) for r in records])]).astype(np.int64)
+    cig = [np.array([(ln << 4) | op_idx[op] for op, ln in r.cigar], np.uint32)
+           for r in records]
+    cigar = np.concatenate(cig) if cig else np.zeros(0, np.uint32)
+    cigar_off = np.concatenate(
+        [[0], np.cumsum([len(c) for c in cig])]).astype(np.int64)
+    rpos = np.array([r.pos for r in records], np.int64)
+    rev = np.array([1 if r.is_reverse else 0 for r in records], np.uint8)
+    tbl = np.asarray(num2countbase, np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    h = lib.gt_pileup_events(
+        p(seq), p(qual), p(seq_off), p(cigar), p(cigar_off), p(rpos), p(rev),
+        len(records), p(tbl), del_fwd, del_rev, num_homop)
+    try:
+        n = lib.gt_pileup_n_events(h)
+        ni = lib.gt_pileup_n_ins(h)
+        pos = np.empty(n, np.int64)
+        minor = np.empty(n, np.int64)
+        feat = np.empty(n, np.int64)
+        qstrat = np.empty(n, np.int64)
+        rec_id = np.empty(n, np.int32)
+        ins_pos = np.empty(ni, np.int64)
+        ins_len = np.empty(ni, np.int64)
+        lib.gt_pileup_copy(h, p(pos), p(minor), p(feat), p(qstrat),
+                           p(rec_id), p(ins_pos), p(ins_len))
+    finally:
+        lib.gt_pileup_free(h)
+    return pos, minor, feat, qstrat, rec_id, ins_pos, ins_len

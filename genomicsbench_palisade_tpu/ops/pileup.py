@@ -244,9 +244,48 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
     bad_reads: set = set()
     ins_map: dict[int, int] = {}
     cover = np.zeros(end - start, dtype=bool)
-    for rec in records:
-        if rec.ref_id != chrom_id or (rec.flag & FILTER_FLAGS) or rec.mapq < min_mapq:
-            continue
+    kept = [rec for rec in records
+            if rec.ref_id == chrom_id and not (rec.flag & FILTER_FLAGS)
+            and rec.mapq >= min_mapq]
+
+    def _mark_cover(rec):
+        span = sum(ln for op, ln in rec.cigar if op in "MDN=X")
+        s = max(rec.pos, start)
+        e = min(rec.pos + span, end)
+        if e > s:
+            cover[s - start : e - start] = True
+
+    nat = None
+    if not weibull_summation:
+        from ..io.native import pileup_events_native
+
+        nat = pileup_events_native(kept, NUM2COUNTBASE, FWD_DEL, REV_DEL,
+                                   num_homop)
+    if nat is not None:
+        # batched C++ event extraction (native/pileup_events.cpp; contract
+        # = the per-record fast path below, tested equal)
+        npos, nmin, nfeat, nq, rec_id, nip, nil = nat
+        all_pos.append(npos)
+        all_min.append(nmin)
+        all_feat.append(nfeat)
+        all_q.append(nq)
+        if num_dtypes > 1:
+            per_rec_dt = np.empty(len(kept), np.int64)
+            for ri, rec in enumerate(kept):
+                dt = next((i for i, pre in enumerate(dtypes)
+                           if rec.name.startswith(pre)), None)
+                if dt is None:
+                    raise ValueError(f"Datatype not found for {rec.name}")
+                per_rec_dt[ri] = dt
+            all_dt.append(per_rec_dt[rec_id])
+        for a, b in zip(nip.tolist(), nil.tolist()):
+            if start <= a < end:
+                ins_map[a] = max(ins_map.get(a, 0), b)
+        for rec in kept:
+            _mark_cover(rec)
+        kept = []  # the loop below is skipped
+
+    for rec in kept:
         if weibull_summation:
             p, mnr, f, q, ip, il, ws = read_events(
                 rec, num_homop, weibull=True, bad_reads=bad_reads)
@@ -267,11 +306,7 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
             if start <= a < end:
                 ins_map[a] = max(ins_map.get(a, 0), b)
         # coverage: every ref position the read overlaps (incl. deletions)
-        span = sum(ln for op, ln in rec.cigar if op in "MDN=X")
-        s = max(rec.pos, start)
-        e = min(rec.pos + span, end)
-        if e > s:
-            cover[s - start : e - start] = True
+        _mark_cover(rec)
 
     def _cat(parts):
         return (np.concatenate(parts) if parts

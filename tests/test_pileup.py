@@ -183,3 +183,45 @@ def test_read_events_fast_matches_slow():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert list(fast[4]) == list(slow[4])
         assert list(fast[5]) == list(slow[5])
+
+
+def test_native_events_match_python(monkeypatch):
+    """calculate_pileup with native extraction == pure-Python path on
+    randomized cigars and dtypes."""
+    import pytest
+
+    from genomicsbench_palisade_tpu.io import native as N
+    from genomicsbench_palisade_tpu.io.bam import BamRecord
+    from genomicsbench_palisade_tpu.ops import pileup as P
+
+    if not N.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(12)
+    recs = []
+    for i in range(40):
+        cigar = []
+        qlen = 0
+        for _ in range(int(rng.integers(1, 6))):
+            op = str(rng.choice(list("MIDS")))
+            ln = int(rng.integers(1, 25))
+            if cigar and cigar[-1][0] == op:
+                continue
+            cigar.append((op, ln))
+            if op in "MIS":
+                qlen += ln
+        if not any(op == "M" for op, _ in cigar):
+            cigar.insert(0, ("M", 10))
+            qlen += 10
+        recs.append(BamRecord(
+            f"dt{i % 2}_r{i}", 16 if rng.random() < 0.5 else 0, 0,
+            int(rng.integers(0, 300)), 60, cigar,
+            rng.integers(1, 16, qlen).astype(np.uint8),
+            rng.integers(0, 40, qlen).astype(np.uint8), {}))
+    for dtypes in (None, ["dt0", "dt1"]):
+        got = P.calculate_pileup(recs, 0, 0, 400, dtypes=dtypes)
+        monkeypatch.setattr(N, "pileup_events_native", lambda *a: None)
+        want = P.calculate_pileup(recs, 0, 0, 400, dtypes=dtypes)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got["matrix"], want["matrix"])
+        np.testing.assert_array_equal(got["major"], want["major"])
+        np.testing.assert_array_equal(got["minor"], want["minor"])

@@ -60,12 +60,25 @@ def main(argv=None):
     log.info("Reading sequences")
     min_read_length = max(args.min_read, args.min_ovlp)
     print(f"minReadLength: {min_read_length}")
+    from ..io.native import parse_reads_native
+
     reads = []
     for reads_file in args.reads.split(","):
         print(f"readsFile: {reads_file}")
-        for _name, seq, _q in read_sequences(reads_file):
-            if len(seq) >= min_read_length:
-                reads.append(seq)
+        nat = parse_reads_native(reads_file)
+        if nat is not None:  # native parse -> codes, skip string round-trip
+            codes, _quals, offsets, lengths = nat
+            import numpy as _np
+
+            for i in range(len(lengths)):
+                if lengths[i] >= min_read_length:
+                    c = codes[offsets[i] : offsets[i] + lengths[i]]
+                    # both counter and minimizer paths treat non-ACGT as 3
+                    reads.append(_np.where(c >= 4, 3, c).astype(_np.uint8))
+        else:
+            for _name, seq, _q in read_sequences(reads_file):
+                if len(seq) >= min_read_length:
+                    reads.append(seq)
 
     use_minimizers = bool(cfg.get("use_minimizers", False))
     print(f"useMinimizers: {int(use_minimizers)}")

@@ -138,12 +138,31 @@ def encode_reads_np(reads, l_pad: int | None = None):
     return out, lengths
 
 
+def pad_codes_np(code_arrays, l_pad: int | None = None):
+    """[B, L] padded matrix + lengths from per-read 2-bit code arrays."""
+    if l_pad is None:
+        l_pad = max(len(c) for c in code_arrays)
+    out = np.zeros((len(code_arrays), l_pad), dtype=np.int8)
+    lengths = np.zeros(len(code_arrays), dtype=np.int32)
+    for i, c in enumerate(code_arrays):
+        out[i, : len(c)] = c
+        lengths[i] = len(c)
+    return out, lengths
+
+
 def count_kmers(reads, k: int = DEFAULT_K, min_read_length: int = 5000):
-    """Host entry point with the reference's load-time read filter."""
+    """Host entry point with the reference's load-time read filter.
+
+    reads: strings, or pre-encoded 2-bit uint8 code arrays (non-ACGT
+    already mapped to 3 — the native FASTA parser's output after the
+    4->3 quirk mapping)."""
     kept = [r for r in reads if len(r) >= min_read_length]
     if not kept:
         return {"total_kmers": 0, "hash_size": 0, "occurrences": 0}
-    bases, lengths = encode_reads_np(kept)
+    if isinstance(kept[0], str):
+        bases, lengths = encode_reads_np(kept)
+    else:
+        bases, lengths = pad_codes_np(kept)
     out = count_kmers_device(jnp.asarray(bases.astype(np.int32)), jnp.asarray(lengths), k)
     return {key: int(v) for key, v in out.items()}
 
@@ -162,7 +181,8 @@ def build_minimizer_index(reads, k: int = DEFAULT_K, window: int = 5,
     from .oracle import kmer as KO
 
     kept_reads = [r for r in reads if len(r) >= min_read_length]
-    codes = [KO.encode_seq(r).astype(np.uint8) for r in kept_reads]
+    codes = [KO.encode_seq(r).astype(np.uint8) if isinstance(r, str)
+             else np.asarray(r, np.uint8) for r in kept_reads]
     native = minimizer_counts_native(codes, k, window, 0)
     if native is not None:
         counter = Counter(native)

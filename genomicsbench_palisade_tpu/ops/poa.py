@@ -393,8 +393,12 @@ def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap
 
     code_map = {ch: i for i, ch in enumerate("ACGT")}
     b = len(graphs)
+
+    def _nn(g):
+        return g.n_nodes() if isinstance(g, NativePoaGraph) else len(g.nodes)
+
     if n_cap is None:
-        n_cap = max(8, int(2 ** np.ceil(np.log2(max(len(g.nodes) for g in graphs) + 1))))
+        n_cap = max(8, int(2 ** np.ceil(np.log2(max(_nn(g) for g in graphs) + 1))))
     if w_cap is None:
         w_cap = max(8, int(2 ** np.ceil(np.log2(max(len(s) for s in seqs) + 2))))
     if a_cap is None:
@@ -402,12 +406,19 @@ def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap
 
     garrs = []
     fallback = [False] * b
+    ranks = [None] * b
     for gi, g in enumerate(graphs):
         # device codes are global ACGT codes, not the per-graph coder
-        arr = graph_to_arrays(g, n_cap, p_cap, code_map=code_map)
-        if arr is None or not g.nodes:
-            fallback[gi] = True
-            arr = graph_to_arrays(_EMPTY_GARR_GRAPH, n_cap, p_cap)
+        if isinstance(g, NativePoaGraph):
+            arr, ranks[gi] = g.arrays(n_cap, p_cap, code_map)
+            if arr is None or _nn(g) == 0:
+                fallback[gi] = True
+                arr = graph_to_arrays(_EMPTY_GARR_GRAPH, n_cap, p_cap)
+        else:
+            arr = graph_to_arrays(g, n_cap, p_cap, code_map=code_map)
+            if arr is None or not g.nodes:
+                fallback[gi] = True
+                arr = graph_to_arrays(_EMPTY_GARR_GRAPH, n_cap, p_cap)
         garrs.append(arr)
 
     garr_stack = {
@@ -427,14 +438,16 @@ def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap
 
     out = []
     for gi, g in enumerate(graphs):
-        if fallback[gi] or not g.nodes:
-            out.append(convex_nw_align(seqs[gi], g))
+        if fallback[gi] or _nn(g) == 0:
+            gpy = g.to_python() if isinstance(g, NativePoaGraph) else g
+            out.append(convex_nw_align(seqs[gi], gpy))
             continue
         n = int(cnt[gi])
-        ranks = ai[gi, :n][::-1]
+        rk = ai[gi, :n][::-1]
         cols = aj[gi, :n][::-1]
-        node_ids = np.asarray(g.rank_to_node_id, np.int64)
-        ids = np.where(ranks < 0, -1, node_ids[np.maximum(ranks, 0)])
+        r2n = (ranks[gi] if ranks[gi] is not None else g.rank_to_node_id)
+        node_ids = np.asarray(r2n, np.int64)
+        ids = np.where(rk < 0, -1, node_ids[np.maximum(rk, 0)])
         out.append(list(zip(ids.tolist(), cols.tolist())))
     return out
 
@@ -449,17 +462,25 @@ _EMPTY_GARR_GRAPH = _EmptyGraph()
 
 
 def msa_consensus_batch(batches, params=(2, -4, -4, -2, -24, -1),
-                        timings: dict | None = None):
+                        timings: dict | None = None,
+                        use_native: bool | None = None):
     """Consensus for many windows, sequences aligned in device lock-step.
 
     timings (optional dict) receives the reference driver's phase times
-    (msa_spoa_omp.cpp:328: align / addToGraph / generateConsensus)."""
+    (msa_spoa_omp.cpp:328: align / addToGraph / generateConsensus).
+    The graph mutation/consensus runs in C++ when the native lib is
+    built (NativePoaGraph, identical results)."""
     import time as _time
 
     from .oracle.poa import PoaGraph
 
+    if use_native is None:
+        from ..io.native import available
+
+        use_native = available()
     t_align = t_add = t_cons = 0.0
-    graphs = [PoaGraph() for _ in batches]
+    graphs = [(NativePoaGraph() if use_native else PoaGraph())
+              for _ in batches]
     max_rounds = max(len(b) for b in batches)
     for k in range(max_rounds):
         idxs = [i for i, b in enumerate(batches) if k < len(b)]
@@ -478,3 +499,139 @@ def msa_consensus_batch(batches, params=(2, -4, -4, -2, -24, -1),
     if timings is not None:
         timings.update(align=t_align, add=t_add, consensus=t_cons)
     return out
+
+
+class NativePoaGraph:
+    """C++ spoa graph (native/poagraph.cpp; contract = oracle PoaGraph —
+    tests assert identical alignments and consensus across full runs).
+
+    Drop-in for the consensus loop: add_alignment / generate_consensus /
+    rank-space array export for the device aligner.  `to_python()`
+    rebuilds the spec graph for the rare p_cap-overflow fallback."""
+
+    def __init__(self):
+        from ..io.native import _load
+
+        lib = _load()
+        if not lib:
+            raise RuntimeError("native lib not built")
+        self._bind(lib)
+        self.lib = lib
+        self.h = lib.gt_poa_new()
+
+    @staticmethod
+    def _bind(lib):
+        import ctypes
+
+        if getattr(lib, "_poa_ready", False):
+            return
+        lib.gt_poa_new.restype = ctypes.c_void_p
+        lib.gt_poa_free.argtypes = [ctypes.c_void_p]
+        lib.gt_poa_add_alignment.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+        lib.gt_poa_n_nodes.restype = ctypes.c_int64
+        lib.gt_poa_n_nodes.argtypes = [ctypes.c_void_p]
+        lib.gt_poa_n_edges.restype = ctypes.c_int64
+        lib.gt_poa_n_edges.argtypes = [ctypes.c_void_p]
+        lib.gt_poa_consensus.restype = ctypes.c_int64
+        lib.gt_poa_consensus.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.gt_poa_arrays.restype = ctypes.c_int32
+        lib.gt_poa_arrays.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 6)
+        lib.gt_poa_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+        lib._poa_ready = True
+
+    def __del__(self):
+        if getattr(self, "h", None):
+            self.lib.gt_poa_free(self.h)
+            self.h = None
+
+    def n_nodes(self) -> int:
+        return int(self.lib.gt_poa_n_nodes(self.h))
+
+    def add_alignment(self, alignment, sequence: str, weights=None):
+        import ctypes
+
+        assert weights is None, "native graph supports unit weights only"
+        nid = np.array([a for a, _ in alignment], np.int32)
+        pos = np.array([b for _, b in alignment], np.int32)
+        self.lib.gt_poa_add_alignment(
+            self.h, nid.ctypes.data_as(ctypes.c_void_p),
+            pos.ctypes.data_as(ctypes.c_void_p), len(alignment),
+            sequence.encode(), len(sequence))
+
+    def generate_consensus(self) -> str:
+        import ctypes
+
+        cap = self.n_nodes() + 1
+        buf = ctypes.create_string_buffer(cap)
+        n = self.lib.gt_poa_consensus(self.h, buf, cap)
+        if n < 0:
+            raise RuntimeError("consensus overflow")
+        return buf.raw[:n].decode()
+
+    def arrays(self, n_cap: int, p_cap: int, code_map):
+        """graph_to_arrays equivalent: (garr dict, rank_to_node_id) or
+        (None, None) on cap overflow."""
+        import ctypes
+
+        code_char = np.zeros(n_cap, np.uint8)
+        preds = np.zeros((n_cap, p_cap), np.int32)
+        npreds = np.zeros(n_cap, np.int32)
+        out_empty = np.zeros(n_cap, np.uint8)
+        rank = np.zeros(n_cap, np.int32)
+        n_out = np.zeros(1, np.int64)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        rc = self.lib.gt_poa_arrays(self.h, n_cap, p_cap, p(code_char),
+                                    p(preds), p(npreds), p(out_empty),
+                                    p(rank), p(n_out))
+        if rc != 0:
+            return None, None
+        n = int(n_out[0])
+        glob = np.full(256, 9, np.int64)
+        for ch, v in code_map.items():
+            glob[ord(ch)] = v
+        code = np.zeros(n_cap, np.int32)
+        code[:n] = glob[code_char[:n]]
+        garr = {"code": code, "preds": preds, "npreds": npreds,
+                "out_empty": out_empty.astype(bool),
+                "n_nodes": np.int32(n)}
+        return garr, rank[:n].tolist()
+
+    def to_python(self):
+        """Rebuild the oracle PoaGraph (for the p_cap-overflow fallback
+        aligner; aligned-node groups are not needed by the aligner)."""
+        import ctypes
+
+        from .oracle.poa import PoaGraph
+
+        n = self.n_nodes()
+        ne = int(self.lib.gt_poa_n_edges(self.h))
+        node_char = np.zeros(max(n, 1), np.uint8)
+        eb = np.zeros(max(ne, 1), np.int32)
+        ee = np.zeros(max(ne, 1), np.int32)
+        ew = np.zeros(max(ne, 1), np.int64)
+        rank = np.zeros(max(n, 1), np.int32)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        self.lib.gt_poa_export(self.h, p(node_char), p(eb), p(ee), p(ew),
+                               p(rank))
+        g = PoaGraph()
+        for i in range(n):
+            ch = chr(node_char[i])
+            if ch not in g.coder:
+                g.coder[ch] = len(g.decoder)
+                g.decoder.append(ch)
+            g.add_node(g.coder[ch])
+        for e in range(ne):
+            g.add_edge(int(eb[e]), int(ee[e]), int(ew[e]))
+        g.rank_to_node_id = rank[:n].tolist()
+        return g

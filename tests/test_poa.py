@@ -87,3 +87,30 @@ def test_jax_consensus_end_to_end():
     got = P.msa_consensus_batch(batches)
     want = [PO.msa_consensus(b) for b in batches]
     assert got == want
+
+
+def test_native_graph_full_run_matches_python():
+    """NativePoaGraph vs oracle PoaGraph over whole consensus runs: same
+    alignments fed in, identical node counts, ranks, and consensus."""
+    import pytest
+
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(11)
+    batches, _ = _noisy_batches(rng, 4, sub=0.1, indel=0.06)
+    got = P.msa_consensus_batch(batches, use_native=True)
+    want = P.msa_consensus_batch(batches, use_native=False)
+    assert got == want
+    # step-level: alignments against a shared evolving graph
+    gn = P.NativePoaGraph()
+    gp = PO.PoaGraph()
+    for s in batches[0]:
+        a_n = P.align_batch([gn], [s])[0]
+        a_p = P.align_batch([gp], [s])[0]
+        assert a_n == a_p
+        gn.add_alignment(a_n, s)
+        gp.add_alignment(a_p, s)
+        assert gn.n_nodes() == len(gp.nodes)
+    assert gn.generate_consensus() == gp.generate_consensus()

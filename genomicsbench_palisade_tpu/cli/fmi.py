@@ -81,11 +81,23 @@ def main(argv=None):
 
         index = {k: jnp.asarray(v) for k, v in didx.as_device_arrays().items()}
 
-    seqs = [s for _n, s, _q in read_all(args.reads, limit=args.limit)]
-    num_reads = len(seqs)
-    max_rl = max(len(s) for s in seqs)
+    from ..io.native import parse_reads_native
+
+    nat = parse_reads_native(args.reads, args.limit or -1)
+    if nat is not None:
+        # native parse already yields fmi codes (A0 C1 G2 T3, others 4)
+        flat, _quals, offsets, rlens = nat
+        num_reads = len(rlens)
+        enc_rows = [flat[offsets[i] : offsets[i] + rlens[i]]
+                    for i in range(num_reads)]
+    else:
+        seqs = [s for _n, s, _q in read_all(args.reads, limit=args.limit)]
+        num_reads = len(seqs)
+        enc_rows = [encode_read(s).astype(np.int8) for s in seqs]
+        rlens = np.array([len(e) for e in enc_rows], np.int32)
+    max_rl = int(max(rlens))
     print(f"numReads = {num_reads}, max_readlength = {max_rl}, "
-          f"min_readlength = {min(len(s) for s in seqs)}")
+          f"min_readlength = {int(min(rlens))}")
 
     t0 = time.perf_counter()
     total = 0
@@ -95,11 +107,9 @@ def main(argv=None):
         from ..io.native import fmi_search_native
 
         enc = np.full((num_reads, max_rl), 4, np.int8)
-        rl = np.zeros(num_reads, np.int32)
-        for i, s in enumerate(seqs):
-            e = encode_read(s)
+        rl = np.asarray(rlens, np.int32)
+        for i, e in enumerate(enc_rows):
             enc[i, : len(e)] = e
-            rl[i] = len(e)
         allm, n1, n2, n3 = fmi_search_native(
             didx, enc, rl, min_seed_len=args.min_seed_len,
             threads=args.threads if args.threads > 1 else None,
@@ -124,11 +134,10 @@ def main(argv=None):
         return 0
 
     def encode_batch(start):
-        chunk = seqs[start : start + args.batch_size]
+        chunk = enc_rows[start : start + args.batch_size]
         enc = np.full((len(chunk), max_rl), 4, np.int32)
         rl = np.zeros(len(chunk), np.int32)
-        for i, s in enumerate(chunk):
-            e = encode_read(s)
+        for i, e in enumerate(chunk):
             enc[i, : len(e)] = e
             rl[i] = len(e)
         return enc, rl

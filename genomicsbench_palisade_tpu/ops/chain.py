@@ -222,6 +222,17 @@ def chain_dp_device_batch(x_lo, qi, qspan, st_eff, gap_table, n,
     return jax.vmap(one)(x_lo, qi, qspan, st_eff, gap_table, n)
 
 
+def _pallas_eligible(tables_ok: bool, n_pad: int, w: int, backend: str):
+    """Route to the Pallas chain kernel only when it can run: step-form
+    gap tables, 64-aligned n_pad, window <= 128 lanes, and n_pad <= 8192
+    — the kernel keeps 3 x [n_pad+w, 128] i32 planes in VMEM scratch, so
+    8192 is ~12.8 MB of the 16 MB scoped limit.  Bigger calls (the
+    reference's small dataset reaches ~87k anchors) take the XLA scan
+    path, which streams state through HBM."""
+    return (tables_ok and n_pad % 64 == 0 and w <= 128 and n_pad <= 8192
+            and backend != "cpu")
+
+
 def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     """Run a list of prepared calls (same max_dist/bw) as one device batch.
 
@@ -258,8 +269,8 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     import jax
 
     steps, gap0, ok = gap_table_steps(stack["gap_table"], c0["bw"])
-    use_pallas = (bool(ok.all()) and n_pad % 64 == 0 and w <= 128
-                  and jax.default_backend() != "cpu")  # pallas-TPU kernels
+    use_pallas = _pallas_eligible(bool(ok.all()), n_pad, w,
+                                  jax.default_backend())
 
     if use_pallas:
         b0 = stack["x_lo"].shape[0]

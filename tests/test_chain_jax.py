@@ -110,3 +110,15 @@ def test_chain_calls_batched_matches_single():
         np.testing.assert_array_equal(got[0], want[0])
         np.testing.assert_array_equal(got[1], want[1])
         np.testing.assert_array_equal(got[2], want[2])
+
+
+def test_pallas_routing_caps():
+    """VMEM-bound routing: huge calls must take the XLA scan path."""
+    from genomicsbench_palisade_tpu.ops.chain import _pallas_eligible
+
+    assert _pallas_eligible(True, 8192, 64, "tpu")
+    assert not _pallas_eligible(True, 16384, 64, "tpu")  # 3 planes > 16 MB
+    assert not _pallas_eligible(True, 8192, 256, "tpu")  # window > 128
+    assert not _pallas_eligible(True, 8192 + 32, 64, "tpu")  # misaligned
+    assert not _pallas_eligible(False, 8192, 64, "tpu")  # non-step tables
+    assert not _pallas_eligible(True, 8192, 64, "cpu")

@@ -268,6 +268,25 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
     lm = model["level_mean"].astype(np.float32)
     ls = model["level_stdv"].astype(np.float32)
     lls = model["level_log_stdv"].astype(np.float32)
+    # VMEM bound: the kernel stages the whole trace plane in an
+    # [n_bands-2, 128] i32 scratch (plus the u8 out block), so long reads
+    # (reference signals reach ~50k events -> ~100k bands) must take the
+    # scan path.  16384 bands ~ 8 MB scratch + 2 MB out of the 16 MB cap.
+    MAX_BANDS = 16384
+    long_idxs = []
+    for key in [k for k, v in groups.items() if k[0] + k[1] + 2 > MAX_BANDS]:
+        long_idxs.extend(groups.pop(key))
+    if long_idxs:
+        from . import abea as A2
+
+        sub = A2.align_events_batch(
+            [sequences[i] for i in long_idxs],
+            [event_means_list[i] for i in long_idxs], model,
+            [scales[i] for i in long_idxs], [shifts[i] for i in long_idxs],
+            bandwidth=bw, k=k, use_pallas=False)
+        for i, res in zip(long_idxs, sub):
+            results[i] = res
+
     # phase 1: prep + dispatch every group (async), so device fill of later
     # groups overlaps host decode/traceback of earlier ones
     pending = []

@@ -166,7 +166,13 @@ def _row_write(trace, t, row):
 def _compact_trace(flags, rows, cap):
     """flags [T, B] bool; rows: dict of [T, B]. Returns (dict of [B, cap]
     in step order, counts [B]).  Vectorized replacement for per-step
-    append scatters: stable-argsort pushes to the front, take first cap."""
+    append scatters: stable-argsort pushes to the front, take first cap.
+
+    Truncation policy on overflow (count > cap): the FIRST cap pushes in
+    step order are kept (the reference has no cap at all; a previous
+    engine revision kept the newest push in the last slot instead) —
+    engine-vs-engine diffs on overflowing reads are expected and the
+    overflow flag marks them."""
     t = flags.shape[0]
     if t < cap:  # trace shorter than the slot buffer: pad with non-pushes
         pad = ((0, cap - t), (0, 0))
@@ -442,9 +448,11 @@ def smems_all_pos_batch(index, enc, readlen, min_intv, min_seed_len, m_cap=96, p
         def merge(gbufs, gcounts):
             p = jnp.arange(m_cap, dtype=jnp.int32)[None, :]
             take = act[:, None] & (p < sub_counts[:, None])
-            dest = jnp.where(
-                take, jnp.minimum(gcounts[:, None] + p, m_cap - 1), m_cap
-            )
+            # overflow pushes (dest >= m_cap) route to the dummy column so
+            # duplicate destinations never target a live slot — the kept
+            # prefix stays deterministic; overflow is flagged via gcounts
+            raw = gcounts[:, None] + p
+            dest = jnp.where(take & (raw < m_cap), raw, m_cap)
             lane2 = jnp.broadcast_to(
                 jnp.arange(b, dtype=jnp.int32)[:, None], (b, m_cap)
             )

@@ -66,7 +66,10 @@ def fmi_pipeline_device(
     keep = valid1 & (length >= split_len) & (bufs1["s"] <= split_width)
     flat_keep = keep.ravel()
     pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_keep, jnp.minimum(pos, r - 1), r)
+    # qualifying SMEMs past the reseed cap route to the dummy slot r (NOT
+    # clamped to r-1): the kept prefix stays deterministic and ovf_reseed
+    # tells the caller to re-dispatch with a larger cap
+    dest = jnp.where(flat_keep & (pos < r), pos, r)
     n_reseed = jnp.sum(flat_keep.astype(jnp.int32))
     ovf_reseed = n_reseed > r
 
@@ -138,15 +141,19 @@ def fmi_pipeline_dispatch(
     max_mem_intv: int = MAX_MEM_INTV,
     split_factor: float = SPLIT_FACTOR,
     m_cap: int = 96,
+    reseed_cap: int | None = None,
 ):
     """Launch one batch asynchronously; returns device handles.
 
     Lets the driver software-pipeline batches: dispatch batch k+1 before
-    fetching batch k, hiding the ~27 ms relay fetch + host unpack."""
+    fetching batch k, hiding the ~27 ms relay fetch + host unpack.
+    Pass a larger ``reseed_cap`` (default 2*B) to re-dispatch a batch
+    whose collect reported reseed overflow."""
     split_len = int(min_seed_len * split_factor + 0.499)
     return fmi_pipeline_device(
         index, jnp.asarray(enc), jnp.asarray(readlen),
         min_seed_len, split_width, max_mem_intv, split_len, m_cap=m_cap,
+        reseed_cap=reseed_cap,
     )
 
 
@@ -179,6 +186,7 @@ def fmi_pipeline_batch(
     split_factor: float = SPLIT_FACTOR,
     rid_base: int = 0,
     m_cap: int = 96,
+    reseed_cap: int | None = None,
 ):
     """One batch of reads through all three phases (one device round trip).
 
@@ -187,6 +195,6 @@ def fmi_pipeline_batch(
     """
     handles = fmi_pipeline_dispatch(
         index, enc, readlen, min_seed_len, split_width, max_mem_intv,
-        split_factor, m_cap=m_cap,
+        split_factor, m_cap=m_cap, reseed_cap=reseed_cap,
     )
     return fmi_pipeline_collect(handles, enc.shape[0], rid_base, m_cap)

@@ -71,13 +71,13 @@ def main(argv=None):
             import numpy as _np
 
             for i in range(len(lengths)):
-                if lengths[i] >= min_read_length:
+                if lengths[i] > min_read_length:
                     c = codes[offsets[i] : offsets[i] + lengths[i]]
                     # both counter and minimizer paths treat non-ACGT as 3
                     reads.append(_np.where(c >= 4, 3, c).astype(_np.uint8))
         else:
             for _name, seq, _q in read_sequences(reads_file):
-                if len(seq) >= min_read_length:
+                if len(seq) > min_read_length:
                     reads.append(seq)
 
     use_minimizers = bool(cfg.get("use_minimizers", False))

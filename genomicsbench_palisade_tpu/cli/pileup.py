@@ -56,6 +56,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     for cs in range(start, end, CHUNK_LEN):
         ce = min(cs + CHUNK_LEN, end)
+        # the reference driver formats each chunk as "chr:<cs>-<ce>" with
+        # 0-based cs and calculate_pileup RE-parses it as 1-based
+        # (medaka_counts.c:545-555 vs :313-318), shifting every chunk's
+        # start down one position — mirror that quirk exactly
+        cs = max(cs - 1, 0)
         res = calculate_pileup(records, chrom_id, cs, ce,
                                num_homop=args.num_homop,
                                weibull_summation=args.weibull,

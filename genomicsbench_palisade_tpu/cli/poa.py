@@ -2,7 +2,8 @@
 
 Mirrors benchmarks/poa/msa_spoa_omp.cpp:96-500: reads a FASTA where a
 header whose second character is '0' starts a new batch/window, builds a
-POA graph per window (convex NW, m=2 x=-4 o1=-4 e1=-2 o2=-24 e2=-1),
+POA graph per window (convex NW, m=2 x=-4 o1=-4 e1=-2 o2=-24 e2=-1,
+handed to the engine as oe1=-6/oe2=-25 like the reference driver),
 prints each window's consensus.  Windows run in device lock-step.
 """
 
@@ -54,9 +55,11 @@ def main(argv=None):
 
     o1, _, o2 = args.o.partition(",")
     e1, _, e2 = args.e.partition(",")
-    params = (
-        args.m, -args.x, -int(o1), -int(e1), -int(o2 or 24), -int(e2 or 1)
-    )
+    o1, e1 = int(o1), int(e1)
+    o2, e2 = int(o2 or 24), int(e2 or 1)
+    # the reference driver hands spoa the COMBINED open+extend penalties
+    # (oe1 = o1+e1, oe2 = o2+e2; msa_spoa_omp.cpp:341,309-312)
+    params = (args.m, -args.x, -(o1 + e1), -e1, -(o2 + e2), -e2)
 
     batches = read_batches(args.seq_file)
     print(f"Number of batches: {len(batches)}")

@@ -43,7 +43,8 @@ def load_pore_model(path, k: int = KMER_SIZE):
     return {
         "level_mean": level_mean,
         "level_stdv": level_stdv,
-        "level_log_stdv": np.log(level_stdv).astype(np.float32),
+        "level_log_stdv": np.log(
+            level_stdv.astype(np.float64)).astype(np.float32),  # C: (float)log((double)stdv)
     }
 
 

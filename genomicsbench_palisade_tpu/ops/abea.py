@@ -28,6 +28,48 @@ FROM_D, FROM_U, FROM_L = 0, 1, 2
 NEG = np.float32(-np.inf)
 
 
+def lp_consts_f64(n_events: int, n_kmers: int):
+    """Transition penalties in DOUBLE, like align.c:199-205."""
+    events_per_kmer = n_events / n_kmers
+    p_stay = 1 - (1 / (events_per_kmer + 1))
+    lp_skip = np.log(1e-10)
+    lp_stay = np.log(p_stay)
+    lp_step = np.log(1.0 - np.exp(lp_skip) - np.exp(lp_stay))
+    lp_trim = np.log(0.01)
+    return lp_skip, lp_stay, lp_step, lp_trim
+
+
+def _hi_lo(c: float):
+    hi = np.float32(c)
+    return hi, np.float32(np.float64(c) - np.float64(hi))
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _add_c_add(x, c_hi, c_lo, y):
+    """fl32(f64(x) + c + f64(y)) via compensated f32 sums.
+
+    The C adds a double constant to the f32 band value and rounds once on
+    the float store (align.c:371-372); error-free transforms reproduce
+    that rounding (double-rounding corner cases are below observation on
+    the golden fixtures and fuzz sweeps)."""
+    s1, e1 = _two_sum(x, c_hi)
+    s2, e2 = _two_sum(s1, y)
+    comp = s2 + ((e1 + c_lo) + e2)
+    return jnp.where(jnp.isneginf(x), x, comp)
+
+
+def _add_c(x, c_hi, c_lo):
+    """fl32(f64(x) + c) (align.c:373)."""
+    s1, e1 = _two_sum(x, c_hi)
+    comp = s1 + (e1 + c_lo)
+    return jnp.where(jnp.isneginf(x), x, comp)
+
+
 @functools.partial(jax.jit, static_argnames=("bandwidth", "n_bands_pad"))
 def abea_fill_bands(
     event_means_rev_pad,  # [E_pad + 2*bw] f32, ev_rev[j]=mean[n_events-1-j]
@@ -39,7 +81,8 @@ def abea_fill_bands(
     level_log_stdv,
     scale,
     shift,
-    lp_consts,  # [4] f32: lp_skip, lp_stay, lp_step, lp_trim (f64-derived)
+    lp_consts,  # [8] f32 hi/lo pairs: skip, stay, step, trim (f64 split)
+    trim_vals,  # [n_bands_pad] f32: fl32(lp_trim_f64 * bi) per band index
     n_bands_pad: int = 0,
     bandwidth: int = ALN_BANDWIDTH,
 ):
@@ -52,20 +95,22 @@ def abea_fill_bands(
     lstdv_pad = level_log_stdv[ranks_all]
     bw = bandwidth
     half = bw // 2
-    lp_skip, lp_stay, lp_step, lp_trim = (lp_consts[i] for i in range(4))
+    (skip_hi, skip_lo, stay_hi, stay_lo, step_hi, step_lo, trim_hi,
+     _trim_lo) = (lp_consts[i] for i in range(8))
 
     o_iota = jnp.arange(bw, dtype=jnp.int32)
 
     # bands 0 and 1 (init)
     band0 = jnp.full(bw, NEG).at[half].set(0.0)
-    band1 = jnp.full(bw, NEG).at[half].set(lp_trim)
+    band1 = jnp.full(bw, NEG).at[half].set(trim_hi)
     bll_e0, bll_k0 = jnp.int32(half - 1), jnp.int32(-1 - half)
     bll_e1, bll_k1 = bll_e0 + 1, bll_k0
 
     n_bands = n_bands_pad
     e_off = event_means_rev_pad.shape[0] - 2 * bw  # = E_pad
 
-    def step(carry, bi):
+    def step(carry, xs):
+        bi, trim_here = xs
         b1, b2, e1, k1, e2, k2 = carry
         ll = b1[0]
         ur = b1[bw - 1]
@@ -77,7 +122,11 @@ def abea_fill_bands(
         pad1 = jnp.concatenate([jnp.full(1, NEG), b1, jnp.full(1, NEG)])
         pad2 = jnp.concatenate([jnp.full(2, NEG), b2, jnp.full(2, NEG)])
         up = jax.lax.dynamic_slice(pad1, (right + 1,), (bw,))
-        left = jax.lax.dynamic_slice(pad1, (1 - right,), (bw,))
+        # off_left = off - 1 + right (align.c:345 via bll shift), so the
+        # slice starts at `right` — NOT `1 - right` (a long-lived inversion
+        # that only surfaced on reference-golden cases where the skip path
+        # wins a cell; lp_skip=-23 makes that rare)
+        left = jax.lax.dynamic_slice(pad1, (right,), (bw,))
         dk2 = bk - k2
         diag = jax.lax.dynamic_slice(pad2, (1 + dk2,), (bw,))
 
@@ -90,9 +139,9 @@ def abea_fill_bands(
         a = (levels - gm) / stdv
         lp_emit = jnp.float32(-0.918938) - lstdv - 0.5 * a * a
 
-        score_d = diag + lp_step + lp_emit
-        score_u = up + lp_stay + lp_emit
-        score_l = left + lp_skip
+        score_d = _add_c_add(diag, step_hi, step_lo, lp_emit)
+        score_u = _add_c_add(up, stay_hi, stay_lo, lp_emit)
+        score_l = _add_c(left, skip_hi, skip_lo)
         ms = score_d
         frm = jnp.zeros(bw, jnp.uint8)
         ms = jnp.maximum(ms, score_u)
@@ -111,7 +160,9 @@ def abea_fill_bands(
         t_ei = be - to
         t_ok = (to >= 0) & (to < bw)
         t_in = t_ok & (t_ei >= 0) & (t_ei < n_events)
-        t_val = jnp.where(t_in, lp_trim * (t_ei + 1).astype(jnp.float32), NEG)
+        # t_ei = bi - 1 for every band, so fl32(lp_trim_f64 * (t_ei+1))
+        # is host-precomputed per band index (trim_vals)
+        t_val = jnp.where(t_in, trim_here, NEG)
         at = jnp.clip(to, 0, bw - 1)
         new_band = jnp.where(
             t_ok, new_band.at[at].set(t_val), new_band
@@ -130,7 +181,8 @@ def abea_fill_bands(
 
     carry0 = (band1, band0, bll_e1, bll_k1, bll_e0, bll_k0)
     _, (traces, bes, bks, last_vals) = jax.lax.scan(
-        step, carry0, jnp.arange(2, n_bands, dtype=jnp.int32)
+        step, carry0,
+        (jnp.arange(2, n_bands, dtype=jnp.int32), trim_vals[2:n_bands]),
     )
     del e_off
     return traces, bes, bks, last_vals
@@ -162,13 +214,16 @@ def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
     """Host-side padded inputs for one read at a given bucket."""
     n_events = len(event_means)
     n_kmers = len(sequence) - k + 1
-    events_per_kmer = n_events / n_kmers
-    p_stay = 1 - (1 / (events_per_kmer + 1))
-    lp_skip = np.log(1e-10)
-    lp_stay = np.log(p_stay)
-    lp_step = np.log(1.0 - np.exp(lp_skip) - np.exp(lp_stay))
-    lp_trim = np.log(0.01)
-    lp_consts = np.array([lp_skip, lp_stay, lp_step, lp_trim], dtype=np.float32)
+    lp_skip, lp_stay, lp_step, lp_trim = lp_consts_f64(n_events, n_kmers)
+    lp_consts = np.array(
+        [*_hi_lo(lp_skip), *_hi_lo(lp_stay), *_hi_lo(lp_step),
+         *_hi_lo(lp_trim)], dtype=np.float32)
+    # the trim cell of band bi always sits at event index bi-1, so the C's
+    # fl32(lp_trim_f64 * (event_idx+1)) store is exactly fl32(lp_trim * bi)
+    n_bands_pad = e_buck + k_buck + 2
+    trim_vals = (np.float64(lp_trim)
+                 * np.arange(n_bands_pad, dtype=np.float64)
+                 ).astype(np.float32)
 
     kmer_ranks = _kmer_ranks(sequence, k, n_kmers)
     ranks_pad = np.zeros(k_buck + 2 * bw, np.int32)
@@ -176,7 +231,7 @@ def _prep_read(sequence, event_means, bw, k, e_buck, k_buck):
     ev_rev = event_means[::-1].astype(np.float32)
     ev_pad = np.zeros(e_buck + 2 * bw, np.float32)
     ev_pad[bw : bw + n_events] = ev_rev
-    return ev_pad, ranks_pad, lp_consts, kmer_ranks
+    return ev_pad, ranks_pad, lp_consts, trim_vals, kmer_ranks
 
 
 def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
@@ -199,8 +254,10 @@ def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
     bll_e[2:] = bes
     bll_k[2:] = bks
 
-    # backtrack seed: best event against the last kmer + remaining trim
-    max_score = -np.inf
+    # backtrack seed: best event against the last kmer + remaining trim.
+    # C: float s = BAND + (n_events-ei) * lp_trim with DOUBLE lp_trim,
+    # rounded to float before the compare (align.c:427-432)
+    max_score = np.float32(-np.inf)
     curr_event_idx = 0
     curr_kmer_idx = n_kmers - 1
     for ei in range(n_events):
@@ -208,7 +265,8 @@ def _traceback(sequence, event_means, model, scale, shift, traces, bes, bks,
         if bi >= n_bands:
             break
         if bi >= 2:
-            s = last_vals[bi - 2] + (n_events - ei) * lp_trim
+            s = np.float32(np.float64(last_vals[bi - 2])
+                           + (n_events - ei) * lp_trim)
         else:
             continue
         if s > max_score:
@@ -297,9 +355,10 @@ def _traceback_batch(sequences_g, events_g, model, scales_g, shifts_g,
 
     ce = np.zeros(g_n, np.int64)  # backtrack seed event per read
     for g in range(g_n):
-        # seed: first index attaining the max of last_val + remaining trim
-        s = (lv_mat[g, nk[g] - 1 : nk[g] - 1 + ne[g]]
-             + (ne[g] - np.arange(ne[g])) * lp_trim)
+        # seed: first index attaining the max of last_val + remaining
+        # trim, compared after the C's f32 round (align.c:427-432)
+        s = np.float32(lv_mat[g, nk[g] - 1 : nk[g] - 1 + ne[g]]
+                       + (ne[g] - np.arange(ne[g])) * lp_trim)
         ce[g] = int(np.argmax(s))
 
     lm32 = model["level_mean"].astype(np.float32)
@@ -393,12 +452,14 @@ def align_events_batch(sequences, event_means_list, model, scales, shifts,
     for (e_buck, k_buck), idxs in groups.items():
         evs, rks, lps, kranks = [], [], [], []
         n_events_v, n_kmers_v = [], []
+        trims = []
         for i in idxs:
-            ev_pad, ranks_pad, lp_consts, kmer_ranks = _prep_read(
+            ev_pad, ranks_pad, lp_consts, trim_vals, kmer_ranks = _prep_read(
                 sequences[i], event_means_list[i], bw, k, e_buck, k_buck)
             evs.append(ev_pad)
             rks.append(ranks_pad)
             lps.append(lp_consts)
+            trims.append(trim_vals)
             kranks.append(kmer_ranks)
             n_events_v.append(len(event_means_list[i]))
             n_kmers_v.append(len(sequences[i]) - k + 1)
@@ -410,8 +471,8 @@ def align_events_batch(sequences, event_means_list, model, scales, shifts,
         ls = jnp.asarray(model["level_stdv"].astype(np.float32))
         lls = jnp.asarray(model["level_log_stdv"].astype(np.float32))
         traces_b, bes_b, bks_b, lv_b = jax.vmap(
-            lambda e, r, ne, nk, sc, sh, lp: fill(e, r, ne, nk, lm, ls, lls,
-                                                  sc, sh, lp)
+            lambda e, r, ne, nk, sc, sh, lp, tv: fill(
+                e, r, ne, nk, lm, ls, lls, sc, sh, lp, tv)
         )(
             jnp.asarray(np.stack(evs)),
             jnp.asarray(np.stack(rks)),
@@ -420,6 +481,7 @@ def align_events_batch(sequences, event_means_list, model, scales, shifts,
             jnp.asarray(np.array(scales, np.float32)[np.array(idxs)]),
             jnp.asarray(np.array(shifts, np.float32)[np.array(idxs)]),
             jnp.asarray(np.stack(lps)),
+            jnp.asarray(np.stack(trims)),
         )
         traces_b = np.asarray(traces_b)
         bes_b = np.asarray(bes_b)

@@ -38,7 +38,7 @@ LV_LANE0 = 104  # first of the 16 lanes holding the 2-bit last_val pieces
 
 
 def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
-            lp_ref, trace_ref, row_scratch, band_ref):
+            lp_ref, trim_ref, trace_ref, row_scratch, band_ref):
     n_bands, bw = params
     tbl_len = ev_ref.shape[2]
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -48,10 +48,14 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
     r8 = pl.program_id(0) % 8  # SMEM blocks cover 8 reads (tiling rule)
     n_events = ne_ref[r8, 0]
     n_kmers = nk_ref[r8, 0]
-    lp_skip = lp_ref[r8, 0]
-    lp_stay = lp_ref[r8, 1]
-    lp_step = lp_ref[r8, 2]
-    lp_trim = lp_ref[r8, 3]
+    # hi/lo f32 splits of the DOUBLE transition penalties: the C adds a
+    # double constant to the f32 band value and rounds once on the float
+    # store (align.c:371-373); compensated sums reproduce that rounding
+    skip_hi, skip_lo = lp_ref[r8, 0], lp_ref[r8, 1]
+    stay_hi, stay_lo = lp_ref[r8, 2], lp_ref[r8, 3]
+    step_hi, step_lo = lp_ref[r8, 4], lp_ref[r8, 5]
+    trim_hi = lp_ref[r8, 6]
+    trim_len = trim_ref.shape[2]
 
     neg = jnp.full((1, LANES), NEG, jnp.float32)
 
@@ -62,7 +66,7 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         return jnp.zeros((1, LANES), jnp.int32) + x
 
     band0 = jnp.where(l_iota == half, 0.0, neg)
-    band1 = jnp.where(l_iota == half, splat_f(lp_trim), neg)
+    band1 = jnp.where(l_iota == half, splat_f(trim_hi), neg)
     band_ref[0:1, :] = band0  # ring: band bi lives at row bi % 8
     band_ref[1:2, :] = band1
 
@@ -75,6 +79,23 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         """Extract lane `lane` of a (1, LANES) band as a scalar (max keeps
         -inf intact)."""
         return jnp.max(jnp.where(l_iota == lane, v, NEG))
+
+    def two_sum(a, b):
+        t = a + b
+        bb = t - a
+        return t, (a - (t - bb)) + (b - bb)
+
+    def add_c_add(x, c_hi, c_lo, y):
+        """fl32(f64(x) + c + f64(y)) via compensated f32 sums."""
+        s1, e1 = two_sum(x, c_hi)
+        s2, e2 = two_sum(s1, y)
+        comp = s2 + ((e1 + c_lo) + e2)
+        return jnp.where(jnp.isneginf(x), x, comp)
+
+    def add_c(x, c_hi, c_lo):
+        s1, e1 = two_sum(x, c_hi)
+        comp = s1 + (e1 + c_lo)
+        return jnp.where(jnp.isneginf(x), x, comp)
 
     def body(bi, carry):
         e1, k1, e2, k2 = carry
@@ -112,9 +133,9 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         a = (levels - gm) / stdv
         lp_emit = jnp.float32(-0.918938) - lstdv - 0.5 * a * a
 
-        score_d = diag + lp_step + lp_emit
-        score_u = up + lp_stay + lp_emit
-        score_l = left + lp_skip
+        score_d = add_c_add(diag, step_hi, step_lo, lp_emit)
+        score_u = add_c_add(up, stay_hi, stay_lo, lp_emit)
+        score_l = add_c(left, skip_hi, skip_lo)
         ms = score_d
         frm = jnp.zeros((1, LANES), jnp.int32)
         ms = jnp.maximum(ms, score_u)
@@ -134,9 +155,13 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         t_ei = be - to
         t_ok = (to >= 0) & (to < bw)
         t_in = t_ok & (t_ei >= 0) & (t_ei < n_events)
+        # the trim cell of band bi sits at event bi-1, so the host
+        # precomputes fl32(lp_trim_f64 * bi) per band index
+        tshift = (trim_len - bi % trim_len) % trim_len
+        trow = pltpu.roll(trim_ref[0], tshift, axis=1)[:, :LANES]
+        trim_here = jnp.max(jnp.where(l_iota == 0, trow, NEG))
         t_val = jnp.where(
-            splat_i(t_in.astype(jnp.int32)) == 1,
-            splat_f(lp_trim * (t_ei + 1).astype(jnp.float32)), neg)
+            splat_i(t_in.astype(jnp.int32)) == 1, splat_f(trim_here), neg)
         sel_to = (splat_i(t_ok.astype(jnp.int32)) == 1) & (l_iota == splat_i(to))
         new_band = jnp.where(sel_to, t_val, new_band)
         new_trace = jnp.where(
@@ -181,7 +206,7 @@ def _round_up(v, q):
 
 @functools.partial(jax.jit, static_argnames=("n_bands", "tbl_len", "bandwidth"))
 def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
-                           n_events, n_kmers, lp_consts,
+                           n_events, n_kmers, lp_consts, trim_tbl,
                            n_bands: int, tbl_len: int,
                            bandwidth: int = ALN_BANDWIDTH):
     """Band fill for a batch of reads, one read per grid step.
@@ -217,13 +242,16 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
     ne2 = padrow(n_events[:, None].astype(jnp.int32))
     nk2 = padrow(n_kmers[:, None].astype(jnp.int32))
     lp2 = padrow(lp_consts)
+    trim_len = trim_tbl.shape[0]
 
     traces = pl.pallas_call(
         functools.partial(_kernel, (n_bands, bandwidth)),
         grid=(b8,),
         in_specs=[row(tbl_len)] * 4 + [smem_row, smem_row,
-                  pl.BlockSpec((8, 4), lambda i: (i // 8, 0),
-                               memory_space=pltpu.SMEM)],
+                  pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1, trim_len), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, n_bands - 2, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b8, n_bands - 2, LANES), jnp.uint8),
@@ -231,7 +259,7 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
                         pltpu.VMEM((8, LANES), jnp.float32)],
     )(padrow(ev_pad)[:, None, :], padrow(gm_pad)[:, None, :],
       padrow(stdv_pad)[:, None, :], padrow(lstdv_pad)[:, None, :],
-      ne2, nk2, lp2)
+      ne2, nk2, lp2, trim_tbl[None, None, :])
     q = LANES // 4
     packed = (traces[:b, :, 0:q] | (traces[:b, :, q : 2 * q] << jnp.uint8(2))
               | (traces[:b, :, 2 * q : 3 * q] << jnp.uint8(4))
@@ -295,9 +323,16 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
         tbl_len = _round_up(max(e_buck, k_buck) + 2 * bw, LANES)
         evs, gms, stds, lstds, lps, kranks = [], [], [], [], [], []
         ne_v, nk_v = [], []
+        trim_tbl = None
         for i in idxs:
-            ev_pad, ranks_pad, lp_consts, kmer_ranks = A._prep_read(
+            (ev_pad, ranks_pad, lp_consts, trim_vals,
+             kmer_ranks) = A._prep_read(
                 sequences[i], event_means_list[i], bw, k, e_buck, k_buck)
+            if trim_tbl is None:
+                # lp_trim = log(0.01) is read-independent, one table/group
+                trim_tbl = np.zeros(_round_up(len(trim_vals), LANES),
+                                    np.float32)
+                trim_tbl[: len(trim_vals)] = trim_vals
             sc = np.float32(scales[i])
             sh = np.float32(shifts[i])
             gm = (sc * lm[ranks_pad] + sh).astype(np.float32)
@@ -321,7 +356,7 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
             jnp.asarray(np.stack(stds)), jnp.asarray(np.stack(lstds)),
             jnp.asarray(np.array(ne_v, np.int32)),
             jnp.asarray(np.array(nk_v, np.int32)),
-            jnp.asarray(np.stack(lps)),
+            jnp.asarray(np.stack(lps)), jnp.asarray(trim_tbl),
             n_bands=n_bands, tbl_len=tbl_len, bandwidth=bw,
         )
         pending.append((idxs, dev_traces, ne_v, nk_v, kranks))

@@ -84,25 +84,36 @@ class DeBruijnGraph:
                     READ, -1, -1, this_min, this_min,
                 )
 
-    # ---- cycle detection (iterative walk, debruijn.cpp:1002-1084) ----
-    def detect_cycles(self) -> bool:
-        if not self.nodes:
-            return False
-        all_nodes = sorted(self.nodes.values(), key=lambda n: n.position)
-        colour = {n.kmer: "w" for n in all_nodes}
-        stack = [all_nodes[0]]
-        while stack:
-            node = stack.pop()
-            if colour[node.kmer] == "w":
-                colour[node.kmer] = "g"
-            elif colour[node.kmer] == "g":
-                colour[node.kmer] = "b"
-            for succ in node.edges:
-                nxt = self.nodes[succ]
-                if colour[nxt.kmer] == "w":
-                    stack.append(nxt)
-                elif colour[nxt.kmer] == "g":
-                    return True
+    # ---- cycle detection (debruijn.cpp:971-1000 Recursive variant) ----
+    def detect_cycles(self, min_weight: float = 0.0) -> bool:
+        """White/grey/black DFS from every node in insertion (allNodes)
+        order; read-only edges below min_weight are skipped
+        (dfsVisit, debruijn.cpp:936-939).  Iterative emulation of the
+        reference's recursion — same coloring, same verdict."""
+        colour = {k: "w" for k in self.nodes}
+        for start in sorted(self.nodes.values(), key=lambda n: n.order):
+            if colour[start.kmer] != "w":
+                continue
+            colour[start.kmer] = "g"
+            stack = [(start, iter(list(start.edges.items())))]
+            while stack:
+                node, edge_iter = stack[-1]
+                advanced = False
+                for succ, w in edge_iter:
+                    nxt = self.nodes[succ]
+                    if nxt.colours == READ and w < min_weight:
+                        continue
+                    c = colour[succ]
+                    if c == "g":
+                        return True
+                    if c == "w":
+                        colour[succ] = "g"
+                        stack.append((nxt, iter(list(nxt.edges.items()))))
+                        advanced = True
+                        break
+                if not advanced:
+                    colour[node.kmer] = "b"
+                    stack.pop()
         return False
 
     # ---- bubble path extraction (debruijn.cpp:1147-1230) ----

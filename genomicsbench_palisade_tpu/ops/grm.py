@@ -105,6 +105,21 @@ def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int):
     return sums, counts
 
 
+def maf_filter(geno: np.ndarray, min_maf: float) -> np.ndarray:
+    """Keep-mask for plink2 --maf (plink2_filter.cc:3918-3956).
+
+    Nonmajor allele frequency from founder hardcalls (all samples are
+    founders in our inputs; missing excluded), compared against
+    min_maf * (1 - kSmallEpsilon) — plink2's float-error guard."""
+    miss = geno == 3
+    alt = np.where(miss, 0, geno).astype(np.float64).sum(1)
+    obs2 = 2.0 * (~miss).sum(1).astype(np.float64)
+    af = np.divide(alt, obs2, out=np.full(len(geno), 0.5), where=obs2 > 0)
+    nonmajor = np.minimum(af, 1.0 - af)
+    k_small_epsilon = 0.00000000000005684341886080801486968994140625
+    return nonmajor >= min_maf * (1.0 - k_small_epsilon)
+
+
 def compute_grm(geno: np.ndarray, block: int = 512, freqs: np.ndarray | None = None):
     """geno: [M, N] int8 (0/1/2 ALT dosage, 3 missing).
 

@@ -156,7 +156,7 @@ def count_kmers(reads, k: int = DEFAULT_K, min_read_length: int = 5000):
     reads: strings, or pre-encoded 2-bit uint8 code arrays (non-ACGT
     already mapped to 3 — the native FASTA parser's output after the
     4->3 quirk mapping)."""
-    kept = [r for r in reads if len(r) >= min_read_length]
+    kept = [r for r in reads if len(r) > min_read_length]
     if not kept:
         return {"total_kmers": 0, "hash_size": 0, "occurrences": 0}
     if isinstance(kept[0], str):
@@ -180,7 +180,7 @@ def build_minimizer_index(reads, k: int = DEFAULT_K, window: int = 5,
     from ..io.native import minimizer_counts_native
     from .oracle import kmer as KO
 
-    kept_reads = [r for r in reads if len(r) >= min_read_length]
+    kept_reads = [r for r in reads if len(r) > min_read_length]
     codes = [KO.encode_seq(r).astype(np.uint8) if isinstance(r, str)
              else np.asarray(r, np.uint8) for r in kept_reads]
     native = minimizer_counts_native(codes, k, window, 0)

@@ -56,14 +56,14 @@ def align(sequence: str, event_means: np.ndarray, model: dict, scale: float,
     events_per_kmer = n_events / n_kmers
     p_stay = 1 - (1 / (events_per_kmer + 1))
     epsilon = 1e-10
-    # NOTE: the C kernel keeps these in double; we fold them to f32 so the
-    # TPU kernel (all-f32 band math) is bit-identical to this oracle.  The
-    # deviation from the C is <=1 ulp per cell and only matters for exact
-    # tie patterns.
-    lp_skip = np.float32(np.log(epsilon))
-    lp_stay = np.float32(np.log(p_stay))
-    lp_step = np.float32(np.log(1.0 - np.exp(float(lp_skip)) - np.exp(float(lp_stay))))
-    lp_trim = np.float32(np.log(0.01))
+    # the C kernel keeps the transition penalties in DOUBLE and lets each
+    # score addition promote to double before the float store
+    # (align.c:202-205,371-373); replicate that exactly — scores are
+    # f32(f64(band) + lp_const_f64 + f64(emission))
+    lp_skip = np.float64(np.log(epsilon))
+    lp_stay = np.float64(np.log(p_stay))
+    lp_step = np.float64(np.log(1.0 - np.exp(lp_skip) - np.exp(lp_stay)))
+    lp_trim = np.float64(np.log(0.01))
 
     kmer_ranks = np.array(
         [get_kmer_rank(sequence[i : i + k]) for i in range(n_kmers)], dtype=np.int64
@@ -105,7 +105,7 @@ def align(sequence: str, event_means: np.ndarray, model: dict, scale: float,
         if 0 <= trim_off < bandwidth:
             ei = bll_e[bi] - trim_off
             if 0 <= ei < n_events:
-                bands[bi, trim_off] = np.float32(lp_trim * np.float32(ei + 1))
+                bands[bi, trim_off] = np.float32(lp_trim * (ei + 1))
                 trace[bi, trim_off] = FROM_U
             else:
                 bands[bi, trim_off] = -np.inf
@@ -128,9 +128,9 @@ def align(sequence: str, event_means: np.ndarray, model: dict, scale: float,
             left = bands[bi - 1, off_left] if 0 <= off_left < bandwidth else -np.inf
             diag = bands[bi - 2, off_diag] if 0 <= off_diag < bandwidth else -np.inf
             lp_emit = emission(ei, rank)
-            score_d = np.float32(np.float32(diag + lp_step) + lp_emit)
-            score_u = np.float32(np.float32(up + lp_stay) + lp_emit)
-            score_l = np.float32(np.float32(left) + lp_skip)
+            score_d = np.float32(np.float64(diag) + lp_step + np.float64(lp_emit))
+            score_u = np.float32(np.float64(up) + lp_stay + np.float64(lp_emit))
+            score_l = np.float32(np.float64(left) + lp_skip)
             max_score = score_d
             frm = FROM_D
             if score_u > max_score:
@@ -152,7 +152,7 @@ def align(sequence: str, event_means: np.ndarray, model: dict, scale: float,
         bi = (ei + 1) + (curr_kmer_idx + 1)
         off = bll_e[bi] - ei
         if 0 <= off < bandwidth:
-            s = bands[bi, off] + (n_events - ei) * lp_trim
+            s = np.float32(np.float64(bands[bi, off]) + (n_events - ei) * lp_trim)
             if s > max_score:
                 max_score = s
                 curr_event_idx = ei

@@ -52,7 +52,8 @@ def compute_sum_sumsq(data):
     sums = np.zeros(len(data) + 1, dtype=np.float64)
     sumsqs = np.zeros(len(data) + 1, dtype=np.float64)
     np.cumsum(data.astype(np.float64), out=sums[1:])
-    np.cumsum((data.astype(np.float64)) ** 2, out=sumsqs[1:])
+    # the C squares in FLOAT before accumulating in double (events.c:300)
+    np.cumsum((data * data).astype(np.float64), out=sumsqs[1:])
     return sums, sumsqs
 
 
@@ -237,13 +238,22 @@ def estimate_scalings_using_mom(sequence, model, events):
     """Method-of-moments (shift, scale) (align.c:49-95)."""
     n_kmers = len(sequence) - KMER_SIZE + 1
     event_means = events["mean"].astype(np.float64)
-    event_level_sum = float(np.sum(event_means))
-    levels = np.array(
-        [model["level_mean"][get_kmer_rank(sequence[i:i + KMER_SIZE])]
-         for i in range(n_kmers)], dtype=np.float64)
-    kmer_level_sum = float(np.sum(levels))
-    kmer_level_sq_sum = float(np.sum(levels * levels))
+    # the C accumulates SEQUENTIALLY in double (align.c:60-83); np.sum's
+    # pairwise summation lands on different ulps, which can flip the f32
+    # scalings and downstream band ties — mirror the C loop order
+    event_level_sum = 0.0
+    for x in event_means.tolist():
+        event_level_sum += x
+    levels = [float(model["level_mean"][get_kmer_rank(
+        sequence[i:i + KMER_SIZE])]) for i in range(n_kmers)]
+    kmer_level_sum = 0.0
+    kmer_level_sq_sum = 0.0
+    for l in levels:
+        kmer_level_sum += l
+        kmer_level_sq_sum += l * l
     shift = event_level_sum / len(events) - kmer_level_sum / n_kmers
-    event_level_sq_sum = float(np.sum((event_means - shift) ** 2))
+    event_level_sq_sum = 0.0
+    for x in event_means.tolist():
+        event_level_sq_sum += (x - shift) * (x - shift)
     scale = (event_level_sq_sum / len(events)) / (kmer_level_sq_sum / n_kmers)
     return np.float32(shift), np.float32(scale)

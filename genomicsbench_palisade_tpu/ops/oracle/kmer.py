@@ -77,8 +77,8 @@ def count_kmers(reads, k: int = DEFAULT_K, min_read_length: int = MIN_READ_LENGT
     """
     counter: Counter = Counter()
     for read in reads:
-        if len(read) < min_read_length:
-            continue
+        if len(read) <= min_read_length:  # reference keeps strictly longer
+            continue          # reads (sequence_container.cpp:115 `>`)
         codes = kmer_codes(encode_seq(read), k)
         for c in canonical_codes(codes, k):
             counter[int(c)] += 1
@@ -143,7 +143,7 @@ def build_minimizer_index(reads, k: int = DEFAULT_K, window: int = 5,
     """
     counter: Counter = Counter()
     for read in reads:
-        if len(read) < min_read_length:
+        if len(read) <= min_read_length:  # strict >, sequence_container.cpp:115
             continue
         codes = encode_seq(read)
         for _pos, fwd in yield_minimizers(codes, k, window):

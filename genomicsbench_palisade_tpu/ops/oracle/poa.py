@@ -26,11 +26,11 @@ NEG_INF = -(1 << 30)  # spoa kNegativeInfinity is int32 min/2-ish; any deep sent
 @dataclass
 class PoaParams:
     m: int = 2
-    n: int = -4  # mismatch
-    g: int = -4  # gap open (affine 1)
-    e: int = -2  # gap extend 1
-    q: int = -24  # gap open 2
-    c: int = -1  # gap extend 2
+    n: int = -4   # mismatch
+    g: int = -6   # oe1 = o1+e1: spoa takes COMBINED open+extend
+    e: int = -2   # gap extend 1      (msa_spoa_omp.cpp:341,309-312)
+    q: int = -25  # oe2 = o2+e2
+    c: int = -1   # gap extend 2
 
 
 @dataclass

@@ -382,7 +382,7 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
     return aln_i, aln_j, cnt
 
 
-def align_batch(graphs, seqs, params=(2, -4, -4, -2, -24, -1), n_cap=None, p_cap=16,
+def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap=16,
                 w_cap=None, a_cap=None):
     """Host entry: align seqs[k] against graphs[k] for every window k.
 
@@ -461,7 +461,7 @@ class _EmptyGraph:
 _EMPTY_GARR_GRAPH = _EmptyGraph()
 
 
-def msa_consensus_batch(batches, params=(2, -4, -4, -2, -24, -1),
+def msa_consensus_batch(batches, params=(2, -4, -6, -2, -25, -1),
                         timings: dict | None = None,
                         use_native: bool | None = None):
     """Consensus for many windows, sequences aligned in device lock-step.

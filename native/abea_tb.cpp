@@ -44,12 +44,15 @@ extern "C" int gt_abea_traceback(
 
         // backtrack seed: first index attaining the max of
         // last_val + remaining-trim penalty
-        double best = -INFINITY;
+        float best = -INFINITY;
         int64_t ce = 0;
         for (int64_t ei = 0; ei < n_events; ei++) {
             const int64_t bi = ei + n_kmers + 1;
             if (bi >= nb) break;
-            const double s = lvg[bi - 2] + (double)(n_events - ei) * lp_trim;
+            // C reference: float s = band + (n-ei)*lp_trim (double math,
+            // f32-rounded before the compare, align.c:427-432)
+            const float s =
+                (float)(lvg[bi - 2] + (double)(n_events - ei) * lp_trim);
             if (s > best) { best = s; ce = ei; }
         }
 

@@ -26,7 +26,9 @@ void sums_sumsq(const float* d, int64_t n, std::vector<double>& sum,
     sumsq.assign(n + 1, 0.0);
     for (int64_t i = 0; i < n; i++) {
         sum[i + 1] = sum[i] + d[i];
-        sumsq[i + 1] = sumsq[i] + (double)d[i] * d[i];
+        // the C squares in FLOAT before the double accumulation
+        // (events.c:300 `data[i] * data[i]` is an f32 multiply)
+        sumsq[i + 1] = sumsq[i] + (double)(d[i] * d[i]);
     }
 }
 

@@ -95,11 +95,12 @@ def test_abea_native_traceback_matches_python(model):
     fill = functools.partial(abea_fill_bands, n_bands_pad=e_buck + k_buck + 2)
     traces_g, bes_g, lv_g, kranks_g = [], [], [], []
     for seq, ev in zip(seqs, evs):
-        ev_pad, ranks_pad, lp_consts, kranks = _prep_read(
+        ev_pad, ranks_pad, lp_consts, trim_vals, kranks = _prep_read(
             seq, ev, bw, k, e_buck, k_buck)
         tr, bes, _, lv = jax.jit(fill)(
             ev_pad, ranks_pad, len(ev), len(seq) - k + 1,
-            lm, ls, lls, np.float32(1.0), np.float32(0.0), lp_consts)
+            lm, ls, lls, np.float32(1.0), np.float32(0.0), lp_consts,
+            trim_vals)
         nb = len(ev) + len(seq) - k + 1 + 2
         traces_g.append(np.asarray(tr)[: nb - 2])
         bes_g.append(np.asarray(bes)[: nb - 2])

@@ -1,0 +1,41 @@
+"""Reference-binary golden parity for the Platypus de Bruijn assembler.
+
+Fixtures in fixtures/dbg_golden.json come from the reference's own graph
+build (benchmarks/dbg/debruijn.cpp compiled via tools/golden/
+dbg_harness.cpp).  Asserts the full colored graph — node colours/
+positions/weights, every edge weight — and the cycle-detection verdict.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.ops import dbg as DG
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(FIXTURES / "dbg_golden.json") as f:
+        return json.load(f)["cases"]
+
+
+def test_dbg_graph_matches_reference(golden):
+    for case in golden:
+        g = DG.DeBruijnGraph(case["kmer_size"])
+        g.load_reference(case["ref"], case["ref_start"])
+        for r in case["reads"]:
+            g.load_read(r["seq"], np.array(r["quals"], np.uint8),
+                        case["min_qual"])
+        ours_nodes = {k: [n.colours, n.position, float(n.weight)]
+                      for k, n in g.nodes.items()}
+        assert ours_nodes == case["nodes"], "node set/attrs mismatch"
+        ours_edges = {f"{k}>{k2}": float(w)
+                      for k, n in g.nodes.items()
+                      for k2, w in n.edges.items()}
+        assert ours_edges == case["edges"], "edge weights mismatch"
+        min_weight = 2 * case["min_qual"]  # minReads * minQual
+        assert int(g.detect_cycles(min_weight)) == case["cycles"]

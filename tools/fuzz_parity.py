@@ -231,11 +231,11 @@ def fuzz_abea_tb(rng):
     fill = functools.partial(abea_fill_bands, n_bands_pad=e_buck + k_buck + 2)
     tg, bg, lg, kg = [], [], [], []
     for seq, ev in zip(seqs, evs):
-        ev_pad, ranks_pad, lp_consts, kr = _prep_read(seq, ev, bw, k,
-                                                      e_buck, k_buck)
+        ev_pad, ranks_pad, lp_consts, trim_vals, kr = _prep_read(
+            seq, ev, bw, k, e_buck, k_buck)
         tr, bes, _, lv = jax.jit(fill)(
             ev_pad, ranks_pad, len(ev), len(seq) - k + 1, lm, ls, lls,
-            np.float32(1.0), np.float32(0.0), lp_consts)
+            np.float32(1.0), np.float32(0.0), lp_consts, trim_vals)
         nb = len(ev) + len(seq) - k + 1 + 2
         tg.append(np.asarray(tr)[: nb - 2])
         bg.append(np.asarray(bes)[: nb - 2])

@@ -47,7 +47,7 @@ def run_calls(calls):
         prep = C.prepare_call(
             call.x, call.y, call.avg_qspan, call.max_dist_x, call.max_dist_y, call.bw
         )
-        n_pad = max(64, int(2 ** np.ceil(np.log2(call.n))))
+        n_pad = C.pad_anchor_bucket(call.n)
         w = max(int(2 ** np.ceil(np.log2(max(prep["w_need"], 1)))), 16)
         w = min(w, C.MAX_ITER + 16)
         key = (n_pad, w, call.max_dist_x, call.max_dist_y, call.bw)

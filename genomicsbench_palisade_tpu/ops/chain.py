@@ -222,14 +222,29 @@ def chain_dp_device_batch(x_lo, qi, qspan, st_eff, gap_table, n,
     return jax.vmap(one)(x_lo, qi, qspan, st_eff, gap_table, n)
 
 
+NC_RING = 2048  # chain_pallas ring chunk (kept in sync with chain_pallas)
+W_CAP = 512  # max pallas window (sublane) size; wider windows take the scan
+#              (reference max_iter=5000 windows are rare but possible)
+
+
+def pad_anchor_bucket(n: int) -> int:
+    """Power-of-two buckets up to 8192, then multiples of 8192 (bounded
+    compile variants; the ring kernel needs n_pad % NC_RING == 0 past one
+    chunk — reference calls reach ~87k anchors)."""
+    if n <= 8192:
+        return max(64, int(2 ** np.ceil(np.log2(max(n, 1)))))
+    return -(-n // 8192) * 8192
+
+
 def _pallas_eligible(tables_ok: bool, n_pad: int, w: int, backend: str):
-    """Route to the Pallas chain kernel only when it can run: step-form
-    gap tables, 64-aligned n_pad, window <= 128 lanes, and n_pad <= 8192
-    — the kernel keeps 3 x [n_pad+w, 128] i32 planes in VMEM scratch, so
-    8192 is ~12.8 MB of the 16 MB scoped limit.  Bigger calls (the
-    reference's small dataset reaches ~87k anchors) take the XLA scan
-    path, which streams state through HBM."""
-    return (tables_ok and n_pad % 64 == 0 and w <= 128 and n_pad <= 8192
+    """Route to the Pallas chain kernel when it can run: step-form gap
+    tables, 64-aligned n_pad, window <= 128 lanes.  The ring-carry kernel
+    (chain_pallas) holds only [nc+w] rows of sequential state in VMEM, so
+    call size is HBM-bound — reference-scale 87k-anchor calls included;
+    the ring needs n_pad to be one chunk or a multiple of chunks and the
+    carry to cover the window (n_pad >= w)."""
+    return (tables_ok and n_pad % 64 == 0 and w <= W_CAP and n_pad >= w
+            and (n_pad <= NC_RING or n_pad % NC_RING == 0)
             and backend != "cpu")
 
 
@@ -248,7 +263,7 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
         w = max(int(2 ** np.ceil(np.log2(max(w_need, 1)))), 16)
         w = min(w, MAX_ITER + 16)
     if n_pad is None:
-        n_pad = max(c["n"] for c in nonempty)
+        n_pad = pad_anchor_bucket(max(c["n"] for c in nonempty))
 
     def p(a, fill=0):
         return np.pad(a, (0, n_pad - len(a)), constant_values=fill)
@@ -264,24 +279,17 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     c0 = nonempty[0]
     # pallas fast path (ops/chain_pallas.py, ~75x the XLA scan) when every
     # call's gap table fits the step-threshold form; 128-lane padding
-    from .chain_pallas import LANE_TILE, chain_dp_pallas_batch, gap_table_steps
+    from .chain_pallas import LANE_TILE, chain_dp_pallas_batch, gap_fixed_point
 
     import jax
 
-    steps, gap0, ok = gap_table_steps(stack["gap_table"], c0["bw"])
+    steps, gap0, ok = gap_fixed_point(stack["gap_table"], c0["bw"])
     use_pallas = _pallas_eligible(bool(ok.all()), n_pad, w,
                                   jax.default_backend())
 
     if use_pallas:
         b0 = stack["x_lo"].shape[0]
         b_pad = -(-b0 // LANE_TILE) * LANE_TILE
-        # the kernel's gap(dd) is s_cap unrolled row-compares per anchor —
-        # ~2/3 of its per-step work at the 256 cap.  Typical tables need
-        # far fewer thresholds (avg_qspan 22.5 -> ~120), so size s_cap to
-        # this batch's maximum, rounded to 64 (bounded compile variants).
-        used = int((steps <= c0["bw"]).sum(axis=1).max()) if steps.size else 0
-        s_cap_eff = max(64, -(-used // 64) * 64)
-        steps = steps[:, :s_cap_eff]
 
         def padb(a, fill=0):
             return np.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),
@@ -290,7 +298,7 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
         scores, parents, peaks = chain_dp_pallas_batch(
             jnp.asarray(padb(stack["x_lo"])), jnp.asarray(padb(stack["qi"])),
             jnp.asarray(padb(stack["qspan"])), jnp.asarray(padb(stack["st_eff"])),
-            jnp.asarray(padb(steps, c0["bw"] + 1)), jnp.asarray(padb(gap0)),
+            jnp.asarray(padb(steps)), jnp.asarray(padb(gap0)),
             jnp.asarray(padb(stack["n"])),
             w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
         )
@@ -318,12 +326,33 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     return out
 
 
-def chain_call(call_dict, w: int | None = None, n_pad: int | None = None):
-    """Run one prepared call on device; returns numpy (scores, parents, peaks)."""
+def chain_call(call_dict, w: int | None = None, n_pad: int | None = None,
+               engine: str = "auto"):
+    """Run one prepared call on device; returns numpy (scores, parents,
+    peaks).  engine="auto" routes through the batched pallas ring kernel
+    when eligible (87k-anchor reference calls included); "scan" forces
+    the XLA scan path."""
     n = call_dict["n"]
     if n == 0:
         z = np.zeros(0, np.int32)
         return z, z.astype(np.int64), z
+    if engine == "auto":
+        import jax
+
+        from .chain_pallas import gap_fixed_point
+
+        npad_auto = n_pad if n_pad is not None else pad_anchor_bucket(n)
+        w_auto = w
+        if w_auto is None:
+            w_auto = max(int(2 ** np.ceil(np.log2(
+                max(call_dict["w_need"], 1)))), 16)
+            w_auto = min(w_auto, MAX_ITER + 16)
+        _, _, ok = gap_fixed_point(call_dict["gap_table"][None, :],
+                                   call_dict["bw"])
+        if _pallas_eligible(bool(ok.all()), npad_auto, w_auto,
+                            jax.default_backend()):
+            return chain_calls_batched([call_dict], w=w_auto,
+                                       n_pad=npad_auto)[0]
     if w is None:
         w = max(int(2 ** np.ceil(np.log2(max(call_dict["w_need"], 1)))), 16)
         w = min(w, MAX_ITER + 16)

@@ -38,6 +38,7 @@ from .chain import MAX_SKIP
 NEG = -(1 << 28)
 LANE_TILE = 128
 S_CAP = 256  # max gap-table steps; calls needing more use the XLA path
+NC_RING = 2048  # anchor rows per ring chunk (scratch = 3x(nc+w)x128 i32)
 
 
 def _suffix_scan(v, op, w, r_iota):
@@ -52,35 +53,39 @@ def _suffix_scan(v, op, w, r_iota):
 
 def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
             out_sc_ref, out_par_ref, out_pk_ref, sc_ref, par_ref, pk_ref):
+    """Anchor axis is processed in CHUNKS of nc rows per grid step with a
+    w-row ring carry: the sequential state scratch holds only [nc+w]
+    rows, so VMEM no longer bounds the call size (the reference's calls
+    reach ~87k anchors; the old whole-call scratch capped at 8192)."""
     w, nc, n_pad, max_dist_x, max_dist_y, bw = params
     bt = qspan_ref.shape[1]
     j = pl.program_id(1)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (w, bt), 0)
-    steps = steps_ref[:]  # [S_CAP, bt] i32 thresholds (bw+1 padded)
+    m_fp = steps_ref[0:1, :]   # [1, bt] fixed-point gap slope (<<20)
     gap0 = gap0_ref[0:1, :]  # [1, bt]
 
     @pl.when(j == 0)
     def _init():
-        sc_ref[:] = jnp.zeros((n_pad + w, bt), jnp.int32)
-        par_ref[:] = jnp.full((n_pad + w, bt), -1, jnp.int32)
-        pk_ref[:] = jnp.zeros((n_pad + w, bt), jnp.int32)
+        sc_ref[:] = jnp.zeros((nc + w, bt), jnp.int32)
+        par_ref[:] = jnp.full((nc + w, bt), -1, jnp.int32)
+        pk_ref[:] = jnp.zeros((nc + w, bt), jnp.int32)
 
     n_words = (w + 31) // 32
-    s_cap = steps.shape[0]
+    n_log = max(int(np.floor(np.log2(max(bw, 2)))), 1)
 
     def body(t, _):
-        i = j * nc + t  # anchor index within this call tile
+        i = j * nc + t  # absolute anchor index within this call tile
         qspan_i = qspan_ref[pl.ds(t, 1), :]  # [1, bt]
         st_i = st_ref[pl.ds(t, 1), :]
-        x_i = x_ref[pl.ds(i + w, 1), :]
-        q_i = q_ref[pl.ds(i + w, 1), :]
-        x_win = x_ref[pl.ds(i, w)]
-        q_win = q_ref[pl.ds(i, w)]
+        x_i = x_ref[pl.ds(t + w, 1), :]
+        q_i = q_ref[pl.ds(t + w, 1), :]
+        x_win = x_ref[pl.ds(t, w)]
+        q_win = q_ref[pl.ds(t, w)]
 
-        sc_win = sc_ref[pl.ds(i, w)]
-        par_win = par_ref[pl.ds(i, w)]
-        pk_win = pk_ref[pl.ds(i, w)]
+        sc_win = sc_ref[pl.ds(t, w)]
+        par_win = par_ref[pl.ds(t, w)]
+        pk_win = pk_ref[pl.ds(t, w)]
 
         # dr in u32 wraparound of the x low words (exact within the window)
         dr = (x_i.astype(jnp.uint32) - x_win.astype(jnp.uint32)).astype(jnp.int32)
@@ -92,10 +97,17 @@ def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
             & (dq <= max_dist_y) & (dq <= max_dist_x) & (dd <= bw)
         )
 
-        # gap(dd) = gap[0] + #(step thresholds <= dd): S_CAP row compares
-        gap = jnp.broadcast_to(gap0, (w, bt)).astype(jnp.int32)
-        for s in range(s_cap):
-            gap = gap + (dd >= steps[s : s + 1, :]).astype(jnp.int32)
+        # gap(dd) = gap0 + ((dd*m) >> 20) + (ilog2(dd) >> 1): the host
+        # verified the fixed-point slope reproduces the f64-exact table
+        # for every dd in [0, bw] (gap_fixed_point), so this matches the
+        # old 256-threshold unroll bit-for-bit at ~5% of its vector ops.
+        # Overflow for dd > bw is unmasked garbage, but those rows fail
+        # `eligible` and never contribute.
+        lin = jax.lax.shift_right_logical(dd * m_fp, 20)
+        ilog = jnp.zeros((w, bt), jnp.int32)
+        for k in range(1, n_log + 1):
+            ilog = ilog + (dd >= (1 << k)).astype(jnp.int32)
+        gap = gap0 + lin + jax.lax.shift_right_logical(ilog, 1)
 
         min_d = jnp.minimum(jnp.minimum(dq, dr), qspan_i)
         sc = jnp.where(eligible, min_d - gap + sc_win, NEG)
@@ -154,16 +166,53 @@ def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
         peak = jnp.where((max_j >= 0) & (peak_parent > max_f),
                          peak_parent, max_f)
 
-        sc_ref[pl.ds(i + w, 1), :] = max_f
-        par_ref[pl.ds(i + w, 1), :] = max_j
-        pk_ref[pl.ds(i + w, 1), :] = peak
+        sc_ref[pl.ds(t + w, 1), :] = max_f
+        par_ref[pl.ds(t + w, 1), :] = max_j
+        pk_ref[pl.ds(t + w, 1), :] = peak
         return ()
 
     jax.lax.fori_loop(0, nc, body, ())
 
-    out_sc_ref[:] = sc_ref[pl.ds(j * nc + w, nc)]
-    out_par_ref[:] = par_ref[pl.ds(j * nc + w, nc)]
-    out_pk_ref[:] = pk_ref[pl.ds(j * nc + w, nc)]
+    out_sc_ref[:] = sc_ref[pl.ds(w, nc)]
+    out_par_ref[:] = par_ref[pl.ds(w, nc)]
+    out_pk_ref[:] = pk_ref[pl.ds(w, nc)]
+
+    # ring carry: last w rows become the lead-in of the next chunk
+    # (nc >= w so source and destination never overlap)
+    sc_ref[pl.ds(0, w)] = sc_ref[pl.ds(nc, w)]
+    par_ref[pl.ds(0, w)] = par_ref[pl.ds(nc, w)]
+    pk_ref[pl.ds(0, w)] = pk_ref[pl.ds(nc, w)]
+
+
+def gap_fixed_point(gap_tables: np.ndarray, bw: int, shift: int = 20):
+    """Exact fixed-point form of the per-call gap tables.
+
+    gap_table[dd] = table[0] + floor(dd*c) + (ilog2(dd) >> 1) with
+    c = 0.01*avg_qspan (prepare_call); find integer m with
+    floor(dd*c) == (dd*m) >> shift for ALL dd in [0, bw] (host-verified
+    exactly, so the kernel's 1 mult + 1 shift replaces the table).
+    Returns (m [B] i32, gap0 [B] i32, ok [B] bool)."""
+    b = len(gap_tables)
+    dd = np.arange(bw + 1, dtype=np.int64)
+    ilog = np.zeros(bw + 1, np.int64)
+    ilog[1:] = np.floor(np.log2(dd[1:])).astype(np.int64)
+    gap0 = gap_tables[:, 0].astype(np.int64)
+    ms = np.zeros(b, np.int32)
+    ok = np.zeros(b, bool)
+    for bi in range(b):
+        lin = gap_tables[bi].astype(np.int64) - gap0[bi] - (ilog >> 1)
+        if lin[0] != 0 or np.any(np.diff(lin) < 0):
+            continue
+        # exact feasibility interval: for every dd >= 1 we need
+        # lin[dd] <= dd*m/2^shift < lin[dd]+1
+        d = dd[1:]
+        lo = int(np.max(-(-(lin[1:] << shift) // d)))          # ceil
+        hi = int(np.min((((lin[1:] + 1) << shift) - 1) // d))  # floor
+        m = max(lo, 0)
+        if lo <= hi and m < (1 << 22) and np.all((dd * m) >> shift == lin):
+            ms[bi] = m
+            ok[bi] = True
+    return ms, gap0.astype(np.int32), ok
 
 
 def gap_table_steps(gap_table: np.ndarray, bw: int, s_cap: int = S_CAP):
@@ -196,27 +245,39 @@ def gap_table_steps(gap_table: np.ndarray, bw: int, s_cap: int = S_CAP):
 )
 def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
                           w, n_pad, max_dist_x, max_dist_y, bw,
-                          lane_tile: int = LANE_TILE, nc: int = 64):
+                          lane_tile: int = LANE_TILE, nc: int | None = None):
     """Batched chain DP, pallas path.  Same outputs as
-    chain_dp_device_batch; `steps`/`gap0` come from gap_table_steps
-    (callers may slice the step axis down to the batch's real maximum —
-    the unrolled gap loop is ~2/3 of per-step work at the full 256)."""
+    chain_dp_device_batch; `steps` is the per-call fixed-point gap slope
+    from gap_fixed_point (1 mult + shift per cell instead of the old
+    unrolled threshold compares — those were ~2/3 of per-step work).
+
+    The anchor axis is chunked (ring-carry kernel), so n_pad is bounded
+    by HBM, not VMEM — reference-scale 87k-anchor calls run here."""
     b, _ = x_lo.shape
-    s_cap = steps.shape[1]
+    if nc is None:
+        nc = min(n_pad, NC_RING)
+    assert nc >= w, (nc, w)  # ring carry must cover the window
     assert b % lane_tile == 0 and n_pad % nc == 0, (b, lane_tile, n_pad, nc)
+    n_chunks = n_pad // nc
 
-    def pad_w(a):
-        return jnp.concatenate(
-            [jnp.zeros((b, w), jnp.int32), a.astype(jnp.int32)], axis=1).T
+    def halo_chunks(a):
+        """[B, n_pad] -> [n_chunks*(nc+w), B]: overlapping windows
+        (chunk j = padded rows [j*nc, j*nc+nc+w)) so pallas blocks can
+        stay non-overlapping."""
+        a_pad = jnp.concatenate(
+            [jnp.zeros((b, w), jnp.int32), a.astype(jnp.int32)], axis=1)
+        idx = (np.arange(n_chunks)[:, None] * nc
+               + np.arange(nc + w)[None, :]).reshape(-1)
+        return a_pad[:, idx].T
 
-    x_t = pad_w(x_lo)          # [n_pad + w, B]
-    q_t = pad_w(qi)
+    x_t = halo_chunks(x_lo)    # [n_chunks*(nc+w), B]
+    q_t = halo_chunks(qi)
     qspan_t = qspan.astype(jnp.int32).T   # [n_pad, B]
     st_t = st_eff.astype(jnp.int32).T
-    steps_t = steps.astype(jnp.int32).T   # [s_cap, B]
+    m_t = steps.astype(jnp.int32)[None, :]    # [1, B] fixed-point slope
     gap0_t = gap0.astype(jnp.int32)[None, :]  # [1, B]
 
-    grid = (b // lane_tile, n_pad // nc)
+    grid = (b // lane_tile, n_chunks)
 
     def col(rows):
         return pl.BlockSpec((rows, lane_tile), lambda i, j: (0, i),
@@ -230,18 +291,18 @@ def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
     scores, parents, peaks = pl.pallas_call(
         functools.partial(_kernel, (w, nc, n_pad, max_dist_x, max_dist_y, bw)),
         grid=grid,
-        in_specs=[col(n_pad + w), col(n_pad + w), chunked(nc), chunked(nc),
-                  col(s_cap), col(1)],
+        in_specs=[chunked(nc + w), chunked(nc + w), chunked(nc), chunked(nc),
+                  col(1), col(1)],
         out_specs=[chunked(nc)] * 3,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((n_pad + w, lane_tile), jnp.int32),  # scores
-            pltpu.VMEM((n_pad + w, lane_tile), jnp.int32),  # parents
-            pltpu.VMEM((n_pad + w, lane_tile), jnp.int32),  # peaks
+            pltpu.VMEM((nc + w, lane_tile), jnp.int32),  # scores ring
+            pltpu.VMEM((nc + w, lane_tile), jnp.int32),  # parents ring
+            pltpu.VMEM((nc + w, lane_tile), jnp.int32),  # peaks ring
         ],
         cost_estimate=pl.CostEstimate(
             flops=300 * b * n_pad * w, bytes_accessed=b * n_pad * 16,
             transcendentals=0,
         ),
-    )(x_t, q_t, qspan_t, st_t, steps_t, gap0_t)
+    )(x_t, q_t, qspan_t, st_t, m_t, gap0_t)
     return scores.T, parents.T, peaks.T

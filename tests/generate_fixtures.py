@@ -679,7 +679,88 @@ def gen_grm(n_cases: int = 12) -> None:
     print(f"grm: wrote {len(cases)} cases -> {out_path}")
 
 
+# --------------------------------------------------------------------------
+# chain at reference scale: the minimap2-acceleration scalar testbed (the
+# origin of the fork's chain benchmark) on calls up to ~87k anchors
+# (benchmarks/chain/src/main.cpp:100 reports n up to 87k)
+# --------------------------------------------------------------------------
+
+def _synth_chain_call(rng, n):
+    """Anchors shaped like minimap2 output: colinear diagonal segments
+    with jitter, segment switches, and scattered noise anchors; x
+    nondecreasing."""
+    xs = np.zeros(n, np.int64)
+    ys = np.zeros(n, np.int64)
+    x = int(rng.integers(10_000, 50_000))
+    diag = int(rng.integers(-5_000, 5_000))
+    i = 0
+    while i < n:
+        seg = int(rng.integers(50, 2_000))
+        for _ in range(min(seg, n - i)):
+            step = int(rng.integers(1, 60))
+            x += step
+            if rng.random() < 0.03:  # noise anchor off the diagonal
+                y = max(0, x - diag + int(rng.integers(-30_000, 30_000)))
+            else:
+                y = max(0, x - diag + int(rng.integers(-40, 40)))
+            xs[i] = x
+            ys[i] = y
+            i += 1
+            if i == n:
+                break
+        # new chain segment: jump in x and switch diagonal
+        x += int(rng.integers(0, 20_000))
+        diag = int(rng.integers(-5_000, 5_000))
+    return xs, ys
+
+
+def gen_chain_big() -> None:
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td)
+        exe = tmp / "chain_golden"
+        acc = REF / "tools/minimap2-acceleration/kernel/scalar"
+        subprocess.run(
+            [CXX, "-O2", "-fopenmp", "-w", f"-I{acc}/include",
+             f"-I{REF}/tools/minimap2",
+             *sorted(str(p) for p in (acc / "src").glob("*.cpp")),
+             "-o", str(exe)], check=True, capture_output=True)
+        rng = np.random.default_rng(20260824)
+        sizes = [8192, 8193, 16384, 30000, 50000, 87000]
+        arrays = {}
+        in_txt = tmp / "calls.txt"
+        with open(in_txt, "w") as f:
+            for ci, n in enumerate(sizes):
+                xs, ys = _synth_chain_call(rng, n)
+                avg_qspan = float(np.float32(rng.uniform(18.0, 30.0)))
+                f.write(f"{n} {avg_qspan:.6f} 5000 5000 500 1\n")
+                for xx, yy in zip(xs, ys):
+                    f.write(f"{xx} {yy}\n")
+                f.write("EOR\n")
+                arrays[f"x{ci}"] = xs
+                arrays[f"y{ci}"] = ys
+                arrays[f"qspan{ci}"] = np.float32(avg_qspan)
+        out_txt = tmp / "out.txt"
+        subprocess.run([str(exe), "-i", str(in_txt), "-o", str(out_txt)],
+                       check=True, capture_output=True)
+        with open(out_txt) as f:
+            for ci in range(len(sizes)):
+                n = int(f.readline())
+                sc = np.zeros(n, np.int32)
+                par = np.zeros(n, np.int64)
+                for i in range(n):
+                    a, b = f.readline().split()
+                    sc[i], par[i] = int(a), int(b)
+                assert f.readline().strip() == "EOR"
+                arrays[f"scores{ci}"] = sc
+                arrays[f"parents{ci}"] = par
+        arrays["n_cases"] = np.int64(len(sizes))
+        np.savez_compressed(FIXTURES / "chain_big_golden.npz", **arrays)
+        print(f"chain_big: wrote {len(sizes)} cases "
+              f"(n up to {max(sizes)}) -> chain_big_golden.npz")
+
+
 GENERATORS = {
+    "chain_big": gen_chain_big,
     "fmi": gen_fmi,
     "kmer": gen_kmer,
     "poa": gen_poa,

@@ -59,31 +59,32 @@ def test_chain_tiny_and_gap_table():
         np.testing.assert_array_equal(parents, want["parents"])
 
 
-def test_gap_table_steps_contract():
-    """Step-threshold reconstruction == table lookup; fallback flags."""
-    from genomicsbench_palisade_tpu.ops.chain_pallas import gap_table_steps
+def test_gap_fixed_point_contract():
+    """Fixed-point reconstruction == f64-exact table; fallback flags."""
+    from genomicsbench_palisade_tpu.ops.chain_pallas import gap_fixed_point
 
     bw = 500
     rng = np.random.default_rng(3)
-    # realistic monotone tables from prepare_call at several avg_qspans
+    # realistic tables from prepare_call across the avg_qspan range
     tables = []
-    for q in (5.0, 22.5, 40.0):
+    for q in (5.0, 17.3, 22.5, 28.9, 40.0, 255.0):
         prep = C.prepare_call(
             np.cumsum(rng.integers(1, 40, 8)).astype(np.int64),
             np.arange(8).astype(np.int64), q)
         tables.append(prep["gap_table"])
     gt = np.stack(tables)
-    steps, gap0, ok = gap_table_steps(gt, bw)
+    ms, gap0, ok = gap_fixed_point(gt, bw)
     assert ok.all()
-    dd = np.arange(bw + 1)
+    dd = np.arange(bw + 1, dtype=np.int64)
+    ilog = np.zeros(bw + 1, np.int64)
+    ilog[1:] = np.floor(np.log2(dd[1:])).astype(np.int64)
     for b in range(gt.shape[0]):
-        rebuilt = gap0[b] + (dd[:, None] >= steps[b][None, :]).sum(1)
+        rebuilt = gap0[b] + ((dd * int(ms[b])) >> 20) + (ilog >> 1)
         np.testing.assert_array_equal(rebuilt, gt[b])
-    # a non-monotone table and a too-steep table must flag the XLA path
+    # a non-monotone table must flag the XLA path
     bad = gt[:1].copy()
     bad[0, 10] = bad[0, 9] - 1
-    steep = np.arange(0, 3 * (bw + 1), 3)[None, :]
-    _, _, ok2 = gap_table_steps(np.concatenate([bad, steep]), bw)
+    _, _, ok2 = gap_fixed_point(bad, bw)
     assert not ok2.any()
 
 
@@ -113,12 +114,18 @@ def test_chain_calls_batched_matches_single():
 
 
 def test_pallas_routing_caps():
-    """VMEM-bound routing: huge calls must take the XLA scan path."""
-    from genomicsbench_palisade_tpu.ops.chain import _pallas_eligible
+    """Ring-kernel routing: chunk alignment and window caps."""
+    from genomicsbench_palisade_tpu.ops.chain import (_pallas_eligible,
+                                                      pad_anchor_bucket)
 
     assert _pallas_eligible(True, 8192, 64, "tpu")
-    assert not _pallas_eligible(True, 16384, 64, "tpu")  # 3 planes > 16 MB
-    assert not _pallas_eligible(True, 8192, 256, "tpu")  # window > 128
+    # ring-carry kernel: reference-scale calls are now pallas-eligible
+    assert _pallas_eligible(True, 16384, 64, "tpu")
+    assert _pallas_eligible(True, pad_anchor_bucket(87000), 64, "tpu")
+    assert _pallas_eligible(True, 8192, 256, "tpu")  # wide windows OK now
+    assert not _pallas_eligible(True, 8192, 1024, "tpu")  # > W_CAP
     assert not _pallas_eligible(True, 8192 + 32, 64, "tpu")  # misaligned
+    assert not _pallas_eligible(True, 2048 + 64, 64, "tpu")  # chunk-misaligned
     assert not _pallas_eligible(False, 8192, 64, "tpu")  # non-step tables
     assert not _pallas_eligible(True, 8192, 64, "cpu")
+    assert pad_anchor_bucket(87000) % 2048 == 0

@@ -95,7 +95,7 @@ def bench_chain():
     import jax.numpy as jnp
 
     from genomicsbench_palisade_tpu.ops.chain_pallas import (
-        chain_dp_pallas_batch, gap_table_steps)
+        chain_dp_pallas_batch, gap_fixed_point)
 
     rng = np.random.default_rng(2)
     n, n_calls, w = 4096, 128, 64
@@ -107,7 +107,7 @@ def bench_chain():
     stack = {k: np.stack([(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
                           for c in calls])
              for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
-    steps, gap0, ok = gap_table_steps(stack["gap_table"], 500)
+    steps, gap0, ok = gap_fixed_point(stack["gap_table"], 500)
     assert ok.all()
     args = tuple(jax.device_put(a) for a in (
         stack["x_lo"], stack["qi"], stack["qspan"], stack["st_eff"],

@@ -80,7 +80,7 @@ def check_chain():
 
     from genomicsbench_palisade_tpu.ops import chain as C
     from genomicsbench_palisade_tpu.ops.chain_pallas import (
-        chain_dp_pallas_batch, gap_table_steps)
+        chain_dp_pallas_batch, gap_fixed_point)
 
     rng = np.random.default_rng(2)
     b, n, w = 128, 1024, 64
@@ -92,11 +92,8 @@ def check_chain():
     stack = {k: np.stack([(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
                           for c in calls])
              for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
-    steps, gap0, ok = gap_table_steps(stack["gap_table"], 500)
+    steps, gap0, ok = gap_fixed_point(stack["gap_table"], 500)
     assert ok.all()
-    # production path sizes the step axis to the batch max (ops/chain.py)
-    used = int((steps <= 500).sum(axis=1).max())
-    steps = steps[:, : max(64, -(-used // 64) * 64)]
     args = tuple(jnp.asarray(stack[k])
                  for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table"))
     want = C.chain_dp_device_batch(*args, jnp.full(b, n, np.int32),

@@ -13,7 +13,9 @@ import time
 
 import numpy as np
 
-from ..io.bam import SEQ_NT16_STR, read_bam
+import os
+
+from ..io.bam import SEQ_NT16_STR, read_bam, read_bam_region
 from ..io.fastq import read_all
 from ..ops.dbg import assemble_window, window_batches
 
@@ -40,7 +42,10 @@ def main(argv=None):
     if end is None:
         end = len(ref)
 
-    refs, records = read_bam(args.bam)
+    if beg is not None and end is not None and os.path.exists(args.bam + ".bai"):
+        refs, records = read_bam_region(args.bam, chrom, beg, end)
+    else:
+        refs, records = read_bam(args.bam)
     names = [n for n, _l in refs]
     rid = names.index(chrom)
     reads = []

@@ -12,7 +12,9 @@ import re
 import sys
 import time
 
-from ..io.bam import read_bam
+import os
+
+from ..io.bam import read_bam, read_bam_region
 from ..ops.pileup import calculate_pileup, print_pileup
 
 CHUNK_LEN = 100000
@@ -44,7 +46,13 @@ def main(argv=None):
     _enable_cache()
 
     chrom, start, end = parse_region(args.region)
-    refs, records = read_bam(args.bam, parse_tags=args.weibull)
+    if end is not None and os.path.exists(args.bam + ".bai"):
+        # indexed access: stream only the region's BGZF blocks
+        # (medaka_counts.c:330-340 htslib iterator analog)
+        refs, records = read_bam_region(args.bam, chrom, max(start - 1, 0),
+                                        end, parse_tags=args.weibull)
+    else:
+        refs, records = read_bam(args.bam, parse_tags=args.weibull)
     names = [n for n, _l in refs]
     if chrom not in names:
         print(f"Reference {chrom} not in BAM", file=sys.stderr)

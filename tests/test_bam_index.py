@@ -1,0 +1,80 @@
+"""Indexed BAM region access: .bai parsing, streaming BGZF, index build.
+
+fixtures/indexed_bam/ holds a BAM written by io/bam.py and a .bai built
+by htslib's sam_index_build — parsing the htslib index cross-validates
+our .bai reader against the reference tool family's own indexer
+(medaka_counts.c:330-340 relies on these iterators).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.io import bam as B
+
+FIXDIR = pathlib.Path(__file__).parent / "fixtures" / "indexed_bam"
+BAM = str(FIXDIR / "toy.bam")
+
+REGIONS = [(0, 500), (1, 2), (40_000, 55_000), (100_000, 100_001),
+           (149_000, 160_000), (0, 160_000)]
+
+
+def _want(allrecs, beg, end):
+    return [r.name for r in allrecs
+            if r.pos < end
+            and r.pos + max(sum(l for op, l in r.cigar
+                                if op in "MDN=X"), 1) > beg]
+
+
+@pytest.fixture(scope="module")
+def whole():
+    return B.read_bam(BAM)
+
+
+def test_region_reads_htslib_index(whole):
+    refs, allrecs = whole
+    for beg, end in REGIONS:
+        _, got = B.read_bam_region(BAM, "tig1", beg, end)
+        assert [r.name for r in got] == _want(allrecs, beg, end), (beg, end)
+
+
+def test_region_reads_own_index(tmp_path, whole):
+    refs, allrecs = whole
+    bai = str(tmp_path / "own.bai")
+    B.build_bai(BAM, bai)
+    for beg, end in REGIONS:
+        _, got = B.read_bam_region(BAM, "tig1", beg, end, bai_path=bai)
+        assert [r.name for r in got] == _want(allrecs, beg, end), (beg, end)
+
+
+def test_region_record_contents_match(whole):
+    _, allrecs = whole
+    beg, end = 40_000, 55_000
+    _, got = B.read_bam_region(BAM, "tig1", beg, end)
+    by_name = {r.name: r for r in allrecs}
+    for r in got:
+        w = by_name[r.name]
+        assert r.pos == w.pos and r.cigar == w.cigar and r.flag == w.flag
+        np.testing.assert_array_equal(r.seq_nt16, w.seq_nt16)
+        np.testing.assert_array_equal(r.qual, w.qual)
+
+
+def test_pileup_cli_indexed_equals_whole(tmp_path, capsys):
+    """The pileup driver produces identical matrices with and without
+    the index present (it streams the region when .bai exists)."""
+    import shutil
+
+    from genomicsbench_palisade_tpu.cli.pileup import main as pileup_main
+
+    region = "tig1:40001-55000"
+    rc = pileup_main([BAM, region, "1"])
+    assert rc == 0
+    indexed = capsys.readouterr().out
+
+    noidx_bam = tmp_path / "noidx.bam"
+    shutil.copyfile(BAM, noidx_bam)
+    rc = pileup_main([str(noidx_bam), region, "1"])
+    assert rc == 0
+    whole_out = capsys.readouterr().out
+    assert indexed == whole_out

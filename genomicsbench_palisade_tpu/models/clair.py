@@ -90,7 +90,10 @@ class ClairModel(nn.Module):
         heads = []
         for i, out in enumerate((GT21, GENOTYPE, VARLEN, VARLEN)):
             l5 = selu(nn.Dense(self.l5_units, name=f"l5_{i+1}")(l4))
-            heads.append(jax.nn.softmax(nn.Dense(out, name=f"y_{i+1}")(l5)))
+            # the reference applies selu AS THE ACTIVATION of the logits
+            # dense before the softmax (model.py:581-588 activation=selu)
+            logits = selu(nn.Dense(out, name=f"y_{i+1}")(l5))
+            heads.append(jax.nn.softmax(logits))
         return tuple(heads)
 
 
@@ -101,3 +104,73 @@ def init_model(rng_seed=0, batch=2):
         jnp.zeros((batch, POSITIONS, MATRIX_ROW, MATRIX_NUM)),
     )
     return model, params
+
+
+# ---------------------------------------------------------------------------
+# TF1 checkpoint conversion
+# ---------------------------------------------------------------------------
+
+_LSTM_SCOPE = ("{scope}/stack_bidirectional_rnn/cell_0/bidirectional_rnn/"
+               "{direction}/cudnn_compatible_lstm_cell")
+
+
+def load_tf_variables(variables: dict):
+    """Convert a Clair TF1 variable map (name -> numpy array) into flax
+    params.
+
+    Names/layouts follow the reference graph (model.py:423-640 under
+    tf.contrib.rnn.stack_bidirectional_dynamic_rnn with
+    CudnnCompatibleLSTMCell): LSTM kernels are [(input+units), 4*units]
+    with fused gate order (i, c, f, o) and one fused bias; slice-dense
+    units live at L3/Unit_{c}; heads at L5_{k} and
+    Prediction/Y_*_logits.  (The TF1+tf.contrib stack cannot execute
+    under the installed TF2, so conversion is validated against a cited
+    numpy transcription of the cell/graph semantics —
+    tests/generate_fixtures.py gen_clair.)
+    """
+    units = 128
+    params = {"params": {}}
+    p = params["params"]
+
+    def lstm_block(scope_name, our_name):
+        block = {}
+        for direction, ours in (("fw", "fwd"), ("bw", "bwd")):
+            scope = _LSTM_SCOPE.format(scope=scope_name, direction=direction)
+            kernel = np.asarray(variables[scope + "/kernel"])
+            bias = np.asarray(variables[scope + "/bias"])
+            n_in = kernel.shape[0] - units
+            wx, wh = kernel[:n_in], kernel[n_in:]
+            cell = {}
+            # fused order (i, c, f, o) -> flax gates (i, g, f, o); flax's
+            # input-side gate denses are bias-free, so the fused TF bias
+            # rides on the hidden-side dense
+            for gi, gate in enumerate(("i", "g", "f", "o")):
+                sl = slice(gi * units, (gi + 1) * units)
+                cell[f"i{gate}"] = {"kernel": jnp.asarray(wx[:, sl])}
+                cell[f"h{gate}"] = {"kernel": jnp.asarray(wh[:, sl]),
+                                    "bias": jnp.asarray(bias[sl])}
+            block[ours] = cell
+        p[our_name] = block
+
+    lstm_block("LSTM1", "lstm1")
+    lstm_block("LSTM2", "lstm2")
+
+    ch = 2 * units
+    l3_k = np.stack([np.asarray(variables[f"L3/Unit_{c}/kernel"])
+                     for c in range(ch)])
+    l3_b = np.stack([np.asarray(variables[f"L3/Unit_{c}/bias"])
+                     for c in range(ch)])
+    p["l3_kernel"] = jnp.asarray(l3_k)
+    p["l3_bias"] = jnp.asarray(l3_b)
+    p["l4"] = {"kernel": jnp.asarray(variables["L4/kernel"]),
+               "bias": jnp.asarray(variables["L4/bias"])}
+    head_names = ("Y_base_change_logits", "Y_genotype_logits",
+                  "Y_indel_length_logits_1", "Y_indel_length_logits_2")
+    for k in range(4):
+        p[f"l5_{k + 1}"] = {
+            "kernel": jnp.asarray(variables[f"L5_{k + 1}/kernel"]),
+            "bias": jnp.asarray(variables[f"L5_{k + 1}/bias"])}
+        p[f"y_{k + 1}"] = {
+            "kernel": jnp.asarray(variables[f"Prediction/{head_names[k]}/kernel"]),
+            "bias": jnp.asarray(variables[f"Prediction/{head_names[k]}/bias"])}
+    return params

@@ -759,7 +759,202 @@ def gen_chain_big() -> None:
               f"(n up to {max(sizes)}) -> chain_big_golden.npz")
 
 
+# --------------------------------------------------------------------------
+# nn-base: bonito torch checkpoint round-trip against the reference's own
+# torch model (benchmarks/nn-base/bonito/basecall.py classes)
+# --------------------------------------------------------------------------
+
+def _stub(name, **attrs):
+    import types
+
+    mod = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _bonito_weight_arrays(names_shapes, seed=20260825):
+    """Deterministic weight recipe shared by generator and test: one rng
+    stream over the state_dict key order."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, shape in names_shapes:
+        if name.endswith("num_batches_tracked"):
+            out[name] = np.zeros(shape, np.int64)
+        elif "running_var" in name:
+            out[name] = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+        elif "running_mean" in name:
+            out[name] = rng.normal(0, 0.3, shape).astype(np.float32)
+        else:
+            out[name] = rng.normal(0, 0.08, shape).astype(np.float32)
+    return out
+
+
+def gen_bonito() -> None:
+    import importlib.util
+    import tomllib
+
+    import torch
+
+    # basecall.py's top-level imports include GPU/IO deps absent here;
+    # only the Module classes are needed
+    _stub("ont_fast5_api")
+    _stub("ont_fast5_api.fast5_interface", get_fast5_file=None)
+    _stub("bonito_cuda_runtime", CuModel=None)
+    _stub("fast_ctc_decode", beam_search=None, viterbi_search=None)
+    _stub("tqdm", tqdm=lambda x, **k: x)
+    _stub("scipy")
+    _stub("scipy.signal", find_peaks=None)
+    _stub("toml", load=lambda p: tomllib.load(open(p, "rb")))
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_bonito_basecall", REF / "benchmarks/nn-base/bonito/basecall.py")
+    M = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(M)
+
+    with open(REF / "benchmarks/nn-base/models/bonito_dna_r941/config.toml",
+              "rb") as f:
+        config = tomllib.load(f)
+    model = M.Model(config)
+    model.eval()
+    names_shapes = [[k, list(v.shape)] for k, v in model.state_dict().items()]
+    arrays = _bonito_weight_arrays(names_shapes)
+    model.load_state_dict({k: torch.tensor(v) for k, v in arrays.items()})
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (2, 1, 1200)).astype(np.float32)
+    with torch.no_grad():
+        logits = model(torch.tensor(x)).numpy()  # [B, T', C] log-softmax
+
+    np.savez_compressed(
+        FIXTURES / "bonito_golden.npz",
+        input=x, logits=logits.astype(np.float32),
+        names=np.array(json.dumps(names_shapes)))
+    print(f"bonito: torch round-trip golden logits {logits.shape} "
+          f"-> bonito_golden.npz")
+
+
+# --------------------------------------------------------------------------
+# nn-variant: Clair forward golden from a numpy transcription of the
+# reference TF1 graph (the tf.contrib stack cannot execute under TF2)
+# --------------------------------------------------------------------------
+
+CLAIR_UNITS = 128
+
+
+def _clair_var_list():
+    """Ordered (name, shape) list matching the reference graph's
+    variables (model.py:423-640)."""
+    out = []
+    for scope, n_in in (("LSTM1", 32), ("LSTM2", 256)):
+        for d in ("fw", "bw"):
+            base = (f"{scope}/stack_bidirectional_rnn/cell_0/"
+                    f"bidirectional_rnn/{d}/cudnn_compatible_lstm_cell")
+            out.append((base + "/kernel", (n_in + CLAIR_UNITS,
+                                           4 * CLAIR_UNITS)))
+            out.append((base + "/bias", (4 * CLAIR_UNITS,)))
+    for c in range(2 * CLAIR_UNITS):
+        out.append((f"L3/Unit_{c}/kernel", (33, 30)))
+        out.append((f"L3/Unit_{c}/bias", (30,)))
+    out.append(("L4/kernel", (30 * 256, 192)))
+    out.append(("L4/bias", (192,)))
+    heads = ("Y_base_change_logits", "Y_genotype_logits",
+             "Y_indel_length_logits_1", "Y_indel_length_logits_2")
+    outs = (21, 3, 33, 33)
+    for k in range(4):
+        out.append((f"L5_{k + 1}/kernel", (192, 96)))
+        out.append((f"L5_{k + 1}/bias", (96,)))
+    for k in range(4):
+        out.append((f"Prediction/{heads[k]}/kernel", (96, outs[k])))
+        out.append((f"Prediction/{heads[k]}/bias", (outs[k],)))
+    return out
+
+
+def _clair_variables(seed=20260826):
+    rng = np.random.default_rng(seed)
+    return {name: rng.normal(0, 0.08, shape).astype(np.float32)
+            for name, shape in _clair_var_list()}
+
+
+def _selu_np(x):
+    # clair/selu.py:26-30 constants
+    alpha = 1.6732632423543772848170429916717
+    scale = 1.0507009873554804934193349852946
+    return scale * np.where(x >= 0, x, alpha * (np.exp(np.minimum(x, 0)) - 1))
+
+
+def _clair_numpy_forward(variables, x):
+    """Transcription of the reference 2BiLSTM forward (model.py:423-640;
+    CudnnCompatibleLSTMCell == LSTMBlockCell with forget_bias=0 and fused
+    gate order (i, c, f, o))."""
+    u = CLAIR_UNITS
+    b = x.shape[0]
+    h = x.reshape(b, 33, 32).astype(np.float64)
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    def lstm_dir(seq, kernel, bias):
+        hh = np.zeros((b, u))
+        cc = np.zeros((b, u))
+        outs = []
+        for t in range(seq.shape[1]):
+            z = np.concatenate([seq[:, t, :], hh], 1) @ kernel + bias
+            gi = sigmoid(z[:, :u])
+            gg = np.tanh(z[:, u : 2 * u])
+            gf = sigmoid(z[:, 2 * u : 3 * u])  # forget_bias = 0
+            go = sigmoid(z[:, 3 * u :])
+            cc = gf * cc + gi * gg
+            hh = go * np.tanh(cc)
+            outs.append(hh)
+        return np.stack(outs, 1)
+
+    def bilstm(seq, scope):
+        base = (f"{scope}/stack_bidirectional_rnn/cell_0/"
+                f"bidirectional_rnn/%s/cudnn_compatible_lstm_cell")
+        fw = lstm_dir(seq, variables[base % "fw" + "/kernel"],
+                      variables[base % "fw" + "/bias"])
+        bw = lstm_dir(seq[:, ::-1, :], variables[base % "bw" + "/kernel"],
+                      variables[base % "bw" + "/bias"])[:, ::-1, :]
+        return np.concatenate([fw, bw], -1)
+
+    h = bilstm(h, "LSTM1")
+    h = bilstm(h, "LSTM2")  # [B, 33, 256]
+    l3 = np.stack(
+        [_selu_np(h[:, :, c] @ variables[f"L3/Unit_{c}/kernel"]
+                  + variables[f"L3/Unit_{c}/bias"])
+         for c in range(256)], axis=2)  # [B, 30, 256]
+    l3f = l3.reshape(b, 30 * 256)
+    l4 = _selu_np(l3f @ variables["L4/kernel"] + variables["L4/bias"])
+    heads = ("Y_base_change_logits", "Y_genotype_logits",
+             "Y_indel_length_logits_1", "Y_indel_length_logits_2")
+    outs = []
+    for k in range(4):
+        l5 = _selu_np(l4 @ variables[f"L5_{k + 1}/kernel"]
+                      + variables[f"L5_{k + 1}/bias"])
+        logits = _selu_np(l5 @ variables[f"Prediction/{heads[k]}/kernel"]
+                          + variables[f"Prediction/{heads[k]}/bias"])
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        outs.append(e / e.sum(-1, keepdims=True))
+    return outs
+
+
+def gen_clair() -> None:
+    variables = _clair_variables()
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (3, 33, 8, 4)).astype(np.float32)
+    gt21, genotype, il1, il2 = _clair_numpy_forward(variables, x)
+    np.savez_compressed(
+        FIXTURES / "clair_golden.npz", input=x,
+        gt21=gt21.astype(np.float32), genotype=genotype.astype(np.float32),
+        indel1=il1.astype(np.float32), indel2=il2.astype(np.float32))
+    print("clair: transcription golden outputs -> clair_golden.npz")
+
+
 GENERATORS = {
+    "bonito": gen_bonito,
+    "clair": gen_clair,
     "chain_big": gen_chain_big,
     "fmi": gen_fmi,
     "kmer": gen_kmer,

@@ -36,6 +36,23 @@ import numpy as np
 NEG = -(1 << 30)
 
 
+@jax.tree_util.register_static
+class ShardAxis:
+    """Pytree-STATIC marker carried inside an index dict: names the mesh
+    axis whose shard_map owns the cp_pack rows.  Being static, the jitted
+    pipeline functions re-trace (with psum broadcasts) instead of reusing
+    an unsharded cache entry."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __hash__(self):
+        return hash(("ShardAxis", self.name))
+
+    def __eq__(self, other):
+        return isinstance(other, ShardAxis) and self.name == other.name
+
+
 def _masks_for_y(y):
     """Top-y-bit masks of a 64-bit block split into (hi, lo) u32 words."""
     y = y.astype(jnp.int32)
@@ -77,9 +94,24 @@ def occ_all(index, pp):
     """occ(pp, c) for all four bases: pp [...] -> [..., 4] (GET_OCC).
 
     Uses the packed 64-byte block row (one gather per position, the
-    reference's cache-line CP_OCC layout) when the index provides it."""
+    reference's cache-line CP_OCC layout) when the index provides it.
+    When the index carries "shard_axis" (inside a shard_map whose
+    cp_pack rows are sharded by block range — genome-scale indexes
+    outgrow one chip's HBM), the owner shard gathers locally and
+    broadcasts the row with one psum, so the FULL 3-phase SMEM pipeline
+    runs unchanged over a sharded index."""
     blk = (pp >> 6).astype(jnp.int32)
     pack = index.get("cp_pack")
+    axis = index.get("shard_axis")
+    if pack is not None and axis is not None:
+        rows_per = pack.shape[0]
+        off = jax.lax.axis_index(axis.name).astype(jnp.int32) * rows_per
+        loc = blk - off
+        mine = (loc >= 0) & (loc < rows_per)
+        row = pack[jnp.clip(loc, 0, rows_per - 1)]
+        row = jnp.where(mine[..., None], row, 0)
+        row = jax.lax.psum(row, axis.name)  # owner shard broadcasts the row
+        return occ_from_pack_row(row, pp, index["cp_count"].dtype)
     if pack is not None:
         row = pack[blk]  # [..., 16] — ONE contiguous gather
         return occ_from_pack_row(row, pp, index["cp_count"].dtype)

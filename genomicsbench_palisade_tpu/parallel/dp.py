@@ -331,3 +331,50 @@ def chain_dp_halo_sharded(mesh: Mesh, call: dict, w: int, axis: str = "dp"):
         jnp.asarray(st_eff), jnp.asarray(gap_table))
     return (np.asarray(scores)[:n], np.asarray(parents)[:n].astype(np.int64),
             np.asarray(peaks)[:n])
+
+
+def fmi_pipeline_index_sharded(mesh: Mesh, index: dict, enc, readlen,
+                               min_seed_len: int = 19, m_cap: int = 96,
+                               axis: str = "dp"):
+    """The FULL 3-phase SMEM pipeline (ops.fmi_pipeline) over an
+    index SHARDED by cp_occ block range — the multi-chip mode for
+    genome-scale indexes (hg38 cp_occ ~6 GB outgrows one chip's HBM).
+
+    Reads and the small index arrays (count, SA meta) are replicated; the
+    packed 64-byte occ rows are sharded P(axis); every occ lookup inside
+    the unchanged pipeline resolves via owner-gather + psum broadcast
+    (ops.fmi.occ_all's shard_axis mode).  Compaction/sort state is
+    replicated across shards, so results are identical to the unsharded
+    engine.  Returns the packed [2B+R, 3+5*cap] i32 rows of
+    fmi_pipeline_device (unpack with ops.fmi_pipeline.fmi_pipeline_collect).
+    """
+    import numpy as _np
+
+    from ..ops import fmi_pipeline as FP
+
+    ndev = mesh.devices.size
+    cp_host = _np.asarray(index["cp_pack"])
+    pad = (-cp_host.shape[0]) % ndev
+    if pad:
+        cp_host = _np.concatenate(
+            [cp_host, _np.zeros((pad, cp_host.shape[1]), cp_host.dtype)])
+    cp_pack = jax.device_put(cp_host, NamedSharding(mesh, P(axis, None)))
+    rest = {k: v for k, v in index.items() if k != "cp_pack"}
+    split_len = int(min_seed_len * FP.SPLIT_FACTOR + 0.499)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None)),
+        out_specs=(P(None, None), P()),
+        check_rep=False,
+    )
+    def run(pack_local, enc_r, readlen_r):
+        from ..ops.fmi import ShardAxis
+
+        local_index = dict(rest, cp_pack=pack_local,
+                           shard_axis=ShardAxis(axis))
+        return FP.fmi_pipeline_device(
+            local_index, enc_r, readlen_r, min_seed_len,
+            FP.SPLIT_WIDTH, FP.MAX_MEM_INTV, split_len, m_cap=m_cap)
+
+    return run(cp_pack, jnp.asarray(enc), jnp.asarray(readlen))

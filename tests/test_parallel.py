@@ -212,3 +212,37 @@ def test_chain_halo_sharded_matches_single(mesh8):
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
     np.testing.assert_array_equal(got[2], want[2])
+
+
+def test_fmi_pipeline_index_sharded(mesh8):
+    """Full 3-phase SMEM pipeline over a block-range-sharded index ==
+    the unsharded engine, bit for bit."""
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.index.builder import build_arrays
+    from genomicsbench_palisade_tpu.ops import fmi_pipeline as FP
+
+    rng = np.random.default_rng(17)
+    genome = rng.integers(0, 4, 6000).astype(np.uint8)
+    index = build_arrays(genome).as_device_arrays()
+    b, l_max = 16, 40
+    enc = np.full((b, l_max), 4, np.int32)
+    lengths = np.zeros(b, np.int32)
+    for i in range(b):
+        n = int(rng.integers(24, l_max + 1))
+        s = int(rng.integers(0, len(genome) - n))
+        seq = genome[s : s + n].astype(np.int32)
+        mut = rng.random(n) < 0.05
+        seq[mut] = rng.integers(0, 4, int(mut.sum()))
+        enc[i, :n] = seq
+        lengths[i] = n
+
+    want, n1, n2, n3, ovf = FP.fmi_pipeline_batch(
+        {k: jnp.asarray(v) for k, v in index.items()}, enc, lengths,
+        min_seed_len=15)
+    handles = dp.fmi_pipeline_index_sharded(mesh8, index, enc, lengths,
+                                            min_seed_len=15)
+    got, g1, g2, g3, govf = FP.fmi_pipeline_collect(handles, b)
+    assert (g1, g2, g3, govf) == (n1, n2, n3, ovf)
+    for key in want:
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)

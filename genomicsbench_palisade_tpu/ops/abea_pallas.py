@@ -278,7 +278,8 @@ def unpack_trace_rows(packed: np.ndarray) -> np.ndarray:
 
 def align_events_batch_pallas(sequences, event_means_list, model, scales,
                               shifts, bandwidth: int = ALN_BANDWIDTH,
-                              k: int = oracle.KMER_SIZE):
+                              k: int = oracle.KMER_SIZE,
+                              device_walk: bool = True):
     """Pallas-backed batched eventalign (same contract as
     ops.abea.align_events_batch)."""
     from . import abea as A
@@ -359,11 +360,30 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
             jnp.asarray(np.stack(lps)), jnp.asarray(trim_tbl),
             n_bands=n_bands, tbl_len=tbl_len, bandwidth=bw,
         )
-        pending.append((idxs, dev_traces, ne_v, nk_v, kranks))
+        dev_walk = None
+        if device_walk:
+            # on-device traceback: the 32-byte trace rows stay in HBM;
+            # only the seed + packed 2-bit move strings come back
+            dev_walk = abea_walk_pallas(
+                dev_traces,
+                jnp.asarray(np.array(ne_v, np.int32)),
+                jnp.asarray(np.array(nk_v, np.int32)),
+                n_bands=n_bands, bandwidth=bw)
+        pending.append((idxs, dev_traces, dev_walk, ne_v, nk_v, kranks))
 
-    # phase 2: fetch packed traces, decode, vectorized traceback per group
+    # phase 2: decode per group.  device_walk fetches only the move
+    # strings; the legacy path fetches + unpacks the packed trace rows.
     half = bw // 2
-    for idxs, dev_traces, ne_v, nk_v, kranks in pending:
+    for idxs, dev_traces, dev_walk, ne_v, nk_v, kranks in pending:
+        if dev_walk is not None:
+            walk_b = np.asarray(dev_walk)
+            for row, i in enumerate(idxs):
+                results[i] = _decode_walk_read(
+                    walk_b[row], sequences[i],
+                    np.asarray(event_means_list[i], np.float32), model,
+                    float(np.float32(scales[i])),
+                    float(np.float32(shifts[i])), kranks[row], k)
+            continue
         traces_b = np.asarray(dev_traces)
         moves_g, bes_g, lv_g = [], [], []
         for row in range(len(idxs)):
@@ -388,3 +408,258 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
         for row, i in enumerate(idxs):
             results[i] = group_res[row]
     return results
+
+
+# ---------------------------------------------------------------------------
+# On-device traceback: packed trace rows never leave HBM.  The backtrack
+# visits bands in strictly DECREASING order (every move lowers
+# band = ei+ki+2 by 1 or 2), so the walk is a reverse sweep over the
+# trace rows with scalar state; the device emits the seed event plus the
+# 2-bit MOVE sequence, and the host replays it linearly (keeping the C's
+# f64 emission-sum QC bit-exact) without fetching the 32-byte trace rows
+# (the relay fetch that bounded abea at ~213 reads/s).
+# ---------------------------------------------------------------------------
+
+
+def _walk_kernel(params, trace_ref, ne_ref, nk_ref, ce0_ref,
+                 out_ref, rights_scr, rows_scr):
+    nb_max, bw, n_wcap = params  # nb_max = n_bands_pad (rows = nb_max - 2)
+    half = bw // 2
+    r8 = pl.program_id(0) % 8
+    n_events = ne_ref[r8, 0]
+    n_kmers = nk_ref[r8, 0]
+    ce0 = ce0_ref[r8, 0]  # seed event, computed in XLA (see wrapper)
+    nb = n_events + n_kmers + 2
+    n_rows = nb_max - 2
+    # trace rows arrive as i32 WORDS (bitcast outside the kernel): a u8
+    # block this large hits a Mosaic conversion bug (bytes 16..18 of late
+    # rows read as zero), so bytes are carved out of words with shifts.
+    # NOTE a second Mosaic bug: OR-chaining many static 2-bit extracts
+    # from one lane zeroes the shift-6/14/22 pieces when n_rows >= 512
+    # (shift-30 survives) — so the multi-piece last-val decode and the
+    # seed argmax moved OUT of the kernel; only single-piece extracts
+    # (verified clean at any size) remain here.
+    rows_scr[:, :] = trace_ref[0]
+    rows = rows_scr[:, :]  # [n_rows, 8] i32 words (32 bytes LE)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+    l_iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+
+    out_ref[0] = jnp.zeros((n_wcap, 1), jnp.int32)
+
+    # the down/right decision bit of each band lives at cell bw
+    r_byte = bw & 31
+    rights = (jax.lax.shift_right_logical(
+        rows[:, r_byte >> 2 : (r_byte >> 2) + 1],
+        8 * (r_byte & 3) + 2 * (bw >> 5)) & 3)
+    rights_scr[:, :] = rights
+
+    valid_row = s_iota < (nb - 2)
+    total_rights = jnp.sum(jnp.where(valid_row, rights, 0))
+
+    ck0 = n_kmers - 1
+    bi0 = ce0 + ck0 + 2
+    be_top = half + (nb - 2) - total_rights  # bll_e of band nb-1
+
+    def body(t, st):
+        band = nb - 1 - t
+        ck, ce, bi, be, cnt, mv_word = st
+        in_range = (band >= 2) & (band < nb)
+        r_idx = jnp.clip(band - 2, 0, n_rows - 1)
+        right = jnp.where(
+            in_range, rights_scr[pl.ds(r_idx, 1), :][0, 0], 0)
+        consume = in_range & (band == bi) & (ck >= 0) & (ce >= 0)
+        offset = be - ce
+        row = rows_scr[pl.ds(r_idx, 1), :]  # [1, 8] i32 words
+        off = jnp.clip(offset, 0, 127)
+        byte = off & 31
+        # cell off: byte off&31 (word byte>>2, lane-local byte byte&3),
+        # 2-bit piece (off>>5) within the byte
+        shift = 8 * (byte & 3) + 2 * jax.lax.shift_right_logical(off, 5)
+        # one-lane masked SUM (not max: i32 words can be negative)
+        val = jnp.sum(jnp.where(
+            l_iota8 == jax.lax.shift_right_logical(byte, 2), row, 0))
+        move = jnp.where(consume,
+                         jax.lax.shift_right_logical(val, shift) & 3, 0)
+        # pack 2-bit moves 16-per-word in a scalar carry; flush full words
+        bit = 2 * (cnt & 15)
+        mv_word = jnp.where(consume, mv_word | (move << bit), mv_word)
+        flush = consume & ((cnt & 15) == 15)
+        word_idx = jax.lax.shift_right_logical(cnt, 4)
+
+        @pl.when(flush)
+        def _store():
+            out_ref[pl.ds(0, 1), pl.ds(word_idx, 1), 0:1] = jnp.full(
+                (1, 1, 1), mv_word, jnp.int32)
+
+        mv_word = jnp.where(flush, 0, mv_word)
+        d_ck = jnp.where(consume & ((move == 0) | (move == 2)), 1, 0)
+        d_ce = jnp.where(consume & ((move == 0) | (move == 1)), 1, 0)
+        d_bi = jnp.where(consume, jnp.where(move == 0, 2, 1), 0)
+        cnt = cnt + consume.astype(jnp.int32)
+        be = be - jnp.where(in_range, 1 - right, 0)
+        return (ck - d_ck, ce - d_ce, bi - d_bi, be, cnt, mv_word)
+
+    ck, ce, bi, be, cnt, mv_word = jax.lax.fori_loop(
+        0, nb_max, body,
+        (ck0, ce0, bi0, be_top, jnp.int32(0), jnp.int32(0)))
+
+    # final partial word + meta rows
+    @pl.when((cnt & 15) != 0)
+    def _tail():
+        out_ref[pl.ds(0, 1),
+                pl.ds(jax.lax.shift_right_logical(cnt, 4), 1), 0:1] = (
+            jnp.full((1, 1, 1), mv_word, jnp.int32))
+
+    # meta rows: move count and seed event (vector-shaped stores —
+    # Mosaic rejects scalar stores to VMEM)
+    out_ref[pl.ds(0, 1), pl.ds(n_wcap - 1, 1), 0:1] = jnp.full(
+        (1, 1, 1), cnt, jnp.int32)
+    out_ref[pl.ds(0, 1), pl.ds(n_wcap - 2, 1), 0:1] = jnp.full(
+        (1, 1, 1), ce0, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bands", "bandwidth"))
+def abea_walk_pallas(packed_traces, n_events, n_kmers,
+                     n_bands: int, bandwidth: int = ALN_BANDWIDTH):
+    """Reverse-sweep traceback on device.
+
+    packed_traces: [B, n_bands-2, LANES//4] u8 (abea_fill_bands_pallas
+    output, left on device).  Returns [B, n_wcap] i32: words of packed
+    2-bit moves, with the move count at row -1 and the seed event index
+    at row -2 (n_wcap ~ n_rows/16 — the fetch is 16x smaller than the
+    move count's row range).
+    """
+    b = packed_traces.shape[0]
+    n_rows = n_bands - 2
+    b8 = _round_up(b, 8)
+    # bitcast the u8 rows to little-endian i32 words OUTSIDE pallas (a u8
+    # VMEM block this large trips a Mosaic conversion bug zeroing bytes)
+    trace_words = jax.lax.bitcast_convert_type(
+        packed_traces.reshape(b, n_rows, LANES // 16, 4), jnp.int32)
+
+    # seed (align.c:417-433): first event index maximizing
+    # fl32(f64(lv[bi-2]) + rem_trim), bi = ei + n_kmers + 1.  Computed
+    # HERE in XLA — the in-kernel multi-piece lv decode miscompiles at
+    # production n_rows (see _walk_kernel note).  lv bits are cells
+    # 104..119 = bits 6-7 of bytes 8..23; the trim remainder arrives as
+    # a two-float split and is added with a compensated (2Sum) sum to
+    # reproduce the C's double add with a single f32 round.
+    lv_bits = jnp.zeros((b, n_rows), jnp.int32)
+    for t in range(16):
+        w = 2 + t // 4  # byte 8+t lives in word (8+t)//4
+        piece = jax.lax.shift_right_logical(
+            trace_words[:, :, w], 8 * (t & 3) + 6) & 3
+        lv_bits = lv_bits | (piece << (2 * t))
+    lv = jax.lax.bitcast_convert_type(lv_bits, jnp.float32)
+    # trim remainder (n_events - ei) * lp_trim two-float split: depends
+    # only on the integer n = ne + nk - 1 - row, so it is a reversed
+    # slice of a small constant table (baked at trace time — no host
+    # staging or per-group device_put)
+    tab_n = np.arange(n_bands, dtype=np.float64) * float(np.log(0.01))
+    tab_hi_np = tab_n.astype(np.float32)
+    tab_lo_np = (tab_n - tab_hi_np.astype(np.float64)).astype(np.float32)
+    nidx = jnp.clip((n_events.astype(jnp.int32) + n_kmers.astype(jnp.int32)
+                     - 1)[:, None] - jnp.arange(n_rows, dtype=jnp.int32)[None, :],
+                    0, n_bands - 1)
+    t_hi = jnp.asarray(tab_hi_np)[nidx]
+    t_lo = jnp.asarray(tab_lo_np)[nidx]
+    s1 = lv + t_hi
+    bb = s1 - lv
+    err = (lv - (s1 - bb)) + (t_hi - bb)
+    s_val = s1 + (err + t_lo)
+    s_val = jnp.where(jnp.isneginf(lv), lv, s_val)
+    ne_c = n_events.astype(jnp.int32)[:, None]
+    nk_c = n_kmers.astype(jnp.int32)[:, None]
+    row_i = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    ei_of_row = row_i - (nk_c - 1)
+    seed_ok = (ei_of_row >= 0) & (ei_of_row < ne_c) & (row_i < ne_c + nk_c)
+    s_val = jnp.where(seed_ok, s_val, -jnp.inf)
+    s_max = jnp.max(s_val, axis=1, keepdims=True)
+    first = jnp.min(jnp.where((s_val == s_max) & seed_ok,
+                              ei_of_row, jnp.int32(1 << 30)), axis=1)
+    ce0 = jnp.where(jnp.isinf(s_max[:, 0]), 0, first).astype(jnp.int32)
+
+    def padrow(a, dt=None):
+        if b8 == b:
+            return a
+        pad = jnp.zeros((b8 - b,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    smem_row = pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                            memory_space=pltpu.SMEM)
+    n_wcap = _round_up(n_rows // 16 + 3, 8)
+    out = pl.pallas_call(
+        functools.partial(_walk_kernel, (n_bands, bandwidth, n_wcap)),
+        grid=(b8,),
+        in_specs=[pl.BlockSpec((1, n_rows, LANES // 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  smem_row, smem_row, smem_row],
+        out_specs=pl.BlockSpec((1, n_wcap, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, n_wcap, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_rows, 1), jnp.int32),
+                        pltpu.VMEM((n_rows, LANES // 16), jnp.int32)],
+    )(padrow(trace_words),
+      padrow(n_events[:, None].astype(jnp.int32)),
+      padrow(n_kmers[:, None].astype(jnp.int32)),
+      padrow(ce0[:, None]))
+    return out[:b, :, 0]
+
+
+def _walk_trim_splits(n_rows, ne, nk):
+    """Two-float f32 split of the C's double (n_events - ei) * lp_trim,
+    pre-shifted to trace-row order (row r <-> event r - (n_kmers - 1))."""
+    lp_trim = np.log(0.01)
+    ei = np.arange(n_rows, dtype=np.float64) - (nk - 1)
+    rem = (ne - ei) * lp_trim
+    hi = rem.astype(np.float32)
+    lo = (rem - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _decode_walk_read(out_row, sequence, event_means, model, scale, shift,
+                      kranks, k):
+    """Replay the device-walk move string into pairs + the C's f64 QC
+    (postalign semantics, align.c:443-548) — linear, no trace rows."""
+    from .oracle import abea as oracle
+
+    n_rows = len(out_row)
+    cnt = int(out_row[n_rows - 1])
+    ce0 = int(out_row[n_rows - 2])
+    nk = len(sequence) - k + 1
+    ne = len(event_means)
+    if cnt <= 0:
+        return []
+    words = np.asarray(out_row[: (cnt + 15) // 16], np.uint32)
+    idx = np.arange(cnt)
+    moves = (words[idx >> 4] >> (2 * (idx & 15)).astype(np.uint32)) & 3
+    d_ck = ((moves == 0) | (moves == 2)).astype(np.int64)
+    d_ce = ((moves == 0) | (moves == 1)).astype(np.int64)
+    cks = (nk - 1) - np.concatenate([[0], np.cumsum(d_ck)[:-1]])
+    ces = ce0 - np.concatenate([[0], np.cumsum(d_ce)[:-1]])
+
+    lm, ls, lls = (model["level_mean"], model["level_stdv"],
+                   model["level_log_stdv"])
+    ranks = np.asarray(kranks)[cks]
+    em = oracle.log_prob_match(
+        lm[ranks], ls[ranks], lls[ranks],
+        np.asarray(event_means, np.float32)[ces], scale, shift)
+    # the C accumulates the f32 emissions sequentially in double, in walk
+    # order — np.cumsum is sequential in order, unlike np.sum's pairwise
+    sum_emission = float(np.cumsum(np.asarray(em, np.float64))[-1])
+    avg = sum_emission / max(cnt, 1)
+
+    is_l = moves == 2
+    max_gap = 0
+    if is_l.any():
+        # longest run of FROM_L moves
+        edges = np.diff(np.concatenate([[0], is_l.view(np.int8), [0]]))
+        starts = np.nonzero(edges == 1)[0]
+        ends = np.nonzero(edges == -1)[0]
+        max_gap = int((ends - starts).max())
+
+    out = list(zip(cks.tolist(), ces.tolist()))[::-1]
+    spanned = bool(out) and out[0][0] == 0 and out[-1][0] == nk - 1
+    if avg < -5.0 or not spanned or max_gap > 50:
+        return []
+    return out

@@ -136,7 +136,50 @@ def check_abea():
     want = A.align_events_batch(seqs, evs, model, scales, shifts,
                                 use_pallas=False)
     got = align_events_batch_pallas(seqs, evs, model, scales, shifts)
-    assert got == want, "abea mismatch"
+    assert got == want, "abea mismatch (device walk)"
+    got_host = align_events_batch_pallas(seqs, evs, model, scales, shifts,
+                                         device_walk=False)
+    assert got_host == want, "abea mismatch (host traceback)"
+
+
+def check_abea_golden():
+    """Device walk vs the 25 f5c-built reference fixtures (exact pairs)."""
+    import json
+
+    from genomicsbench_palisade_tpu.io import signal as SIG
+    from genomicsbench_palisade_tpu.ops.abea_pallas import (
+        align_events_batch_pallas)
+    from genomicsbench_palisade_tpu.ops.oracle import events as EO
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tests"))
+    from generate_fixtures import _pore_levels
+
+    with open(root / "tests" / "fixtures" / "abea_golden.json") as f:
+        cases = json.load(f)["cases"]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv",
+                                     delete=False) as f:
+        f.write("kmer\tlevel_mean\tlevel_stdv\n")
+        for km, mean in _pore_levels().items():
+            f.write(f"{km}\t{mean:.2f}\t1.50\n")
+        pore = f.name
+    model = SIG.load_pore_model(pore)
+    seqs, evs, scales, shifts, wants = [], [], [], [], []
+    for case in cases:
+        sig = np.array([float(x) for x in case["signal"]], np.float32)
+        ev = EO.detect_events(sig)
+        sh, sc = EO.estimate_scalings_using_mom(case["seq"], model, ev)
+        seqs.append(case["seq"])
+        evs.append(np.asarray(ev["mean"], np.float32))
+        scales.append(float(sc))
+        shifts.append(float(sh))
+        wants.append([tuple(p) for p in case["pairs"]])
+    got = align_events_batch_pallas(seqs, evs, model, scales, shifts)
+    bad = [i for i, (g, w) in enumerate(zip(got, wants))
+           if [tuple(p) for p in g] != w]
+    assert not bad, f"abea golden mismatch on cases {bad}"
 
 
 def check_poa():
@@ -184,6 +227,7 @@ def main():
     failures = 0
     for name, fn in (("phmm", check_phmm), ("bsw", check_bsw),
                      ("chain", check_chain), ("abea", check_abea),
+                     ("abea-golden", check_abea_golden),
                      ("poa", check_poa), ("grm", check_grm)):
         try:
             fn()

@@ -82,7 +82,7 @@ def prepare_batch(reads, haps, pairs, r_pad: int | None = None, h_pad: int | Non
         hap[bi, :m] = h
         rslen[bi] = n
         haplen[bi] = m
-    return {
+    batch = {
         "rs_row": rs_row,
         "q": q,
         "i": iq,
@@ -92,6 +92,51 @@ def prepare_batch(reads, haps, pairs, r_pad: int | None = None, h_pad: int | Non
         "rslen": rslen,
         "haplen": haplen,
     }
+    batch.update(_host_row_probs_t(batch))
+    return batch
+
+
+def _host_row_probs_t(batch):
+    """Transposed [Rp, B] per-row probability tables, computed on the host.
+
+    XLA lowers small-table gathers on this chip at ~110 MB/s (one
+    ph2pr[q] gather on an 8192x256 batch measures ~72 ms — 5 of them
+    were >90% of the pallas path's wall time), while numpy fancy
+    indexing over the SAME f32 tables is bit-identical and effectively
+    free.  The pallas wrapper consumes these pre-transposed rows
+    directly, so its device prep is zero XLA ops.
+    """
+    ph2pr, m2m, _, _ = _tables_f32()
+    iq = batch["i"] & 127
+    dq = batch["d"] & 127
+    cq = batch["c"] & 127
+    qq = batch["q"] & 127
+    min_q = np.minimum(iq, dq)
+    max_q = np.maximum(iq, dq)
+    p_c = ph2pr[cq]
+    distm = ph2pr[qq]
+    one = np.float32(1.0)
+    out = {
+        "p_mm_t": m2m[((max_q * (max_q + 1)) >> 1) + min_q],
+        "p_gapm_t": one - p_c,
+        "p_mx_t": ph2pr[iq],
+        "p_xx_t": p_c,
+        "p_my_t": ph2pr[dq],
+        "p_yy_t": p_c.copy(),
+        # raw distm only: 1-distm and distm/3 are computed on-device with
+        # the same XLA elementwise ops the scan path uses (XLA's division
+        # lowering need not match numpy's bit-for-bit)
+        "distm_t": distm,
+        "rs_row_t": batch["rs_row"].astype(np.int32),
+    }
+    out = {k: np.ascontiguousarray(v.T) for k, v in out.items()}
+    # hap stream, transposed and pre-padded with rp never-matching
+    # sentinel rows (the diagonal streamer reads past hp by up to rp)
+    hap_t = batch["hap"].astype(np.int32).T
+    rp, b = out["rs_row_t"].shape
+    out["hap_t"] = np.ascontiguousarray(np.concatenate(
+        [hap_t, np.full((rp, b), AMBIG + 2, np.int32)], axis=0))
+    return out
 
 
 def _row_probs(batch, ph2pr, m2m):

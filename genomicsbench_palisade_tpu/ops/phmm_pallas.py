@@ -36,6 +36,7 @@ LANE_TILE = 128
 
 
 def _kernel(
+    stripes,
     p_mm_ref,
     p_gapm_ref,
     p_mx_ref,
@@ -59,159 +60,226 @@ def _kernel(
     x2_ref,
     y2_ref,
     hapd_ref,
+    bm_ref,
+    bx_ref,
+    by_ref,
 ):
-    rp, bt = m1_ref.shape
+    rp = p_mm_ref.shape[0]
+    bt = m1_ref.shape[1]
     hp = hap_ref.shape[0] - rp  # hap buffer is padded by rp sentinel rows
+    hcap = bm_ref.shape[0] - 1  # boundary buffer max index (>= hp + 1)
 
-    p_mm = p_mm_ref[:]
-    p_gapm = p_gapm_ref[:]
-    p_mx = p_mx_ref[:]
-    p_xx = p_xx_ref[:]
-    p_my = p_my_ref[:]
-    p_yy = p_yy_ref[:]
-    one_m_distm = one_m_distm_ref[:]
-    distm3 = distm3_ref[:]
-    rs_row = rs_row_ref[:]
     init_y = init_y_ref[:]  # [1, Bt]
     rslen = rslen_ref[:]  # [1, Bt] int32
     haplen = haplen_ref[:]
-    row_sel = row_sel_ref[:]  # [Rp, Bt] f32: 1 where r == rslen
 
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rp, bt), 0)
-    row0 = r_iota == 0
-    zero = jnp.zeros((rp, bt), jnp.float32)
-
-    # d = 0 state: only cell (0,0) exists with Y = init_Y
-    m1_ref[:] = zero
-    x1_ref[:] = zero
-    y1_ref[:] = jnp.where(row0, init_y, 0.0)
-    m2_ref[:] = zero
-    x2_ref[:] = zero
-    y2_ref[:] = zero
-    hapd_ref[:] = jnp.full((rp, bt), AMBIG + 2, jnp.int32)
     res_m_ref[:] = jnp.zeros_like(res_m_ref)
     res_x_ref[:] = jnp.zeros_like(res_x_ref)
 
-    def shift_down(v):
-        return jnp.where(row0, 0.0, pltpu.roll(v, 1, axis=0))
+    # GKL-style stripe decomposition (avx-pairhmm-template.h:209-233):
+    # rows split into stripes; each stripe walks its own (shorter)
+    # wavefront over all columns, carrying the stripe's last-row M/X/Y
+    # values to the next stripe through column-indexed VMEM buffers.
+    # Padded cells drop from rp*(rp+hp-1) to rp*(T+hp-1) and every
+    # per-step vector op runs on a [T, Bt] tile instead of [Rp, Bt].
+    # Single buffer per carry: at local step d the previous stripe's
+    # value is read at column d while the current stripe writes column
+    # d - (T-1) — the read index stays ahead of the write index, so the
+    # rolling overwrite never clobbers an unread value.
+    for si, (r0, st) in enumerate(stripes):
+        s_first = si == 0
+        s_last = si == len(stripes) - 1
 
-    def body(d, _):
-        m1 = m1_ref[:]
-        x1 = x1_ref[:]
-        y1 = y1_ref[:]
-        m2 = m2_ref[:]
-        x2 = x2_ref[:]
-        y2 = y2_ref[:]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (st, bt), 0)
+        row0 = r_iota == 0
+        zero = jnp.zeros((st, bt), jnp.float32)
 
-        # stream the next hap character into row 0 of the diag buffer
-        # (hap_ref is padded to rp+hp rows with a never-matching sentinel)
-        hap_row = hap_ref[pl.ds(d - 1, 1), :]
-        hapd = pltpu.roll(hapd_ref[:], 1, axis=0)
-        hapd = jnp.where(row0, hap_row, hapd)
-        hapd_ref[:] = hapd
-
-        # m2/x2/y2 scratch hold the ALREADY-SHIFTED d-2 diagonals (cached
-        # from the previous step), so only the d-1 diagonals need rolling
-        m1s = shift_down(m1)
-        x1s = shift_down(x1)
-        y1s = shift_down(y1)
-        m2s = m2
-        x2s = x2
-        y2s = y2
-
-        match = (rs_row == hapd) | (rs_row == AMBIG) | (hapd == AMBIG)
-        prior = jnp.where(match, one_m_distm, distm3)
-
-        # no validity mask: with row-0-zeroed shifts, every cell with
-        # c <= 0 stays exactly 0 by induction (the only nonzero injection,
-        # init_y at row 0, first reaches row r at diagonal d = r, i.e.
-        # column 1); rows past rslen never flow upward and the result row
-        # is gated by cmask below — bit-exactness verified vs the scan
-        m_new = prior * ((m2s * p_mm + x2s * p_gapm) + y2s * p_gapm)
-        x_new = m1s * p_mx + x1s * p_xx
-        y_new = m1 * p_my + y1 * p_yy
-        y_new = jnp.where(row0, init_y, y_new)
-
-        # accumulate last-row M/X: select row rslen, mask column range
-        # (kept as TWO accumulators: result = res_m + res_x must match the
-        # scan's f32 summation order bit-exactly)
-        c_at = d - rslen  # [1, Bt]
-        cmask = ((c_at >= 1) & (c_at <= haplen)).astype(jnp.float32)
-        res_m_ref[:] = res_m_ref[:] + cmask * jnp.sum(
-            m_new * row_sel, axis=0, keepdims=True
+        # stripe-local d = 0 state (cell (r0, col 0) column is all-zero;
+        # the global (0,0) Y = init_Y seed applies to stripe 0 only)
+        m1_ref[pl.ds(0, st), :] = zero
+        x1_ref[pl.ds(0, st), :] = zero
+        y1_ref[pl.ds(0, st), :] = (
+            jnp.where(row0, init_y, 0.0) if s_first else zero
         )
-        res_x_ref[:] = res_x_ref[:] + cmask * jnp.sum(
-            x_new * row_sel, axis=0, keepdims=True
-        )
+        m2_ref[pl.ds(0, st), :] = zero
+        x2_ref[pl.ds(0, st), :] = zero
+        y2_ref[pl.ds(0, st), :] = zero
+        hapd_ref[pl.ds(0, st), :] = jnp.full((st, bt), AMBIG + 2, jnp.int32)
 
-        m2_ref[:] = m1s
-        x2_ref[:] = x1s
-        y2_ref[:] = y1s
-        m1_ref[:] = m_new
-        x1_ref[:] = x_new
-        y1_ref[:] = y_new
-        return ()
+        p_mm = p_mm_ref[pl.ds(r0, st), :]
+        p_gapm = p_gapm_ref[pl.ds(r0, st), :]
+        p_mx = p_mx_ref[pl.ds(r0, st), :]
+        p_xx = p_xx_ref[pl.ds(r0, st), :]
+        p_my = p_my_ref[pl.ds(r0, st), :]
+        p_yy = p_yy_ref[pl.ds(r0, st), :]
+        one_m_distm = one_m_distm_ref[pl.ds(r0, st), :]
+        distm3 = distm3_ref[pl.ds(r0, st), :]
+        rs_row = rs_row_ref[pl.ds(r0, st), :]
+        row_sel = row_sel_ref[pl.ds(r0, st), :]
+        rslen_loc = rslen - r0
 
-    # four diagonals per iteration amortize the ~1 us fixed per-step cost
-    def body4(k, _):
-        body(4 * k + 1, ())
-        body(4 * k + 2, ())
-        body(4 * k + 3, ())
-        body(4 * k + 4, ())
-        return ()
+        def body(d, _, row0=row0, p_mm=p_mm, p_gapm=p_gapm, p_mx=p_mx,
+                 p_xx=p_xx, p_my=p_my, p_yy=p_yy, one_m_distm=one_m_distm,
+                 distm3=distm3, rs_row=rs_row, row_sel=row_sel,
+                 rslen_loc=rslen_loc, st=st, s_first=s_first,
+                 s_last=s_last):
+            m1 = m1_ref[pl.ds(0, st), :]
+            x1 = x1_ref[pl.ds(0, st), :]
+            y1 = y1_ref[pl.ds(0, st), :]
+            m2s = m2_ref[pl.ds(0, st), :]
+            x2s = x2_ref[pl.ds(0, st), :]
+            y2s = y2_ref[pl.ds(0, st), :]
 
-    n_d = rp + hp - 1
-    jax.lax.fori_loop(0, n_d // 4, body4, ())
-    for t in range(n_d % 4):
-        body(n_d - (n_d % 4) + 1 + t, ())
+            # stream the next hap character into row 0 of the diag buffer
+            # (hap_ref is padded to rp+hp rows, never-matching sentinel)
+            hap_row = hap_ref[pl.ds(d - 1, 1), :]
+            hapd = pltpu.roll(hapd_ref[pl.ds(0, st), :], 1, axis=0)
+            hapd = jnp.where(row0, hap_row, hapd)
+            hapd_ref[pl.ds(0, st), :] = hapd
+
+            # row 0 of each shift takes the previous stripe's last-row
+            # value at this column (zero for stripe 0); m2/x2/y2 scratch
+            # hold the ALREADY-SHIFTED d-1 arrays cached from last step
+            if s_first:
+                bm_row = bx_row = by_row = None
+            else:
+                rd = jnp.minimum(d, hcap)
+                bm_row = bm_ref[pl.ds(rd, 1), :]
+                bx_row = bx_ref[pl.ds(rd, 1), :]
+                by_row = by_ref[pl.ds(rd, 1), :]
+
+            def shift_down(v, ins):
+                rolled = pltpu.roll(v, 1, axis=0)
+                if ins is None:
+                    return jnp.where(row0, 0.0, rolled)
+                return jnp.where(row0, ins, rolled)
+
+            m1s = shift_down(m1, bm_row)
+            x1s = shift_down(x1, bx_row)
+            y1s = shift_down(y1, by_row)
+
+            match = (rs_row == hapd) | (rs_row == AMBIG) | (hapd == AMBIG)
+            prior = jnp.where(match, one_m_distm, distm3)
+
+            # no validity mask: with zero (or carried) row-0 inserts,
+            # every cell with c <= 0 stays exactly 0 by induction; rows
+            # past rslen never flow upward and the result row is gated by
+            # cmask below — bit-exactness verified vs the scan
+            m_new = prior * ((m2s * p_mm + x2s * p_gapm) + y2s * p_gapm)
+            x_new = m1s * p_mx + x1s * p_xx
+            y_new = m1 * p_my + y1 * p_yy
+            if s_first:
+                y_new = jnp.where(row0, init_y, y_new)
+
+            # accumulate last-row M/X: select row rslen, mask column
+            # range (TWO accumulators: result = res_m + res_x must match
+            # the scan's f32 summation order bit-exactly; only the stripe
+            # containing rslen has a nonzero row_sel slice)
+            c_at = d - rslen_loc  # [1, Bt]
+            cmask = ((c_at >= 1) & (c_at <= haplen)).astype(jnp.float32)
+            res_m_ref[:] = res_m_ref[:] + cmask * jnp.sum(
+                m_new * row_sel, axis=0, keepdims=True
+            )
+            res_x_ref[:] = res_x_ref[:] + cmask * jnp.sum(
+                x_new * row_sel, axis=0, keepdims=True
+            )
+
+            # carry this stripe's last row to the next stripe (column
+            # d-(T-1); clamped writes for d < T-1 land zeros on column 0,
+            # whose true state is zero anyway)
+            if not s_last:
+                wc = jnp.clip(d - (st - 1), 0, hcap)
+                bm_ref[pl.ds(wc, 1), :] = m_new[st - 1 : st, :]
+                bx_ref[pl.ds(wc, 1), :] = x_new[st - 1 : st, :]
+                by_ref[pl.ds(wc, 1), :] = y_new[st - 1 : st, :]
+
+            m2_ref[pl.ds(0, st), :] = m1s
+            x2_ref[pl.ds(0, st), :] = x1s
+            y2_ref[pl.ds(0, st), :] = y1s
+            m1_ref[pl.ds(0, st), :] = m_new
+            x1_ref[pl.ds(0, st), :] = x_new
+            y1_ref[pl.ds(0, st), :] = y_new
+            return ()
+
+        # four diagonals per iteration amortize the fixed per-step cost
+        def body4(k, _, body=body):
+            body(4 * k + 1, ())
+            body(4 * k + 2, ())
+            body(4 * k + 3, ())
+            body(4 * k + 4, ())
+            return ()
+
+        n_d = st + hp - 1
+        jax.lax.fori_loop(0, n_d // 4, body4, ())
+        for t in range(n_d % 4):
+            body(n_d - (n_d % 4) + 1 + t, ())
 
 
-@functools.partial(jax.jit, static_argnames=("lane_tile",))
-def phmm_forward_pallas(batch, lane_tile: int = LANE_TILE):
+@functools.partial(jax.jit, static_argnames=("lane_tile", "stripe_height"))
+def phmm_forward_pallas(batch, lane_tile: int = LANE_TILE,
+                        stripe_height: int | None = None):
     """Drop-in replacement for phmm_forward (same outputs)."""
     ph2pr_np, m2m_np, log10_ic, ic = _tables_f32()
     ph2pr = jnp.asarray(ph2pr_np)
     m2m = jnp.asarray(m2m_np)
 
-    rs_row = batch["rs_row"].astype(jnp.int32)
-    hap = batch["hap"].astype(jnp.int32)
     rslen = batch["rslen"].astype(jnp.int32)
     haplen = batch["haplen"].astype(jnp.int32)
-    b, rp = rs_row.shape
-    hp = hap.shape[1]
-    assert b % lane_tile == 0, (b, lane_tile)
-
-    p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, distm = _row_probs(batch, ph2pr, m2m)
-    one_m_distm = 1.0 - distm
-    distm3 = distm / 3.0
     init_y = jnp.float32(ic) / haplen.astype(jnp.float32)
 
-    row_sel = (
-        jnp.arange(rp, dtype=jnp.int32)[None, :] == rslen[:, None]
-    ).astype(jnp.float32)
+    if "p_mm_t" in batch:
+        # host-precomputed transposed rows (prepare_batch): zero XLA prep
+        # — the 5 small-table gathers alone cost ~80 ms/call on-device
+        rp, b = batch["rs_row_t"].shape
+        hp = batch["hap_t"].shape[0] - rp
+        row_sel = (jnp.arange(rp, dtype=jnp.int32)[:, None]
+                   == rslen[None, :]).astype(jnp.float32)
+        distm_t = batch["distm_t"]
+        args = [
+            batch["p_mm_t"], batch["p_gapm_t"], batch["p_mx_t"],
+            batch["p_xx_t"], batch["p_my_t"], batch["p_yy_t"],
+            1.0 - distm_t, distm_t / 3.0,
+            batch["rs_row_t"], batch["hap_t"], row_sel,
+            rslen[None, :], haplen[None, :], init_y[None, :],
+        ]
+    else:
+        rs_row = batch["rs_row"].astype(jnp.int32)
+        hap = batch["hap"].astype(jnp.int32)
+        b, rp = rs_row.shape
+        hp = hap.shape[1]
 
-    # transpose to [Rp, B] / [Hp, B] lane-major layout
-    def t(x):
-        return x.T
+        p_mm, p_gapm, p_mx, p_xx, p_my, p_yy, distm = _row_probs(
+            batch, ph2pr, m2m)
+        one_m_distm = 1.0 - distm
+        distm3 = distm / 3.0
 
-    args = [
-        t(p_mm),
-        t(p_gapm),
-        t(p_mx),
-        t(p_xx),
-        t(p_my),
-        t(p_yy),
-        t(one_m_distm),
-        t(distm3),
-        t(rs_row),
-        jnp.concatenate(
-            [t(hap), jnp.full((rp, b), AMBIG + 2, jnp.int32)], axis=0
-        ),
-        t(row_sel),
-        rslen[None, :],
-        haplen[None, :],
-        init_y[None, :],
-    ]
+        row_sel = (
+            jnp.arange(rp, dtype=jnp.int32)[None, :] == rslen[:, None]
+        ).astype(jnp.float32)
+
+        # transpose to [Rp, B] / [Hp, B] lane-major layout
+        def t(x):
+            return x.T
+
+        args = [
+            t(p_mm),
+            t(p_gapm),
+            t(p_mx),
+            t(p_xx),
+            t(p_my),
+            t(p_yy),
+            t(one_m_distm),
+            t(distm3),
+            t(rs_row),
+            jnp.concatenate(
+                [t(hap), jnp.full((rp, b), AMBIG + 2, jnp.int32)], axis=0
+            ),
+            t(row_sel),
+            rslen[None, :],
+            haplen[None, :],
+            init_y[None, :],
+        ]
+    assert b % lane_tile == 0, (b, lane_tile)
 
     grid = (b // lane_tile,)
 
@@ -219,6 +287,20 @@ def phmm_forward_pallas(batch, lane_tile: int = LANE_TILE):
         return pl.BlockSpec(
             (rows, lane_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         )
+
+    # stripe the row axis (GKL pattern): shorter wavefronts over [T, Bt]
+    # tiles with a column-indexed carry between stripes
+    t_h = stripe_height
+    if t_h is None:
+        # striping pays off on tall row spaces; small rp gets a single
+        # stripe (many-stripe unrolls also inflate Mosaic compile time)
+        t_h = 64 if (rp % 64 == 0 and rp >= 128) else rp
+    t_h = min(t_h, rp)
+    stripes = tuple(
+        (r0, min(t_h, rp - r0)) for r0 in range(0, rp, t_h)
+    )
+    t_max = max(st for _, st in stripes)
+    hb = -(-(hp + 2) // 8) * 8  # boundary buffer rows (col 0..hp+1)
 
     in_specs = (
         [col_spec(rp)] * 9
@@ -228,7 +310,7 @@ def phmm_forward_pallas(batch, lane_tile: int = LANE_TILE):
     )
     out_specs = (col_spec(1), col_spec(1))
     res_m, res_x = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, stripes),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -237,13 +319,16 @@ def phmm_forward_pallas(batch, lane_tile: int = LANE_TILE):
             jax.ShapeDtypeStruct((1, b), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # m1
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # x1
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # y1
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # m2 (shifted)
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # x2 (shifted)
-            pltpu.VMEM((rp, lane_tile), jnp.float32),  # y2 (shifted)
-            pltpu.VMEM((rp, lane_tile), jnp.int32),  # hap diag stream
+            pltpu.VMEM((t_max, lane_tile), jnp.float32),  # m1
+            pltpu.VMEM((t_max, lane_tile), jnp.float32),  # x1
+            pltpu.VMEM((t_max, lane_tile), jnp.float32),  # y1
+            pltpu.VMEM((t_max, lane_tile), jnp.float32),  # m2 (shifted)
+            pltpu.VMEM((t_max, lane_tile), jnp.float32),  # x2 (shifted)
+            pltpu.VMEM((t_max, lane_tile), jnp.float32),  # y2 (shifted)
+            pltpu.VMEM((t_max, lane_tile), jnp.int32),  # hap diag stream
+            pltpu.VMEM((hb, lane_tile), jnp.float32),  # stripe carry M
+            pltpu.VMEM((hb, lane_tile), jnp.float32),  # stripe carry X
+            pltpu.VMEM((hb, lane_tile), jnp.float32),  # stripe carry Y
         ],
         cost_estimate=pl.CostEstimate(
             flops=9 * b * rp * hp, bytes_accessed=14 * b * rp * 4, transcendentals=0

@@ -40,6 +40,11 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = DP_AXIS):
     out = {}
     n_orig = None
     for key, arr in batch.items():
+        if key.endswith("_t"):
+            # transposed pallas-layout duplicates (batch on axis 1) —
+            # the sharded DP path runs the scan engine, which rebuilds
+            # its tables from the canonical [B, ...] arrays
+            continue
         arr = np.asarray(arr)
         padded, n = pad_to_multiple(arr, ndev, axis=0)
         n_orig = n if n_orig is None else n_orig

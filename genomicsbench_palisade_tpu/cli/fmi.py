@@ -34,15 +34,21 @@ def load_index(path: str):
     return didx
 
 
-def _report_metrics(batch_totals, dt, total):
+def _report_metrics(batch_totals, dt, total, use_device=True):
     """The reference driver's metric lines (fmi.cpp:351-381): per-batch
     counts, the maxTicks/avgTicks load-imbalance report (per-shard work
-    proxied by per-batch smem counts), Consumed, totalSmems."""
+    proxied by per-batch smem counts), Consumed, totalSmems.
+
+    use_device=False (the host engine) never touches jax: the host
+    search must work — and report — without a reachable TPU backend."""
     from ..parallel.mesh import shard_work_imbalance
 
-    import jax
+    if use_device:
+        import jax
 
-    ndev = max(len(jax.local_devices()), 1)
+        ndev = max(len(jax.local_devices()), 1)
+    else:
+        ndev = 1
     imb = shard_work_imbalance(batch_totals, min(ndev, max(len(batch_totals), 1)))
     print(f"load imbalance = {imb:f}")
     print(f"Consumed: {dt:.4f} sec")
@@ -122,7 +128,7 @@ def main(argv=None):
         per_read = np.bincount(allm["rid"].astype(np.int64), minlength=num_reads)
         batch_totals = [int(per_read[s : s + args.batch_size].sum())
                         for s in range(0, num_reads, args.batch_size)]
-        _report_metrics(batch_totals, dt, total)
+        _report_metrics(batch_totals, dt, total, use_device=False)
         if args.print_output:
             prev_rid = -1
             for rid, m, n in zip(allm["rid"], allm["m"], allm["n"]):

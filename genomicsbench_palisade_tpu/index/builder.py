@@ -168,6 +168,7 @@ def save_npz_full(idx: DeviceFmIndex, path: str, names=None, lengths=None):
         one_hot_lo=idx.one_hot_lo,
         sa_ms_byte=idx.sa_ms_byte if idx.sa_ms_byte is not None else np.zeros(0, np.int8),
         sa_ls_word=idx.sa_ls_word if idx.sa_ls_word is not None else np.zeros(0, np.uint32),
+        sa_compression=np.bool_(idx.sa_compression),
         **extra,
     )
 

@@ -144,6 +144,11 @@ def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
         one_hot_lo=z["one_hot_lo"],
         sa_ms_byte=sa_ms,
         sa_ls_word=sa_ls,
+        sa_compression=bool(z["sa_compression"])
+        if "sa_compression" in z.files
+        # legacy archives lack the flag: infer from the SA sample count
+        else (sa_ms is not None
+              and len(sa_ms) < int(z["ref_seq_len"])),
         idx_dtype=idx_dtype,
     )
 

@@ -69,7 +69,7 @@ def worker_main() -> int:
     assert jax.process_count() == nproc
 
     from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from genomicsbench_palisade_tpu.ops import kmer as K
     from genomicsbench_palisade_tpu.ops import phmm as PH
@@ -80,12 +80,20 @@ def worker_main() -> int:
     report = {"processes": nproc, "global_devices": int(ndev)}
 
     def make_global(batch: dict) -> dict:
-        """Identical host batch on every process -> global sharded arrays."""
+        """Identical host batch on every process -> global sharded arrays.
+
+        Mirrors mesh.shard_batch: skips the transposed `*_t` pallas-layout
+        keys (batch on axis 1 — the sharded DP path rebuilds its tables
+        from the canonical [B, ...] arrays) and takes n from the first
+        batch-axis key, not whatever key happens to iterate last."""
         out = {}
+        n = None
         for key, arr in batch.items():
+            if key.endswith("_t"):
+                continue
             arr = np.asarray(arr)
-            padded, n = M.pad_to_multiple(arr, ndev, axis=0)
-            sharding = NamedSharding(mesh, P(M.DP_AXIS))
+            padded, n0 = M.pad_to_multiple(arr, ndev, axis=0)
+            n = n0 if n is None else n
             out[key] = multihost_utils.host_local_array_to_global_array(
                 padded, mesh, P(M.DP_AXIS))
         return out, n
@@ -185,7 +193,10 @@ def run_group(nproc: int, timeout: float = 480.0) -> dict:
         if line.startswith("PARITY OK "):
             result.update(json.loads(line[len("PARITY OK "):]))
     if not ok:
-        result["stderr_tail"] = outs[0][2][-2000:]
+        # every worker's tail: the failing task is usually not process 0
+        result["stderr_tail"] = {
+            f"proc{i}": f"rc={rc} " + err[-2000:]
+            for i, (rc, _out, err) in enumerate(outs)}
     return result
 
 

@@ -1,10 +1,11 @@
 // Host FM-index SMEM search engine (bwa-mem2 3-phase semantics).
 //
 // Why this exists: the FM backward search is random-access pointer
-// chasing — XLA's gather on TPU sustains ~160 MB/s on random 64-byte
-// rows, so the device path tops out around 1.6k reads/s while a CPU
-// core does ~100 ns per occ lookup with deep miss parallelism.  The
-// framework therefore offers both engines (SURVEY.md §3.1 option (a)):
+// chasing — XLA's gather on TPU sustains ~300 MB/s on random 64-byte
+// rows (a memory-system limit, tools/occ_gather_experiment.py), so the
+// device path tops out near 1k reads/s at genome scale, while a CPU
+// core with ~16-way miss interleaving services a row every ~25 ns.
+// The framework therefore offers both engines (SURVEY.md §3.1 (a)):
 // this native one for seeding throughput, the TPU one for integration
 // with on-device pipelines.  Semantics are transcribed from the pinned
 // oracle (genomicsbench_palisade_tpu/ops/oracle/fmi.py, itself cited to
@@ -15,8 +16,10 @@
 // 32..63 x4), count[5], sentinel.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <coroutine>
 #include <thread>
 #include <vector>
 
@@ -199,6 +202,295 @@ struct FmiResult {
     std::vector<Smem> s1, s2, s3;
 };
 
+// ---------------------------------------------------------------------------
+// Interleaved (software-pipelined) engine.
+//
+// At genome scale every occ row is a cache+TLB miss: the serial state
+// machine above is latency-bound at ~220 ns per dependent row on this
+// class of machine, while ~16 independent streams sustain ~25 ns/row
+// (9x memory-level parallelism).  The reference gets its single-thread
+// throughput the same way — _mm_prefetch pipelining across reads in
+// getSMEMsOnePosOneThread (FMI_search.cpp:986, ENABLE_PREFETCH) — and
+// this engine is the same idea expressed as C++20 coroutines: G reads
+// per thread run in lockstep, every (occ(sp), occ(ep)) pair issues
+// prefetches and suspends, and the scheduler round-robins resumes so
+// each fetch has G-1 other reads' work in flight to hide its miss.
+// Emit order per read is identical to the serial engine (per-read
+// result buffers concatenated in read order).
+// ---------------------------------------------------------------------------
+
+struct OccOut {
+    int64_t osp[4], oep[4];
+};
+
+struct KLS {
+    int64_t k, l, s;
+};
+
+// pure arithmetic tail of backward_ext once both occ rows are resolved
+inline KLS apply_bwd(const Idx& ix, int64_t k, int64_t l, int64_t s, int a,
+                     const OccOut& o) {
+    int64_t sp = k, ep = k + s;
+    int64_t k4[4], s4[4], l4[4];
+    for (int c = 0; c < 4; c++) {
+        k4[c] = ix.count[c] + o.osp[c];
+        s4[c] = o.oep[c] - o.osp[c];
+    }
+    int64_t off = (sp <= ix.sentinel && ep > ix.sentinel) ? 1 : 0;
+    l4[3] = l + off;
+    l4[2] = l4[3] + s4[3];
+    l4[1] = l4[2] + s4[2];
+    l4[0] = l4[1] + s4[1];
+    return {k4[a], l4[a], s4[a]};
+}
+
+struct Slot {
+    std::coroutine_handle<> current;  // innermost suspended frame
+};
+
+// awaitable: prefetch the two occ rows, suspend; compute on resume
+struct OccPair {
+    const Idx& ix;
+    Slot& slot;
+    int64_t sp, ep;
+    bool await_ready() const noexcept { return false; }
+    void await_suspend(std::coroutine_handle<> h) noexcept {
+        const uint32_t* r1 = ix.pack + (sp >> 6) * 16;
+        const uint32_t* r2 = ix.pack + (ep >> 6) * 16;
+        __builtin_prefetch(r1);
+        __builtin_prefetch(r1 + 8);
+        __builtin_prefetch(r2);
+        __builtin_prefetch(r2 + 8);
+        slot.current = h;
+    }
+    OccOut await_resume() const noexcept {
+        OccOut o;
+        occ4(ix, sp, o.osp);
+        occ4(ix, ep, o.oep);
+        return o;
+    }
+};
+
+// child coroutine returning T, resuming its parent on completion
+template <typename T>
+struct SubTask {
+    struct promise_type {
+        T value{};
+        std::coroutine_handle<> cont;
+        SubTask get_return_object() {
+            return {std::coroutine_handle<promise_type>::from_promise(*this)};
+        }
+        std::suspend_always initial_suspend() noexcept { return {}; }
+        struct Final {
+            bool await_ready() noexcept { return false; }
+            std::coroutine_handle<> await_suspend(
+                std::coroutine_handle<promise_type> h) noexcept {
+                auto c = h.promise().cont;
+                return c ? c : std::noop_coroutine();
+            }
+            void await_resume() noexcept {}
+        };
+        Final final_suspend() noexcept { return {}; }
+        void return_value(T v) { value = v; }
+        void unhandled_exception() { std::terminate(); }
+    };
+    std::coroutine_handle<promise_type> h;
+    bool await_ready() const noexcept { return false; }
+    std::coroutine_handle<> await_suspend(std::coroutine_handle<> parent) {
+        h.promise().cont = parent;
+        return h;  // symmetric transfer into the child
+    }
+    T await_resume() {
+        T v = h.promise().value;
+        h.destroy();
+        return v;
+    }
+};
+
+struct RootTask {
+    struct promise_type {
+        RootTask get_return_object() {
+            return {std::coroutine_handle<promise_type>::from_promise(*this)};
+        }
+        std::suspend_always initial_suspend() noexcept { return {}; }
+        std::suspend_always final_suspend() noexcept { return {}; }
+        void return_void() {}
+        void unhandled_exception() { std::terminate(); }
+    };
+    std::coroutine_handle<promise_type> h;
+};
+
+// one_pos as a coroutine; control flow mirrors one_pos() above line for
+// line — only the ext calls become awaits
+SubTask<int64_t> one_pos_co(const Idx& ix, Slot& slot, const int8_t* read,
+                            int64_t rl, int64_t rid, int64_t x,
+                            int64_t min_intv, int min_seed_len,
+                            std::vector<Smem>& matches,
+                            std::vector<Smem>& prev) {
+    int a = read[x];
+    int64_t next_x = x + 1;
+    if (a >= 4) co_return next_x;
+    Smem smem = root(ix, rid, x, a);
+    prev.clear();
+    for (int64_t j = x + 1; j < rl; j++) {
+        a = read[j];
+        next_x = j + 1;
+        if (a >= 4) break;
+        OccOut o = co_await OccPair{ix, slot, smem.l, smem.l + smem.s};
+        KLS r = apply_bwd(ix, smem.l, smem.k, smem.s, 3 - a, o);
+        Smem nw = smem;
+        nw.k = r.l;
+        nw.l = r.k;
+        nw.s = r.s;
+        nw.n = j;
+        if (nw.s != smem.s) prev.push_back(smem);
+        if (nw.s < min_intv) {
+            next_x = j;
+            break;
+        }
+        smem = nw;
+    }
+    if (smem.s >= min_intv) prev.push_back(smem);
+    for (size_t i = 0, jj = prev.size(); i + 1 < jj; i++, jj--)
+        std::swap(prev[i], prev[jj - 1]);
+
+    int64_t num_prev = (int64_t)prev.size();
+    for (int64_t j = x - 1; j >= 0; j--) {
+        if (num_prev == 0) break;
+        a = read[j];
+        if (a > 3) break;
+        int64_t num_curr = 0, curr_s = -1;
+        int64_t p = 0;
+        for (; p < num_prev; p++) {
+            Smem sm = prev[p];
+            OccOut o = co_await OccPair{ix, slot, sm.k, sm.k + sm.s};
+            KLS r = apply_bwd(ix, sm.k, sm.l, sm.s, a, o);
+            Smem nw = sm;
+            nw.k = r.k;
+            nw.l = r.l;
+            nw.s = r.s;
+            nw.m = j;
+            if (nw.s < min_intv && (sm.n - sm.m + 1) >= min_seed_len) {
+                matches.push_back(sm);
+                break;
+            }
+            if (nw.s >= min_intv && nw.s != curr_s) {
+                curr_s = nw.s;
+                prev[num_curr++] = nw;
+                break;
+            }
+        }
+        p++;
+        for (; p < num_prev; p++) {
+            Smem sm = prev[p];
+            OccOut o = co_await OccPair{ix, slot, sm.k, sm.k + sm.s};
+            KLS r = apply_bwd(ix, sm.k, sm.l, sm.s, a, o);
+            Smem nw = sm;
+            nw.k = r.k;
+            nw.l = r.l;
+            nw.s = r.s;
+            nw.m = j;
+            if (nw.s >= min_intv && nw.s != curr_s) {
+                curr_s = nw.s;
+                prev[num_curr++] = nw;
+            }
+        }
+        num_prev = num_curr;
+    }
+    if (num_prev != 0) {
+        const Smem& sm = prev[0];
+        if ((sm.n - sm.m + 1) >= min_seed_len) matches.push_back(sm);
+    }
+    co_return next_x;
+}
+
+// whole-read 3-phase pipeline as one root coroutine
+RootTask read_co(const Idx& ix, Slot& slot, const int8_t* rd, int64_t rl,
+                 int64_t rid, int min_seed_len, int split_len,
+                 int split_width, int max_mem_intv, FmiResult& out,
+                 std::vector<Smem>& m1, std::vector<Smem>& prev) {
+    m1.clear();
+    int64_t x = 0;
+    while (x < rl)
+        x = co_await one_pos_co(ix, slot, rd, rl, rid, x, 1, min_seed_len,
+                                m1, prev);
+    for (const Smem& sm : m1) {
+        if ((sm.n + 1 - sm.m) >= split_len && sm.s <= split_width) {
+            int64_t mid = (sm.n + 1 + sm.m) >> 1;
+            co_await one_pos_co(ix, slot, rd, rl, rid, mid, sm.s + 1,
+                                min_seed_len, out.s2, prev);
+        }
+    }
+    out.s1.insert(out.s1.end(), m1.begin(), m1.end());
+    // seed_strategy (phase 3), exts awaited
+    int64_t x2 = 0;
+    int msl3 = min_seed_len + 1;
+    while (x2 < rl) {
+        int64_t next_x = x2 + 1;
+        int a = rd[x2];
+        if (a < 4) {
+            Smem smem = root(ix, rid, x2, a);
+            for (int64_t j = x2 + 1; j < rl; j++) {
+                next_x = j + 1;
+                a = rd[j];
+                if (a >= 4) break;
+                OccOut o = co_await OccPair{ix, slot, smem.l, smem.l + smem.s};
+                KLS r = apply_bwd(ix, smem.l, smem.k, smem.s, 3 - a, o);
+                smem.k = r.l;
+                smem.l = r.k;
+                smem.s = r.s;
+                smem.n = j;
+                if (smem.s < max_mem_intv &&
+                    (smem.n - smem.m + 1) >= msl3) {
+                    if (smem.s > 0) out.s3.push_back(smem);
+                    break;
+                }
+            }
+        }
+        x2 = next_x;
+    }
+}
+
+// G-way interleaved scheduler over the read range [lo, hi)
+void run_interleaved(const Idx& ix, const int8_t* reads,
+                     const int64_t* read_off, const int32_t* read_len,
+                     int64_t lo, int64_t hi, int min_seed_len,
+                     int split_len, int split_width, int max_mem_intv,
+                     std::vector<FmiResult>& per_read, int width) {
+    struct Lane {
+        RootTask root{};
+        Slot slot{};
+        std::vector<Smem> m1, prev;
+        bool active = false;
+    };
+    std::vector<Lane> lanes(width);
+    int64_t next = lo;
+    int active = 0;
+    auto start = [&](Lane& ln) {
+        if (next >= hi) return;
+        int64_t r = next++;
+        ln.root = read_co(ix, ln.slot, reads + read_off[r], read_len[r], r,
+                          min_seed_len, split_len, split_width, max_mem_intv,
+                          per_read[r], ln.m1, ln.prev);
+        ln.slot.current = ln.root.h;
+        ln.active = true;
+        active++;
+    };
+    for (auto& ln : lanes) start(ln);
+    while (active > 0) {
+        for (auto& ln : lanes) {
+            if (!ln.active) continue;
+            ln.slot.current.resume();
+            if (ln.root.h.done()) {
+                ln.root.h.destroy();
+                ln.active = false;
+                active--;
+                start(ln);
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -217,6 +509,47 @@ void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
 
     auto* res = new FmiResult();
     if (n_threads < 1) n_threads = 1;
+
+    // Engine choice: the interleaved engine wins once occ rows miss
+    // cache (index beyond ~32 MB); the serial one avoids coroutine
+    // overhead on toy indexes.  GT_FMI_ENGINE=serial|interleaved forces.
+    int64_t n_blocks_bytes = 0;
+    // count[4] = text length incl. sentinel; blocks = ceil(len/64)
+    n_blocks_bytes = ((count5[4] + 63) / 64) * 64;
+    bool interleave = n_blocks_bytes > (int64_t)32 * 1024 * 1024;
+    if (const char* e = std::getenv("GT_FMI_ENGINE")) {
+        if (std::strcmp(e, "serial") == 0) interleave = false;
+        if (std::strcmp(e, "interleaved") == 0) interleave = true;
+    }
+    int width = 24;
+    if (const char* w = std::getenv("GT_FMI_WIDTH")) {
+        int v = std::atoi(w);
+        if (v >= 1 && v <= 256) width = v;
+    }
+
+    if (interleave) {
+        std::vector<FmiResult> per_read(n_reads);
+        std::vector<std::thread> pool;
+        int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+        for (int tix = 0; tix < n_threads; tix++) {
+            pool.emplace_back([&, tix]() {
+                int64_t lo = tix * chunk;
+                int64_t hi = std::min<int64_t>(lo + chunk, n_reads);
+                if (lo < hi)
+                    run_interleaved(ix, reads, read_off, read_len, lo, hi,
+                                    min_seed_len, split_len, split_width,
+                                    max_mem_intv, per_read, width);
+            });
+        }
+        for (auto& t : pool) t.join();
+        for (auto& p : per_read) {
+            res->s1.insert(res->s1.end(), p.s1.begin(), p.s1.end());
+            res->s2.insert(res->s2.end(), p.s2.begin(), p.s2.end());
+            res->s3.insert(res->s3.end(), p.s3.begin(), p.s3.end());
+        }
+        return res;
+    }
+
     std::vector<FmiResult> parts(n_threads);
     std::vector<std::thread> pool;
     int64_t chunk = (n_reads + n_threads - 1) / n_threads;

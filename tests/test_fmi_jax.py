@@ -161,3 +161,37 @@ def test_fmi_cli_host_engine_matches_tpu(tmp_path, capsys):
     h_total = host_out.split("totalSmems = ")[1].split()[0]
     t_total = tpu_out.split("totalSmems = ")[1].split()[0]
     assert h_total == t_total
+
+
+def test_fmi_native_interleaved_matches_serial(tmp_path, monkeypatch):
+    """The software-pipelined (coroutine-interleaved) engine must emit
+    bit- and ORDER-identical SMEMs to the serial state machine across
+    all 3 phases (native/fmsearch.cpp run_interleaved vs all_pos)."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.index import builder as IB
+    from genomicsbench_palisade_tpu.io.native import available, fmi_search_native
+
+    if not available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 6000).astype(np.int8)
+    didx = IB.build_arrays(codes)
+    n, L = 120, 90
+    starts = rng.integers(0, len(codes) - L, n)
+    enc = np.stack([codes[s : s + L] for s in starts]).astype(np.int8)
+    sub = rng.random(enc.shape) < 0.04
+    enc[sub] = rng.integers(0, 4, int(sub.sum()), dtype=np.int8)
+    enc[rng.random(enc.shape) < 0.003] = 4  # ambiguous bases
+    rl = rng.integers(40, L + 1, n).astype(np.int32)
+    outs = {}
+    for engine in ("serial", "interleaved"):
+        monkeypatch.setenv("GT_FMI_ENGINE", engine)
+        outs[engine] = fmi_search_native(didx, enc, rl, min_seed_len=12)
+    m_s, m_i = outs["serial"][0], outs["interleaved"][0]
+    assert outs["serial"][1:] == outs["interleaved"][1:]  # phase counts
+    assert sum(outs["serial"][1:]) > 100  # all phases exercised
+    for key in m_s:
+        np.testing.assert_array_equal(m_s[key], m_i[key])

@@ -609,7 +609,7 @@ PLINK2_BIN = pathlib.Path(
     os.environ.get("GOLDEN_PLINK2", "/tmp/plink2_build/bin/plink2"))
 
 
-def gen_grm(n_cases: int = 12) -> None:
+def gen_grm(n_cases: int = 25) -> None:
     """Needs a plink2 binary built from benchmarks/grm/2.0 (see
     tools/golden/README.md)."""
     import base64

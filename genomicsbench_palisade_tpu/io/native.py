@@ -71,10 +71,14 @@ def parse_reads_native(path: str, limit: int = -1):
     return codes, quals, offsets, lengths
 
 
-def sais(codes: np.ndarray) -> np.ndarray | None:
+def sais(codes: np.ndarray, out: np.ndarray | None = None
+         ) -> np.ndarray | None:
     """Suffix array of int8/uint8 codes in [0, 255) via native SA-IS.
 
     Returns int64[n], or None when the native library isn't built.
+    `out` (contiguous int64[n]) avoids allocating the result here — at
+    genome scale a fresh multi-GB buffer pays heavy first-touch page
+    faults, so callers embedding the SA in a larger array pass a view.
     """
     lib = _load()
     if not lib:
@@ -88,7 +92,11 @@ def sais(codes: np.ndarray) -> np.ndarray | None:
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     shifted = codes + 1  # reserve 0 for the internal sentinel
     n = len(shifted)
-    sa = np.empty(n, np.int64)
+    if out is not None:
+        assert out.dtype == np.int64 and out.flags.c_contiguous and len(out) == n
+        sa = out
+    else:
+        sa = np.empty(n, np.int64)
     k = int(shifted.max()) + 1 if n else 1
     rc = lib.gt_sais_u8(shifted.ctypes.data, n, k, sa.ctypes.data)
     if rc != 0:

@@ -952,8 +952,175 @@ def gen_clair() -> None:
     print("clair: transcription golden outputs -> clair_golden.npz")
 
 
+# --------------------------------------------------------------------------
+# eventalign: f5c eventalign-mode postprocessing — postalign + recalibration
+# + QC + reference-space profile-HMM realign + TSV emit
+# (benchmarks/abea/src/{align.c,eventalign.c}, f5c.c scaling_single)
+# --------------------------------------------------------------------------
+
+_RC = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def _sim_eventalign_read(rng, genome, min_len, max_len):
+    """A read aligned to `genome` with M/I/D/S cigar; returns the FASTQ-
+    strand sequence, BAM query (genome strand), cigar, pos, flag, NM."""
+    glen = len(genome)
+    seg_len = int(rng.integers(min_len, max_len))
+    pos = int(rng.integers(0, glen - seg_len))
+    ref_seg = genome[pos:pos + seg_len]
+    q, cig, nm, i = [], [], 0, 0
+
+    def push(op, n):
+        if cig and cig[-1][0] == op:
+            cig[-1][1] += n
+        else:
+            cig.append([op, n])
+
+    while i < seg_len:
+        r = rng.random()
+        if r < 0.008 and seg_len - i > 10:
+            dl = int(rng.integers(1, 6))
+            push("D", dl)
+            i += dl
+            nm += dl
+        elif r < 0.016:
+            il = int(rng.integers(1, 6))
+            q.extend("ACGT"[j] for j in rng.integers(0, 4, il))
+            push("I", il)
+            nm += il
+        else:
+            c = ref_seg[i]
+            if rng.random() < 0.02:
+                c2 = "ACGT"[int(rng.integers(0, 4))]
+                nm += c2 != c
+                c = c2
+            q.append(c)
+            push("M", 1)
+            i += 1
+    pre = int(rng.integers(0, 20))
+    post = int(rng.integers(0, 20))
+    query = _rand_dna(rng, pre) + "".join(q) + _rand_dna(rng, post)
+    if pre:
+        cig.insert(0, ["S", pre])
+    if post:
+        cig.append(["S", post])
+    rev = bool(rng.random() < 0.5)
+    fastq_read = ("".join(_RC[c] for c in reversed(query))
+                  if rev else query)
+    return fastq_read, query, [tuple(c) for c in cig], pos, (16 if rev else 0), nm
+
+
+def gen_eventalign(n_cases: int = 25) -> None:
+    hts = _ensure_htslib()
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td)
+        farm = make_farm(tmp, ["benchmarks/abea/src"])
+        src = farm / "benchmarks/abea/src"
+        # like gen_abea: plain -O2, no FMA contraction (FP-exact kernels);
+        # BASE_FLAGS carries the stub include (declaration-only hdf5.h)
+        exe = build(
+            tmp, "eventalign_golden",
+            [str(GOLDEN / "eventalign_harness.cpp"),
+             str(src / "align.c"), str(src / "events.c"),
+             str(src / "eventalign.c")],
+            include_dirs=[str(src), str(hts)],
+            extra_flags=["-ffp-contract=off"],
+            libs=[str(hts / "libhts.a"), "-lz", "-lm", "-lpthread"],
+        )
+        levels = _pore_levels()
+        model_tsv = tmp / "pore.tsv"
+        with open(model_tsv, "w") as f:
+            f.write("kmer\tlevel_mean\tlevel_stdv\n")
+            for km, mean in levels.items():
+                f.write(f"{km}\t{mean:.2f}\t1.50\n")
+        sys.path.insert(0, str(REPO))
+        from genomicsbench_palisade_tpu.io import bam as B
+
+        idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+        cases = []
+        rng = np.random.default_rng(20260823)
+        for ci in range(n_cases):
+            genome = _rand_dna(rng, int(rng.integers(1200, 3000)))
+            n_reads = int(rng.integers(2, 4))
+            reads, bam_rows = [], []
+            for ri in range(n_reads):
+                # mostly long enough to calibrate (>=200 M states); a few
+                # short ones exercise FAILED_CALIBRATION
+                short = rng.random() < 0.15
+                fastq, query, cig, pos, flag, nm = _sim_eventalign_read(
+                    rng, genome, 120 if short else 350, 220 if short else 700)
+                # occasional filtered records (mapq / secondary / unmapped)
+                mapq, fl = 60, flag
+                r = rng.random()
+                if r < 0.08:
+                    mapq = 5
+                elif r < 0.12:
+                    fl |= 0x100
+                elif r < 0.16:
+                    fl |= 0x4
+                sig = []
+                for i in range(len(fastq) - 5):
+                    lv = levels[fastq[i:i + 6]]
+                    n = int(rng.integers(3, 14))
+                    noise = 0.8 if rng.random() < 0.92 else 6.0
+                    sig.extend(lv + rng.normal(0, noise, n))
+                sig = np.asarray(sig, np.float32)
+                qname = f"er{ci}_{ri}"
+                reads.append(dict(
+                    qname=qname, fastq=fastq, query=query,
+                    cigar=[list(c) for c in cig], pos=pos, flag=fl,
+                    mapq=mapq, nm=nm,
+                    signal=[f"{x:.6f}" for x in sig.tolist()]))
+                bam_rows.append(B.BamRecord(
+                    name=qname, flag=fl, ref_id=0, pos=pos, mapq=mapq,
+                    cigar=cig,
+                    seq_nt16=np.array([idx16[ch] for ch in query], np.uint8),
+                    qual=np.full(len(query), 30, np.uint8),
+                    tags={"NM": nm}))
+            bam_rows.sort(key=lambda r: r.pos)
+            bam = tmp / f"case{ci}.bam"
+            B.write_bam(str(bam), [("ctg1", len(genome))], bam_rows)
+            case_txt = tmp / f"case{ci}.txt"
+            with open(case_txt, "w") as f:
+                f.write(genome + "\n")
+                f.write(f"{len(reads)}\n")
+                for rd in reads:
+                    f.write(rd["qname"] + "\n" + rd["fastq"] + "\n")
+                    f.write(str(len(rd["signal"])) + " "
+                            + " ".join(rd["signal"]) + "\n")
+            out = subprocess.run(
+                [str(exe), str(model_tsv), str(case_txt), str(bam)],
+                check=True, capture_output=True, text=True).stdout
+            results, cur = [], None
+            for line in out.splitlines():
+                if line.startswith("READ "):
+                    _, ridx, qname, status = line.split()
+                    cur = dict(read_idx=int(ridx), qname=qname,
+                               status=int(status), tsv=[])
+                    results.append(cur)
+                elif line.startswith("SCALE "):
+                    cur["scale"] = line.split()[1:]
+                elif line.startswith("SUMMARY "):
+                    cur["summary"] = line.split()[1:]
+                elif line.startswith("TSV "):
+                    cur["tsv"].append(line[4:])
+            cases.append(dict(genome=genome, reads=reads, results=results))
+        out_path = FIXTURES / "eventalign_golden.json"
+        out_path.write_text(json.dumps(
+            dict(generator="tools/golden/eventalign_harness.cpp",
+                 reference="benchmarks/abea/src/align.c postalign/"
+                           "recalibrate_model + eventalign.c realign_read/"
+                           "profile_hmm_align/emit_event_alignment_tsv + "
+                           "f5c.c scaling_single QC",
+                 cases=cases)))
+        n_tsv = sum(len(r["tsv"]) for c in cases for r in c["results"])
+        print(f"eventalign: wrote {len(cases)} cases, {n_tsv} TSV rows "
+              f"-> {out_path}")
+
+
 GENERATORS = {
     "bonito": gen_bonito,
+    "eventalign": gen_eventalign,
     "clair": gen_clair,
     "chain_big": gen_chain_big,
     "fmi": gen_fmi,

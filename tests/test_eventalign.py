@@ -1,0 +1,146 @@
+"""f5c eventalign-mode postprocessing vs reference-built goldens.
+
+tests/fixtures/eventalign_golden.json is produced by the reference's OWN
+align.c/eventalign.c (tools/golden/eventalign_harness.cpp): per-read QC
+status flags, recalibrated scalings, alignment summaries and the verbatim
+emit_event_alignment_tsv rows.  The test drives this framework's full
+chain — event detection, MoM scaling, ABEA align, postalign, WLS
+recalibration, QC, reference-space profile-HMM realign, TSV emit — from
+the same raw inputs and asserts byte/bit equality.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from genomicsbench_palisade_tpu.io import bam as B
+from genomicsbench_palisade_tpu.ops.oracle import abea as OA
+from genomicsbench_palisade_tpu.ops.oracle import eventalign as EA
+from genomicsbench_palisade_tpu.ops.oracle import events as E
+
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "eventalign_golden.json"
+SAMPLE_RATE = 4000.0
+
+
+def _load_cases():
+    with open(FIXTURE) as f:
+        return json.load(f)["cases"]
+
+
+def _model():
+    import itertools
+
+    kmers = ["".join(p) for p in itertools.product("ACGT", repeat=6)]
+    levels = np.array(
+        [60.0 + 80.0 * ((i * 2654435761) % 4096) / 4096.0
+         for i in range(len(kmers))])
+    # the generator writes the TSV with %.2f — the harness re-parses it, so
+    # quantize the same way
+    mean = np.array([float(f"{x:.2f}") for x in levels], np.float32)
+    stdv = np.full(len(kmers), 1.50, np.float32)
+    return {"level_mean": mean, "level_stdv": stdv,
+            "level_log_stdv": np.float32(
+                np.log(np.float64(stdv)))}
+
+
+def _f32_hex(h):
+    return np.float32(float.fromhex(h))
+
+
+def _bam_records(case):
+    idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+    rows = []
+    for rd in case["reads"]:
+        rows.append((rd, B.BamRecord(
+            name=rd["qname"], flag=rd["flag"], ref_id=0, pos=rd["pos"],
+            mapq=rd["mapq"], cigar=[tuple(c) for c in rd["cigar"]],
+            seq_nt16=np.array([idx16[ch] for ch in rd["query"]], np.uint8),
+            qual=np.full(len(rd["query"]), 30, np.uint8),
+            tags={"NM": rd["nm"]})))
+    rows.sort(key=lambda t: t[1].pos)
+    return rows
+
+
+def _run_read(genome, rd, record, read_idx, model):
+    """The framework's per-read eventalign chain; mirrors the harness."""
+    sig = np.array([float(x) for x in rd["signal"]], np.float32)
+    events = E.getevents(sig)
+    seq = rd["fastq"]
+    shift, scale = E.estimate_scalings_using_mom(seq, model, events)
+    pairs = OA.align(seq, events["mean"], model, float(scale), float(shift))
+    status, sc, b2e, epb = EA.scaling_read(seq, events, pairs, model)
+    out = {"status": status}
+    if status:
+        return out
+    out["scale"] = sc
+    out["events_per_base"] = epb
+    ref_len = B._cigar_ref_len(record.cigar)
+    ref_segment = genome[record.pos:record.pos + ref_len]
+    alignments = EA.align_read_to_ref(
+        record, ref_segment, record.pos, len(seq), events, sc, model,
+        b2e, epb, read_idx)
+    out["summary"] = EA.summarize_alignment(
+        events, model, sc, alignments, SAMPLE_RATE,
+        nm=record.tags.get("NM", 0))
+    out["tsv"] = EA.emit_tsv_lines(
+        events, model, sc, alignments, read_idx, record.name, "ctg1",
+        SAMPLE_RATE)
+    return out
+
+
+@pytest.mark.parametrize("ci", range(len(_load_cases())))
+def test_eventalign_golden(ci):
+    case = _load_cases()[ci]
+    model = _model()
+    rows = _bam_records(case)
+    results = iter(case["results"])
+    read_index = 0
+    n_checked = 0
+    for rd, record in rows:
+        read_idx = read_index
+        read_index += 1
+        if record.flag & 0x4 or record.mapq < 20 or record.flag & 0x100:
+            continue
+        want = next(results)
+        assert want["qname"] == record.name
+        assert want["read_idx"] == read_idx
+        got = _run_read(case["genome"], rd, record, read_idx, model)
+        assert got["status"] == want["status"], record.name
+        if want["status"]:
+            continue
+        w_shift, w_scale, w_var, w_epb = want["scale"]
+        assert got["scale"]["shift"] == _f32_hex(w_shift)
+        assert got["scale"]["scale"] == _f32_hex(w_scale)
+        assert got["scale"]["var"] == _f32_hex(w_var)
+        assert got["events_per_base"] == float.fromhex(w_epb)
+        s = got["summary"]
+        wn = want["summary"]
+        assert [s["num_events"], s["num_steps"], s["num_skips"],
+                s["num_stays"]] == [int(x) for x in wn[:4]]
+        assert s["sum_duration"] == float.fromhex(wn[4])
+        assert s["sum_z_score"] == float.fromhex(wn[5])
+        assert s["alignment_edit_distance"] == int(wn[6])
+        assert s["reference_span"] == int(wn[7])
+        got_tsv = [l.rstrip("\n") for l in got["tsv"]]
+        assert got_tsv == want["tsv"], (
+            f"{record.name}: first diff at "
+            f"{next((i for i, (a, b) in enumerate(zip(got_tsv, want['tsv'])) if a != b), 'len')}"
+        )
+        n_checked += 1
+    assert next(results, None) is None
+
+
+def test_aligned_segments_cigar_walk():
+    """get_aligned_segments semantics on a mixed cigar
+    (eventalign.c:1112-1180)."""
+    rec = B.BamRecord("r", 0, 0, 100, 60,
+                      [("S", 2), ("M", 3), ("I", 2), ("M", 1), ("D", 2),
+                       ("M", 1), ("N", 5), ("M", 2), ("H", 3)],
+                      np.zeros(9, np.uint8), np.zeros(9, np.uint8), {})
+    segs = EA.get_aligned_segments(rec)
+    assert segs == [
+        [(100, 2), (101, 3), (102, 4), (103, 7), (106, 8)],
+        [(112, 9), (113, 10)],
+    ]

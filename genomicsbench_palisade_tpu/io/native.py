@@ -502,3 +502,60 @@ def pileup_events_native(records, num2countbase, del_fwd, del_rev,
     finally:
         lib.gt_pileup_free(h)
     return pos, minor, feat, qstrat, rec_id, ins_pos, ins_len
+
+
+def eventalign_realign_native(ref_codes, ref_offset, segments, rc,
+                              read_length, ev_mean, sc, model, b2e,
+                              events_per_base):
+    """Native f5c eventalign realign (native/eventalign.cpp, bit-exact
+    contract with ops/oracle/eventalign.align_read_to_ref).  ``segments``
+    is the pre-trimmed [(ref_pos, read_pos)] list-of-lists from the cigar
+    walk; returns (ref_pos[i32], event_idx[i32], state[bytes]) arrays or
+    None when the lib isn't built."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_eventalign_ready"):
+        lib.gt_eventalign_realign.restype = ctypes.c_int64
+        lib.gt_eventalign_realign.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+            + [ctypes.c_int32, ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_float] * 4 + [ctypes.c_void_p] * 3
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_double]
+            + [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+        )
+        lib._eventalign_ready = True
+    ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
+    pair_ref = np.ascontiguousarray(
+        [p[0] for seg in segments for p in seg], np.int32)
+    pair_read = np.ascontiguousarray(
+        [p[1] for seg in segments for p in seg], np.int32)
+    seg_off = np.zeros(len(segments) + 1, np.int64)
+    np.cumsum([len(s) for s in segments], out=seg_off[1:])
+    ev_mean = np.ascontiguousarray(ev_mean, np.float32)
+    lm = np.ascontiguousarray(model["level_mean"], np.float32)
+    ls = np.ascontiguousarray(model["level_stdv"], np.float32)
+    lls = np.ascontiguousarray(model["level_log_stdv"], np.float32)
+    b2e = np.ascontiguousarray(b2e, np.int32)
+    cap = int(2 * len(ev_mean) + 1024)
+    out_rp = np.empty(cap, np.int32)
+    out_ei = np.empty(cap, np.int32)
+    out_st = np.empty(cap, np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    n = lib.gt_eventalign_realign(
+        p(ref_codes), len(ref_codes), int(ref_offset),
+        p(pair_ref), p(pair_read), p(seg_off), len(segments),
+        1 if rc else 0, int(read_length),
+        p(ev_mean), len(ev_mean),
+        float(sc["shift"]), float(sc["scale"]), float(sc["var"]),
+        float(sc["log_var"]),
+        p(lm), p(ls), p(lls), p(b2e), len(b2e), float(events_per_base),
+        p(out_rp), p(out_ei), p(out_st), cap)
+    if n < 0:
+        raise RuntimeError("gt_eventalign_realign: output capacity exceeded")
+    return out_rp[:n].copy(), out_ei[:n].copy(), out_st[:n].tobytes()

@@ -63,8 +63,10 @@ def _bam_records(case):
     return rows
 
 
-def _run_read(genome, rd, record, read_idx, model):
+def _run_read(genome, rd, record, read_idx, model, use_native):
     """The framework's per-read eventalign chain; mirrors the harness."""
+    from genomicsbench_palisade_tpu.ops import eventalign as PE
+
     sig = np.array([float(x) for x in rd["signal"]], np.float32)
     events = E.getevents(sig)
     seq = rd["fastq"]
@@ -78,9 +80,9 @@ def _run_read(genome, rd, record, read_idx, model):
     out["events_per_base"] = epb
     ref_len = B._cigar_ref_len(record.cigar)
     ref_segment = genome[record.pos:record.pos + ref_len]
-    alignments = EA.align_read_to_ref(
+    alignments = PE.realign_read(
         record, ref_segment, record.pos, len(seq), events, sc, model,
-        b2e, epb, read_idx)
+        b2e, epb, read_idx, use_native=use_native)
     out["summary"] = EA.summarize_alignment(
         events, model, sc, alignments, SAMPLE_RATE,
         nm=record.tags.get("NM", 0))
@@ -90,11 +92,21 @@ def _run_read(genome, rd, record, read_idx, model):
     return out
 
 
+# native engine covers every case; the (slow) Python oracle spec re-proves
+# a rotating subset so the suite stays bounded
+_ORACLE_CASES = (0, 7, 13, 19, 24)
+
+
 @pytest.mark.parametrize("ci", range(len(_load_cases())))
 def test_eventalign_golden(ci):
+    from genomicsbench_palisade_tpu.io.native import available
+
     case = _load_cases()[ci]
     model = _model()
     rows = _bam_records(case)
+    use_native = available() and ci not in _ORACLE_CASES
+    if not available() and ci not in _ORACLE_CASES:
+        pytest.skip("native lib not built; oracle subset only")
     results = iter(case["results"])
     read_index = 0
     n_checked = 0
@@ -106,7 +118,8 @@ def test_eventalign_golden(ci):
         want = next(results)
         assert want["qname"] == record.name
         assert want["read_idx"] == read_idx
-        got = _run_read(case["genome"], rd, record, read_idx, model)
+        got = _run_read(case["genome"], rd, record, read_idx, model,
+                        use_native)
         assert got["status"] == want["status"], record.name
         if want["status"]:
             continue
@@ -144,3 +157,40 @@ def test_aligned_segments_cigar_walk():
         [(100, 2), (101, 3), (102, 4), (103, 7), (106, 8)],
         [(112, 9), (113, 10)],
     ]
+
+
+def test_eventalign_cli_bam_mode(tmp_path, capsys):
+    """The f5c-surface CLI (-b/-g/-r) reproduces the reference TSV rows
+    for a golden case end-to-end (files on disk, BAM via io.bam writer)."""
+    case = _load_cases()[1]
+    rows = _bam_records(case)
+    bam = tmp_path / "reads.bam"
+    B.write_bam(str(bam), [("ctg1", len(case["genome"]))],
+                [r for _, r in rows])
+    (tmp_path / "genome.fa").write_text(">ctg1\n" + case["genome"] + "\n")
+    with open(tmp_path / "reads.fq", "w") as f:
+        for rd in case["reads"]:
+            f.write(f"@{rd['qname']}\n{rd['fastq']}\n+\n"
+                    + "I" * len(rd["fastq"]) + "\n")
+    np.savez(tmp_path / "sig.npz", **{
+        rd["qname"]: np.array([float(x) for x in rd["signal"]], np.float32)
+        for rd in case["reads"]})
+    import itertools
+    levels = _model()
+    with open(tmp_path / "pore.tsv", "w") as f:
+        f.write("kmer\tlevel_mean\tlevel_stdv\n")
+        for i, p in enumerate(itertools.product("ACGT", repeat=6)):
+            f.write(f"{''.join(p)}\t{levels['level_mean'][i]:.2f}\t1.50\n")
+
+    from genomicsbench_palisade_tpu.cli.abea import main as abea_main
+    out_tsv = tmp_path / "events.tsv"
+    rc = abea_main(["-r", str(tmp_path / "reads.fq"),
+                    "--raw", str(tmp_path / "sig.npz"),
+                    "--model", str(tmp_path / "pore.tsv"),
+                    "-b", str(bam), "-g", str(tmp_path / "genome.fa"),
+                    "-B", "3.7M", "-o", str(out_tsv)])
+    assert rc == 0
+    got = out_tsv.read_text().splitlines()
+    assert got[0].startswith("contig\tposition\treference_kmer")
+    want = [t for r in case["results"] for t in r["tsv"]]
+    assert got[1:] == want

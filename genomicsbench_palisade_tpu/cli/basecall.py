@@ -29,7 +29,20 @@ from ..models import bonito as B
 MAX_READ_SIZE = 4e6  # basecall.py:592
 
 
-def load_model(source: str, dtype=None):
+def load_model(source: str, dtype=None, weights: str = "0"):
+    # bonito model DIRECTORY (config.toml + weights_<N>.tar) — the form
+    # run-gpu.sh uses: `basecall.py models/bonito_dna_r941 <reads_dir>`
+    # (reference basecall.py:635-638 + util.load_model)
+    import os
+
+    if os.path.isdir(source):
+        cand = os.path.join(source, f"weights_{weights}.tar")
+        if not os.path.exists(cand):
+            tars = sorted(f for f in os.listdir(source) if f.endswith(".tar"))
+            if not tars:
+                raise FileNotFoundError(f"no weights_*.tar in {source}")
+            cand = os.path.join(source, tars[0])
+        source = cand
     # validate BEFORE the (expensive) model init so a typo fails instantly
     if source != "random" and not source.endswith(
         (".tar", ".pth", ".pt", ".msgpack")
@@ -55,15 +68,28 @@ def load_model(source: str, dtype=None):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="basecall")
-    ap.add_argument("model_source", help="'random', torch .tar/.pth, or flax .msgpack")
-    ap.add_argument("reads", help=".npz (name->raw signal) or .fast5")
+    ap.add_argument("model_source",
+                    help="'random', torch .tar/.pth, flax .msgpack, or a "
+                         "bonito model directory (weights_<N>.tar)")
+    ap.add_argument("reads",
+                    help=".npz (name->raw signal), .fast5, or a directory "
+                         "of either")
+    ap.add_argument("--device", default=None,
+                    help="accepted for reference CLI parity (TPU-resident)")
+    ap.add_argument("--weights", default="0",
+                    help="weights_<N>.tar selector for model directories")
     ap.add_argument("--chunksize", default=4000, type=int)
     ap.add_argument("--overlap", default=0, type=int)
     ap.add_argument("--beamsize", default=5, type=int,
                     help="CTC prefix beam width (reference default 5; 1 = viterbi)")
+    ap.add_argument("--fastq", action="store_true",
+                    help="FASTQ output (constant Q20 quals — the decoder "
+                         "emits sequences, not per-base posteriors)")
     # the reference driver defaults to half precision when the GPU supports
     # it (basecall.py:642); bf16 is the TPU analog (decoder stays f32)
     ap.add_argument("--precision", choices=("bf16", "f32"), default="bf16")
+    ap.add_argument("--half", action="store_true",
+                    help="reference alias for --precision bf16")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
@@ -72,13 +98,25 @@ def main(argv=None):
     import jax.numpy as jnp
 
     sys.stderr.write("> loading model\n")
-    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model, params = load_model(args.model_source, dtype=dtype)
+    dtype = jnp.bfloat16 if (args.precision == "bf16" or args.half) \
+        else jnp.float32
+    model, params = load_model(args.model_source, dtype=dtype,
+                               weights=args.weights)
 
-    if args.reads.endswith(".fast5"):
-        signals = load_signals_fast5(args.reads)
+    import os
+
+    def _load_one(path):
+        if path.endswith(".fast5"):
+            return load_signals_fast5(path)
+        return load_signals_npz(path)
+
+    if os.path.isdir(args.reads):
+        signals = {}
+        for f in sorted(os.listdir(args.reads)):
+            if f.endswith((".fast5", ".npz")):
+                signals.update(_load_one(os.path.join(args.reads, f)))
     else:
-        signals = load_signals_npz(args.reads)
+        signals = _load_one(args.reads)
 
     samples = 0
     num_reads = 0
@@ -95,7 +133,10 @@ def main(argv=None):
         seq = B.basecall_read(model, params, norm,
                               chunksize=args.chunksize, overlap=args.overlap,
                               beamsize=args.beamsize)
-        sys.stdout.write(f">{read_id}\n{seq}\n")
+        if args.fastq:
+            sys.stdout.write(f"@{read_id}\n{seq}\n+\n{'5' * len(seq)}\n")
+        else:
+            sys.stdout.write(f">{read_id}\n{seq}\n")
     duration = time.perf_counter() - t0
 
     sys.stderr.write(f"> completed reads: {num_reads}\n")

@@ -50,6 +50,16 @@ def main(argv=None):
     ap.add_argument("--output_fn", default="prediction_output.npz")
     ap.add_argument("--chkpnt_fn", default=None, help="flax msgpack weights")
     ap.add_argument("--threads", type=int, default=None, help="ignored")
+    # accepted for reference CLI parity (prediction.py:74-110; the
+    # reference's Run() only uses input_fn/output_fn/chkpnt_fn/threads)
+    ap.add_argument("--sampleName", default="SAMPLE")
+    ap.add_argument("--qual", type=int, default=None)
+    ap.add_argument("--tensor_fn", default="PIPE")
+    ap.add_argument("--call_fn", default=None)
+    ap.add_argument("--bam_fn", default="bam.bam")
+    ap.add_argument("--ref_fn", default=None)
+    ap.add_argument("--showRef", action="store_true")
+    ap.add_argument("--debug", action="store_true")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
@@ -74,8 +84,16 @@ def main(argv=None):
             outputs[name].append(np.asarray(h))
     end_time = time.perf_counter() - t0
 
-    np.savez(args.output_fn,
-             **{k: np.concatenate(v) if v else np.zeros(0) for k, v in outputs.items()})
+    cat = {k: np.concatenate(v) if v else np.zeros(0)
+           for k, v in outputs.items()}
+    if args.output_fn.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(args.output_fn, "w") as f:
+            for k, v in cat.items():
+                f.create_dataset(k, data=v)
+    else:
+        np.savez(args.output_fn, **cat)
     print("Time taken: %.4f s" % end_time)
     return 0
 

@@ -264,6 +264,48 @@ def load_torch_state_dict(state_dict, blocks=None):
     return params
 
 
+def save_torch_state_dict(params, blocks=None):
+    """Inverse of load_torch_state_dict: flax params -> a bonito-format
+    torch state_dict (numpy tensors; torch.save-able), so checkpoints can
+    round-trip back to the reference's weights_<N>.tar layout."""
+    blocks = blocks or DNA_R941_BLOCKS
+    p, bs = params["params"], params["batch_stats"]
+
+    def conv_w(k):  # flax [k, in/groups, out] -> torch [out, in/groups, k]
+        return np.ascontiguousarray(np.transpose(np.asarray(k), (2, 1, 0)))
+
+    out = {}
+    for i, (f, rep, k, s, res, sep) in enumerate(blocks):
+        idx = 0
+        for r in range(rep):
+            tcs_key = f"encoder.encoder.{i}.conv.{idx}"
+            bn_key = f"encoder.encoder.{i}.conv.{idx + 1}"
+            blk, bn = p[f"block{i}"][f"tcs{r}"], p[f"block{i}"][f"bn{r}"]
+            if sep:
+                out[tcs_key + ".depthwise.weight"] = conv_w(blk["depthwise"]["kernel"])
+                out[tcs_key + ".pointwise.weight"] = conv_w(blk["pointwise"]["kernel"])
+            else:
+                out[tcs_key + ".conv.weight"] = conv_w(blk["conv"]["kernel"])
+            out[bn_key + ".weight"] = np.asarray(bn["scale"])
+            out[bn_key + ".bias"] = np.asarray(bn["bias"])
+            stats = bs[f"block{i}"][f"bn{r}"]
+            out[bn_key + ".running_mean"] = np.asarray(stats["mean"])
+            out[bn_key + ".running_var"] = np.asarray(stats["var"])
+            idx += 2 if r == rep - 1 else 4
+        if res:
+            out[f"encoder.encoder.{i}.residual.0.conv.weight"] = conv_w(
+                p[f"block{i}"]["res_tcs"]["conv"]["kernel"])
+            rb = p[f"block{i}"]["res_bn"]
+            rs = bs[f"block{i}"]["res_bn"]
+            out[f"encoder.encoder.{i}.residual.1.weight"] = np.asarray(rb["scale"])
+            out[f"encoder.encoder.{i}.residual.1.bias"] = np.asarray(rb["bias"])
+            out[f"encoder.encoder.{i}.residual.1.running_mean"] = np.asarray(rs["mean"])
+            out[f"encoder.encoder.{i}.residual.1.running_var"] = np.asarray(rs["var"])
+    out["decoder.layers.0.weight"] = conv_w(p["decoder"]["kernel"])
+    out["decoder.layers.0.bias"] = np.asarray(p["decoder"]["bias"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host-side signal preprocessing + chunking (basecall.py:296-398)
 # ---------------------------------------------------------------------------

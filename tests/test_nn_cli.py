@@ -109,3 +109,53 @@ def test_call_var_cli_h5(tmp_path, capsys):
     rc = main(["--input_fn", str(h5), "--output_fn", str(out_fn)])
     assert rc == 0
     assert np.load(out_fn)["gt21"].shape == (5, 21)
+
+
+def test_basecall_cli_reference_surface(tmp_path, capsys, monkeypatch):
+    """run-gpu.sh form: model DIRECTORY + reads DIRECTORY + --fastq
+    (basecall.py:635-643)."""
+    rng = np.random.default_rng(4)
+    reads_dir = tmp_path / "reads"
+    reads_dir.mkdir()
+    np.savez(reads_dir / "a.npz",
+             r1=rng.normal(500, 40, 3000).astype(np.float32))
+    np.savez(reads_dir / "b.npz",
+             r2=rng.normal(500, 40, 3000).astype(np.float32))
+    monkeypatch.setattr(B, "DNA_R941_BLOCKS", SMALL_BLOCKS)
+    # model dir with converted torch weights
+    import torch
+
+    import jax.numpy as jnp
+    model, params = B.init_model(dtype=jnp.float32)
+    mdl_dir = tmp_path / "bonito_dna_r941"
+    mdl_dir.mkdir()
+    state = B.save_torch_state_dict(params)
+    torch.save(state, mdl_dir / "weights_0.tar")
+    from genomicsbench_palisade_tpu.cli.basecall import main
+
+    rc = main([str(mdl_dir), str(reads_dir), "--device", "cuda:0",
+               "--fastq", "--chunksize", "1200"])
+    assert rc == 0
+    out = capsys.readouterr()
+    recs = out.out.strip().split("\n")
+    assert recs[0] == "@r1" and recs[2] == "+"
+    assert "@r2" in recs
+    assert "> completed reads: 2" in out.err
+
+
+def test_call_var_cli_reference_flags(tmp_path, capsys):
+    """The exact run-gpu.sh argument list is accepted and .h5 output
+    written (prediction.py:74-110)."""
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (4, 33, 8, 4)).astype(np.float32)
+    npz_in = tmp_path / "tensors.npz"
+    np.savez(npz_in, X=x)
+    out_fn = tmp_path / "prediction_output.h5"
+    from genomicsbench_palisade_tpu.cli.call_var import main
+
+    rc = main(["--sampleName", "chr20", "--threads", "1", "--qual", "100",
+               "--input_fn", str(npz_in), "--output_fn", str(out_fn)])
+    assert rc == 0
+    with h5py.File(out_fn) as f:
+        assert f["gt21"].shape == (4, 21)

@@ -68,8 +68,32 @@ def eventalign_bam(args, model, signals, out):
     reads = {}
     for name, seq, _q in read_sequences(args.reads):
         reads[str(name).split(None, 1)[0]] = seq
-    refs, records = B.read_bam(args.bam, parse_tags=True)
-    ref_names = [r[0] for r in refs]
+    region_start = region_end = -1
+    if args.window:
+        # f5c -w: hts_parse_reg semantics — 0-based begin, end exclusive;
+        # the bounds also clip the realign (f5c.c:353, eventalign.c:1404)
+        ctg, _, span = args.window.partition(":")
+        refs, records = B.read_bam(args.bam, parse_tags=True)
+        ref_names = [r[0] for r in refs]
+        if span:
+            b, _, e = span.partition("-")
+            region_start = int(b) - 1
+            region_end = int(e) if e else (1 << 62)
+        try:  # indexed region access when a .bai is present
+            records = B.read_bam_region(
+                args.bam, ctg, max(region_start, 0),
+                region_end if region_end != -1 else (1 << 62),
+                parse_tags=True)
+        except (FileNotFoundError, OSError):
+            rid = ref_names.index(ctg)
+            records = [
+                r for r in records
+                if r.ref_id == rid
+                and (region_end == -1 or r.pos < region_end)
+                and r.pos + B._cigar_ref_len(r.cigar) > max(region_start, 0)]
+    else:
+        refs, records = B.read_bam(args.bam, parse_tags=True)
+        ref_names = [r[0] for r in refs]
 
     out.write(EA.emit_tsv_header(args.print_read_names))
     t0 = time.perf_counter()
@@ -120,7 +144,8 @@ def eventalign_bam(args, model, signals, out):
         ref_segment = genome[contig][rec.pos:rec.pos + ref_len]
         alignments = PE.realign_read(
             rec, ref_segment, rec.pos, len(seq), events, sc, model,
-            b2e, epb, read_idx)
+            b2e, epb, read_idx,
+            region_start=region_start, region_end=region_end)
         for line in EA.emit_tsv_lines(
                 events, model, sc, alignments, read_idx, rec.name, contig,
                 args.sample_rate, print_read_names=args.print_read_names,
@@ -163,6 +188,9 @@ def main(argv=None):
                     help="accepted for f5c CLI parity (batching is automatic)")
     ap.add_argument("-K", "--batchsize", type=int, default=512,
                     help="accepted for f5c CLI parity")
+    ap.add_argument("-w", "--window", default=None,
+                    help="limit to region ctg[:start-end] (f5c -w; uses the "
+                         ".bai index when present)")
     ap.add_argument("--min-mapq", type=int, default=20)
     ap.add_argument("--sample-rate", type=float, default=4000.0)
     ap.add_argument("--summary", default=None, help="per-read summary TSV")

@@ -194,3 +194,44 @@ def test_eventalign_cli_bam_mode(tmp_path, capsys):
     assert got[0].startswith("contig\tposition\treference_kmer")
     want = [t for r in case["results"] for t in r["tsv"]]
     assert got[1:] == want
+
+
+def test_eventalign_cli_region_window(tmp_path, capsys):
+    """-w ctg:start-end limits processing to the region (f5c -w: region
+    BAM iteration + aligned-pair clipping)."""
+    case = _load_cases()[1]
+    rows = _bam_records(case)
+    bam = tmp_path / "reads.bam"
+    B.write_bam(str(bam), [("ctg1", len(case["genome"]))],
+                [r for _, r in rows])
+    (tmp_path / "genome.fa").write_text(">ctg1\n" + case["genome"] + "\n")
+    with open(tmp_path / "reads.fq", "w") as f:
+        for rd in case["reads"]:
+            f.write(f"@{rd['qname']}\n{rd['fastq']}\n+\n"
+                    + "I" * len(rd["fastq"]) + "\n")
+    np.savez(tmp_path / "sig.npz", **{
+        rd["qname"]: np.array([float(x) for x in rd["signal"]], np.float32)
+        for rd in case["reads"]})
+    import itertools
+    levels = _model()
+    with open(tmp_path / "pore.tsv", "w") as f:
+        f.write("kmer\tlevel_mean\tlevel_stdv\n")
+        for i, p in enumerate(itertools.product("ACGT", repeat=6)):
+            f.write(f"{''.join(p)}\t{levels['level_mean'][i]:.2f}\t1.50\n")
+
+    from genomicsbench_palisade_tpu.cli.abea import main as abea_main
+    # pick a window inside the first kept read's span
+    first = next(r for _, r in rows if not (r.flag & 0x104) and r.mapq >= 20)
+    beg1 = first.pos + 30  # 1-based input
+    end1 = first.pos + 230
+    out_tsv = tmp_path / "win.tsv"
+    rc = abea_main(["-r", str(tmp_path / "reads.fq"),
+                    "--raw", str(tmp_path / "sig.npz"),
+                    "--model", str(tmp_path / "pore.tsv"),
+                    "-b", str(bam), "-g", str(tmp_path / "genome.fa"),
+                    "-w", f"ctg1:{beg1}-{end1}", "-o", str(out_tsv)])
+    assert rc == 0
+    body = out_tsv.read_text().splitlines()[1:]
+    assert body, "window produced no rows"
+    positions = [int(l.split("\t")[1]) for l in body]
+    assert min(positions) >= beg1 - 1 and max(positions) <= end1

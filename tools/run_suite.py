@@ -108,8 +108,27 @@ def gen_inputs(d: pathlib.Path):
     (d / "abea_reads.fa").write_text(f">read1\n{seq}\n")
     np.savez(d / "signals.npz", read1=np.array(raw, np.float32))
 
-    # BAM for pileup/dbg
+    # eventalign-mode inputs: a 400 bp read (long enough to recalibrate)
+    # embedded exactly in a small contig, with its BAM alignment
     from genomicsbench_palisade_tpu.io import bam as B
+
+    ea_seq = "".join(bases[rng.integers(0, 4, 400)])
+    ea_ctg = ("".join(bases[rng.integers(0, 4, 300)]) + ea_seq
+              + "".join(bases[rng.integers(0, 4, 300)]))
+    (d / "ea_genome.fa").write_text(f">ectg\n{ea_ctg}\n")
+    (d / "ea_reads.fq").write_text(f"@earead\n{ea_seq}\n+\n{'I' * 400}\n")
+    raw = []
+    for i in range(len(ea_seq) - 5):
+        r = get_kmer_rank(ea_seq[i:i + 6])
+        raw.extend(lm[r] + rng.normal(0, 0.4, int(rng.integers(10, 18))))
+    np.savez(d / "ea_signals.npz", earead=np.array(raw, np.float32))
+    idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+    B.write_bam(str(d / "ea.bam"), [("ectg", len(ea_ctg))], [B.BamRecord(
+        "earead", 0, 0, 300, 60, [("M", 400)],
+        np.array([idx16[ch] for ch in ea_seq], np.uint8),
+        np.full(400, 30, np.uint8), {"NM": 0})])
+
+    # BAM for pileup/dbg
 
     recs = []
     for i in range(50):
@@ -178,6 +197,13 @@ def main(argv=None):
                           "--model", str(d / "model.tsv"),
                           "-o", str(d / "events.tsv")],
          lambda r: "Kernel time" in r.stderr),
+        ("abea-eventalign", "abea",
+         ["-r", str(d / "ea_reads.fq"), "--raw", str(d / "ea_signals.npz"),
+          "--model", str(d / "model.tsv"), "-b", str(d / "ea.bam"),
+          "-g", str(d / "ea_genome.fa"), "-B", "3.7M",
+          "-o", str(d / "events_ref.tsv")],
+         lambda r: "total entries: 1" in r.stderr
+         and (d / "events_ref.tsv").read_text().count("\n") > 10),
         ("pileup", "pileup", [str(d / "aln.bam"), "chr1:0-2000"],
          lambda r: "Kernel time" in r.stderr + r.stdout),
         ("dbg", "dbg", [str(d / "aln.bam"), "chr1", str(d / "ref.fa")],

@@ -39,7 +39,9 @@ def main():
         import bench_all
 
         for fn in (bench_all.bench_bsw, bench_all.bench_chain,
-                   bench_all.bench_kmer, bench_all.bench_fmi):
+                   bench_all.bench_kmer, bench_all.bench_fmi,
+                   bench_all.bench_grm, bench_all.bench_poa,
+                   bench_all.bench_abea, bench_all.bench_pileup):
             try:
                 r = fn()
             except Exception as e:  # keep the suite going

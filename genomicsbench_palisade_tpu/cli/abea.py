@@ -108,7 +108,9 @@ def eventalign_bam(args, model, signals, out):
     for rec in records:
         read_idx = read_index  # every record consumes an index (f5c.c:713)
         read_index += 1
-        if rec.flag & 0x4 or rec.mapq < args.min_mapq or rec.flag & 0x100:
+        if rec.flag & 0x4 or rec.mapq < args.min_mapq:
+            continue
+        if rec.flag & 0x100 and args.secondary != "yes":
             continue
         total += 1
         seq = reads.get(rec.name)
@@ -192,6 +194,8 @@ def main(argv=None):
                     help="limit to region ctg[:start-end] (f5c -w; uses the "
                          ".bai index when present)")
     ap.add_argument("--min-mapq", type=int, default=20)
+    ap.add_argument("--secondary", choices=("yes", "no"), default="no",
+                    help="process secondary alignments (f5c --secondary)")
     ap.add_argument("--sample-rate", type=float, default=4000.0)
     ap.add_argument("--summary", default=None, help="per-read summary TSV")
     ap.add_argument("--print-read-names", action="store_true")

@@ -81,6 +81,9 @@ def main(argv=None):
     ap.add_argument("--read-len", type=int, default=151)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--min-seed-len", type=int, default=19)
+    ap.add_argument("--host-only", action="store_true",
+                    help="skip the TPU pipeline (e.g. relay unavailable); "
+                         "prints host reads/s + totals only")
     args = ap.parse_args(argv)
 
     from genomicsbench_palisade_tpu.utils.compile_cache import enable
@@ -128,11 +131,27 @@ def main(argv=None):
     # --- host engine ---
     from genomicsbench_palisade_tpu.io.native import fmi_search_native
 
+    # warm: the first call builds the 64-byte packed occ rows from the
+    # int64 index (~5 s at 512 MB, cached on didx) — that conversion is
+    # index-load cost, not search rate
+    t0 = time.perf_counter()
+    fmi_search_native(didx, enc[:32], rl[:32],
+                      min_seed_len=args.min_seed_len)
+    pack_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     host_m, h1, h2, h3 = fmi_search_native(
         didx, enc, rl, min_seed_len=args.min_seed_len)
     host_dt = time.perf_counter() - t0
     host_total = h1 + h2 + h3
+
+    if args.host_only:
+        out = {"tool": "genome_scale_fmi", "mbp": args.mbp,
+               "reads": args.reads,
+               "host_reads_per_s": round(args.reads / host_dt, 1),
+               "pack_build_s": round(pack_s, 1),
+               "total_smems": int(host_total)}
+        print(json.dumps(out))
+        return 0
 
     # --- TPU pipeline (int64 cp_occ, compressed SA) ---
     import jax.numpy as jnp

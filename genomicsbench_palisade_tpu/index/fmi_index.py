@@ -43,16 +43,7 @@ class DeviceFmIndex:
 
     def as_device_arrays(self):
         dt = self.idx_dtype
-        # cp_pack: one 64-byte row per block, exactly the reference's
-        # cache-line CP_OCC (FMI_search.h:59-63) — counts split into u32
-        # lo/hi planes plus the two one-hot word planes, so one occ lookup
-        # is ONE row gather instead of three
-        cnt = self.cp_count.astype(np.uint64)
-        pack = np.empty((cnt.shape[0], 16), np.uint32)
-        pack[:, 0:4] = (cnt & 0xFFFFFFFF).astype(np.uint32)
-        pack[:, 4:8] = (cnt >> 32).astype(np.uint32)
-        pack[:, 8:12] = self.one_hot_hi
-        pack[:, 12:16] = self.one_hot_lo
+        pack = make_cp_pack(self.cp_count, self.one_hot_hi, self.one_hot_lo)
         return {
             "count": self.count.astype(dt),
             "cp_count": self.cp_count.astype(dt),
@@ -61,6 +52,21 @@ class DeviceFmIndex:
             "one_hot_lo": self.one_hot_lo,
             "sentinel_index": dt(self.sentinel_index),
         }
+
+
+def make_cp_pack(cp_count: np.ndarray, one_hot_hi: np.ndarray,
+                 one_hot_lo: np.ndarray) -> np.ndarray:
+    """cp_pack: one 64-byte row per block, exactly the reference's
+    cache-line CP_OCC (FMI_search.h:59-63) — counts split into u32
+    lo/hi planes plus the two one-hot word planes, so one occ lookup
+    is ONE row gather instead of three."""
+    cnt = cp_count.astype(np.uint64)
+    pack = np.empty((cnt.shape[0], 16), np.uint32)
+    pack[:, 0:4] = (cnt & 0xFFFFFFFF).astype(np.uint32)
+    pack[:, 4:8] = (cnt >> 32).astype(np.uint32)
+    pack[:, 8:12] = one_hot_hi
+    pack[:, 12:16] = one_hot_lo
+    return pack
 
 
 def from_oracle_index(idx: fmi_oracle.FmIndex, idx_dtype=np.int32) -> DeviceFmIndex:
@@ -149,6 +155,125 @@ def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
         # legacy archives lack the flag: infer from the SA sample count
         else (sa_ms is not None
               and len(sa_ms) < int(z["ref_seq_len"])),
+        idx_dtype=idx_dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded on-disk index (per-host artifacts for multi-host meshes)
+# ---------------------------------------------------------------------------
+#
+# The reference persists ONE monolithic index file that every process
+# loads whole (FMI_search.cpp:469-588 load_index).  For a multi-host mesh
+# running the block-range-sharded search (parallel/dp.py
+# fmi_pipeline_index_sharded), each host only ever feeds its own cp_occ
+# block range to its devices — so the index is also persisted SHARDED:
+#   {prefix}.manifest.npz         replicated small arrays + shard geometry
+#   {prefix}.shard{i}-of-{n}.npz  cp_occ planes rows [i*R, (i+1)*R) and the
+#                                 matching SA sample range
+# Every shard holds exactly R = rows_per_shard rows (the tail shard is
+# zero-padded past the real block count) so host-local -> global array
+# assembly needs no per-shard shape cases; R is rounded to a multiple of
+# 8 so it always subdivides across a host's local devices.
+
+
+def save_npz_sharded(idx: DeviceFmIndex, prefix: str, n_shards: int,
+                     names=None, lengths=None) -> list[str]:
+    """Write the index as a manifest + n_shards block-range shard files.
+    Returns the list of written paths."""
+    blocks = idx.cp_count.shape[0]
+    rows = -(-blocks // n_shards)
+    rows = (rows + 7) & ~7  # multiple of 8: divides across local devices
+    n_sa = 0 if idx.sa_ms_byte is None else len(idx.sa_ms_byte)
+    sa_rows = -(-n_sa // n_shards) if n_sa else 0
+    extra = {}
+    if names is not None:
+        extra["contig_names"] = np.asarray(names, dtype=object)
+        extra["contig_lengths"] = np.asarray(lengths, np.int64)
+    paths = [f"{prefix}.manifest.npz"]
+    np.savez_compressed(
+        paths[0],
+        ref_seq_len=idx.ref_seq_len,
+        count=idx.count,
+        sentinel_index=idx.sentinel_index,
+        n_shards=n_shards,
+        blocks=blocks,
+        rows_per_shard=rows,
+        n_sa=n_sa,
+        sa_rows_per_shard=sa_rows,
+        sa_compression=np.bool_(idx.sa_compression),
+        **extra,
+    )
+
+    def _pad(a, want_rows):
+        if a.shape[0] >= want_rows:
+            return a[:want_rows]
+        padded = np.zeros((want_rows,) + a.shape[1:], a.dtype)
+        padded[: a.shape[0]] = a
+        return padded
+
+    for i in range(n_shards):
+        b0 = i * rows
+        s0 = i * sa_rows
+        shard = {
+            "cp_count": _pad(idx.cp_count[b0 : b0 + rows], rows),
+            "one_hot_hi": _pad(idx.one_hot_hi[b0 : b0 + rows], rows),
+            "one_hot_lo": _pad(idx.one_hot_lo[b0 : b0 + rows], rows),
+        }
+        if n_sa:
+            shard["sa_ms_byte"] = _pad(idx.sa_ms_byte[s0 : s0 + sa_rows], sa_rows)
+            shard["sa_ls_word"] = _pad(idx.sa_ls_word[s0 : s0 + sa_rows], sa_rows)
+        path = f"{prefix}.shard{i}-of-{n_shards}.npz"
+        np.savez_compressed(path, **shard)
+        paths.append(path)
+    return paths
+
+
+def load_shard_manifest(prefix: str) -> dict:
+    z = np.load(f"{prefix}.manifest.npz", allow_pickle=True)
+    return {k: z[k] for k in z.files}
+
+
+def load_npz_shard(prefix: str, shard: int) -> dict:
+    """One host's slice: cp_occ plane rows (+ cp_pack) and SA sample rows.
+
+    Returns {"cp_count", "one_hot_hi", "one_hot_lo", "cp_pack",
+    "block_start", ["sa_ms_byte", "sa_ls_word", "sa_start"]}."""
+    man = load_shard_manifest(prefix)
+    n = int(man["n_shards"])
+    z = np.load(f"{prefix}.shard{shard}-of-{n}.npz")
+    out = {k: z[k] for k in z.files}
+    out["cp_pack"] = make_cp_pack(
+        out["cp_count"], out["one_hot_hi"], out["one_hot_lo"])
+    out["block_start"] = shard * int(man["rows_per_shard"])
+    if "sa_ms_byte" in out:
+        out["sa_start"] = shard * int(man["sa_rows_per_shard"])
+    return out
+
+
+def load_npz_sharded(prefix: str, idx_dtype=np.int64) -> DeviceFmIndex:
+    """Reassemble the full index from shard files (single-host use and
+    the parity leg of multi-host tests)."""
+    man = load_shard_manifest(prefix)
+    n = int(man["n_shards"])
+    blocks = int(man["blocks"])
+    n_sa = int(man["n_sa"])
+    shards = [np.load(f"{prefix}.shard{i}-of-{n}.npz") for i in range(n)]
+    cat = lambda key: np.concatenate([z[key] for z in shards])
+    sa_ms = sa_ls = None
+    if n_sa:
+        sa_ms = cat("sa_ms_byte")[:n_sa]
+        sa_ls = cat("sa_ls_word")[:n_sa]
+    return DeviceFmIndex(
+        ref_seq_len=int(man["ref_seq_len"]),
+        count=man["count"],
+        sentinel_index=int(man["sentinel_index"]),
+        cp_count=cat("cp_count")[:blocks],
+        one_hot_hi=cat("one_hot_hi")[:blocks],
+        one_hot_lo=cat("one_hot_lo")[:blocks],
+        sa_ms_byte=sa_ms,
+        sa_ls_word=sa_ls,
+        sa_compression=bool(man["sa_compression"]),
         idx_dtype=idx_dtype,
     )
 

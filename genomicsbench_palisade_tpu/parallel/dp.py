@@ -335,7 +335,7 @@ def chain_dp_halo_sharded(mesh: Mesh, call: dict, w: int, axis: str = "dp"):
 
 def fmi_pipeline_index_sharded(mesh: Mesh, index: dict, enc, readlen,
                                min_seed_len: int = 19, m_cap: int = 96,
-                               axis: str = "dp"):
+                               axis: str = "dp", cp_pack_global=None):
     """The FULL 3-phase SMEM pipeline (ops.fmi_pipeline) over an
     index SHARDED by cp_occ block range — the multi-chip mode for
     genome-scale indexes (hg38 cp_occ ~6 GB outgrows one chip's HBM).
@@ -353,12 +353,18 @@ def fmi_pipeline_index_sharded(mesh: Mesh, index: dict, enc, readlen,
     from ..ops import fmi_pipeline as FP
 
     ndev = mesh.devices.size
-    cp_host = _np.asarray(index["cp_pack"])
-    pad = (-cp_host.shape[0]) % ndev
-    if pad:
-        cp_host = _np.concatenate(
-            [cp_host, _np.zeros((pad, cp_host.shape[1]), cp_host.dtype)])
-    cp_pack = jax.device_put(cp_host, NamedSharding(mesh, P(axis, None)))
+    if cp_pack_global is not None:
+        # pre-sharded global array (e.g. assembled from per-host shard
+        # files, index.fmi_index.load_npz_shard); rows must divide ndev
+        assert cp_pack_global.shape[0] % ndev == 0, cp_pack_global.shape
+        cp_pack = cp_pack_global
+    else:
+        cp_host = _np.asarray(index["cp_pack"])
+        pad = (-cp_host.shape[0]) % ndev
+        if pad:
+            cp_host = _np.concatenate(
+                [cp_host, _np.zeros((pad, cp_host.shape[1]), cp_host.dtype)])
+        cp_pack = jax.device_put(cp_host, NamedSharding(mesh, P(axis, None)))
     rest = {k: v for k, v in index.items() if k != "cp_pack"}
     split_len = int(min_seed_len * FP.SPLIT_FACTOR + 0.499)
 

@@ -20,9 +20,11 @@ def test_two_process_distributed_parity(tmp_path):
     res = subprocess.run(
         [sys.executable, str(REPO / "tools" / "multiprocess_bench.py"),
          "--procs", "2", "--out", str(out)],
-        capture_output=True, text=True, timeout=540, cwd=str(REPO))
+        capture_output=True, text=True, timeout=1000, cwd=str(REPO))
     assert res.returncode == 0, res.stdout[-1500:] + res.stderr[-1500:]
     runs = json.loads(out.read_text())["runs"]
     assert runs[0]["ok"]
     assert runs[0]["global_devices"] == 4
     assert runs[0]["phmm_parity"] and runs[0]["kmer_parity"]
+    # per-process shard-file index load (save_npz_sharded) + sharded search
+    assert runs[0]["fmi_parity"]

@@ -246,3 +246,65 @@ def test_fmi_pipeline_index_sharded(mesh8):
     assert (g1, g2, g3, govf) == (n1, n2, n3, ovf)
     for key in want:
         np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+
+
+def test_sharded_index_files_roundtrip_and_search(mesh8, tmp_path):
+    """Sharded on-disk index (SURVEY §5 checkpoint/resume): per-host shard
+    files reassemble bit-exactly, and the 3-phase pipeline over a global
+    cp_pack built from the SHARD FILES (the multi-host load path) matches
+    the unsharded engine."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from genomicsbench_palisade_tpu.index import fmi_index as FI
+    from genomicsbench_palisade_tpu.index.builder import build_arrays
+    from genomicsbench_palisade_tpu.ops import fmi_pipeline as FP
+
+    rng = np.random.default_rng(23)
+    genome = rng.integers(0, 4, 5000).astype(np.uint8)
+    idx = build_arrays(genome, sa_compression=True)
+    prefix = str(tmp_path / "idx")
+    n_shards = 4
+    paths = FI.save_npz_sharded(idx, prefix, n_shards)
+    assert len(paths) == n_shards + 1
+
+    # 1) reassembly is bit-exact (incl. SA sample arrays)
+    back = FI.load_npz_sharded(prefix)
+    np.testing.assert_array_equal(back.cp_count, idx.cp_count)
+    np.testing.assert_array_equal(back.one_hot_hi, idx.one_hot_hi)
+    np.testing.assert_array_equal(back.one_hot_lo, idx.one_hot_lo)
+    np.testing.assert_array_equal(back.sa_ms_byte, idx.sa_ms_byte)
+    np.testing.assert_array_equal(back.sa_ls_word, idx.sa_ls_word)
+    assert back.sa_compression and back.ref_seq_len == idx.ref_seq_len
+    assert back.sentinel_index == idx.sentinel_index
+
+    # 2) per-shard loads carry coherent geometry and packed rows
+    shards = [FI.load_npz_shard(prefix, i) for i in range(n_shards)]
+    rows = shards[0]["cp_pack"].shape[0]
+    assert all(s["cp_pack"].shape[0] == rows for s in shards)
+    assert [s["block_start"] for s in shards] == [i * rows for i in range(n_shards)]
+
+    # 3) pipeline over cp_pack assembled from the shard files (each host
+    # contributes its row range) == unsharded pipeline, bit for bit
+    cp_global_host = np.concatenate([s["cp_pack"] for s in shards])
+    cp_global = jax.device_put(
+        cp_global_host, NamedSharding(mesh8, PartitionSpec(M.DP_AXIS, None)))
+    index = idx.as_device_arrays()
+    b, l_max = 8, 32
+    enc = np.full((b, l_max), 4, np.int32)
+    lengths = np.zeros(b, np.int32)
+    for i in range(b):
+        n = int(rng.integers(20, l_max + 1))
+        s = int(rng.integers(0, len(genome) - n))
+        enc[i, :n] = genome[s : s + n]
+        lengths[i] = n
+    want, n1, n2, n3, ovf = FP.fmi_pipeline_batch(
+        {k: jnp.asarray(v) for k, v in index.items()}, enc, lengths,
+        min_seed_len=15)
+    handles = dp.fmi_pipeline_index_sharded(
+        mesh8, index, enc, lengths, min_seed_len=15,
+        cp_pack_global=cp_global)
+    got, g1, g2, g3, govf = FP.fmi_pipeline_collect(handles, b)
+    assert (g1, g2, g3, govf) == (n1, n2, n3, ovf)
+    for key in want:
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)

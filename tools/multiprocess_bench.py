@@ -10,6 +10,9 @@ jax.distributed.initialize, and runs the production shard_map kernels
 
   * phmm_forward_sharded — batch-DP with per-device forward scans
   * count_kmers_sharded  — all_to_all key exchange + sort-reduce + psum
+  * fmi_pipeline_index_sharded — 3-phase SMEM search over a block-range-
+    sharded index where EACH PROCESS LOADS ONLY ITS OWN SHARD FILE
+    (index.fmi_index.save_npz_sharded — the per-host on-disk artifact)
 
 Process 0 asserts bit-parity of the multi-process result against its own
 single-process computation, times the runs, and writes MULTIPROC.json.
@@ -150,6 +153,48 @@ def worker_main() -> int:
         ok = total == want["total_kmers"]
         report["kmer_parity"] = bool(ok)
         assert ok, (total, want["total_kmers"])
+
+    # ---- fmi: sharded on-disk index, one shard file per process
+    idx_prefix = os.environ["MP_IDX_PREFIX"]
+    from genomicsbench_palisade_tpu.index import fmi_index as FI
+
+    man = FI.load_shard_manifest(idx_prefix)
+    shard = FI.load_npz_shard(idx_prefix, pid)  # ONLY this host's range
+    # global [n_shards*rows, 16] cp_pack: each process contributes the
+    # rows of its own shard file (host-local -> global concatenation)
+    cp_global = multihost_utils.host_local_array_to_global_array(
+        shard["cp_pack"], mesh, P(M.DP_AXIS, None))
+    # replicated small arrays come from the manifest; cp_count is only a
+    # dtype carrier when cp_pack is present (ops/fmi.py occ_all)
+    rest = {
+        "count": np.asarray(man["count"], np.int64),
+        "sentinel_index": np.int64(man["sentinel_index"]),
+        "cp_count": np.zeros((0, 4), np.int64),
+    }
+    fenc = np.asarray(np.load(idx_prefix + ".reads.npz")["enc"], np.int32)
+    flen = np.asarray(np.load(idx_prefix + ".reads.npz")["len"], np.int32)
+    from genomicsbench_palisade_tpu.ops import fmi_pipeline as FP
+
+    handles = dp.fmi_pipeline_index_sharded(
+        mesh, rest, fenc, flen, min_seed_len=15, cp_pack_global=cp_global)
+    # outputs are replicated (out_specs P(None)) -> fully addressable,
+    # np.asarray inside collect works in every process
+    got, g1, g2, g3, govf = FP.fmi_pipeline_collect(handles, len(flen))
+    report["fmi_total_smems"] = int(g1 + g2 + g3)
+
+    if pid == 0:
+        import jax.numpy as jnp
+
+        full = FI.load_npz_sharded(idx_prefix).as_device_arrays()
+        want_h = FP.fmi_pipeline_batch(
+            {k: jnp.asarray(v) for k, v in full.items()}, fenc, flen,
+            min_seed_len=15)
+        ok = (int(want_h[1] + want_h[2] + want_h[3]) ==
+              report["fmi_total_smems"])
+        for key in want_h[0]:
+            ok = ok and np.array_equal(got[key], want_h[0][key])
+        report["fmi_parity"] = bool(ok)
+        assert ok, "sharded-file fmi diverged from single-process"
         print("PARITY OK " + json.dumps(report), flush=True)
     jax.distributed.shutdown()
     return 0
@@ -159,13 +204,43 @@ def worker_main() -> int:
 # coordinator
 # ---------------------------------------------------------------------------
 
-def run_group(nproc: int, timeout: float = 480.0) -> dict:
+def _prepare_sharded_index(workdir: pathlib.Path, nproc: int) -> str:
+    """Build a toy index and persist it as one shard file PER PROCESS
+    (plus manifest) — workers each load only their own shard."""
+    sys.path.insert(0, str(REPO))
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.index import fmi_index as FI
+    from genomicsbench_palisade_tpu.index.builder import build_arrays
+
+    rng = np.random.default_rng(29)
+    genome = rng.integers(0, 4, 4096).astype(np.uint8)
+    idx = build_arrays(genome)
+    prefix = str(workdir / f"mpidx{nproc}")
+    FI.save_npz_sharded(idx, prefix, nproc)
+    b, l_max = 8, 32
+    enc = np.full((b, l_max), 4, np.int32)
+    ln = np.zeros(b, np.int32)
+    for i in range(b):
+        n = int(rng.integers(20, l_max + 1))
+        s = int(rng.integers(0, len(genome) - n))
+        enc[i, :n] = genome[s : s + n]
+        ln[i] = n
+    np.savez(prefix + ".reads.npz", enc=enc, len=ln)
+    return prefix
+
+
+def run_group(nproc: int, timeout: float = 900.0) -> dict:
     port = _free_port()
+    workdir = pathlib.Path("/tmp/multiproc_bench")
+    workdir.mkdir(exist_ok=True)
+    idx_prefix = _prepare_sharded_index(workdir, nproc)
     env_base = {
         **os.environ,
         "MP_ROLE": "worker",
         "MP_COORD": f"127.0.0.1:{port}",
         "MP_NPROC": str(nproc),
+        "MP_IDX_PREFIX": idx_prefix,
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
     }

@@ -41,7 +41,8 @@ def main():
         for fn in (bench_all.bench_bsw, bench_all.bench_chain,
                    bench_all.bench_kmer, bench_all.bench_fmi,
                    bench_all.bench_grm, bench_all.bench_poa,
-                   bench_all.bench_abea, bench_all.bench_pileup):
+                   bench_all.bench_abea, bench_all.bench_pileup,
+                   bench_all.bench_dbg):
             try:
                 r = fn()
             except Exception as e:  # keep the suite going

@@ -247,6 +247,38 @@ def bench_pileup():
             "unit": "Mbases/s", "reads": 2000, "len": 300}
 
 
+def bench_dbg():
+    """Platypus window assembly throughput (native/dbg.cpp engine):
+    colored DBG build + bubble paths per 1.5 kb window, 60x80 bp reads."""
+    from genomicsbench_palisade_tpu.io.native import available, dbg_window_native
+
+    if not available():
+        return {"kernel": "dbg", "error": "native lib not built"}
+    rng = np.random.default_rng(12)
+    n_win, w_len, n_reads, r_len = 24, 1500, 60, 80
+    wins = []
+    for _ in range(n_win):
+        ref = "".join(rng.choice(list("ACGT"), w_len))
+        reads = []
+        for _ in range(n_reads):
+            s = int(rng.integers(0, w_len - r_len))
+            seq = list(ref[s : s + r_len])
+            for pos in np.nonzero(rng.random(r_len) < 0.01)[0]:
+                seq[pos] = "ACGT"[rng.integers(0, 4)]
+            reads.append(("".join(seq), np.full(r_len, 35, np.uint8), 0))
+        wins.append((ref, reads))
+    for ref, reads in wins[:2]:  # warm
+        dbg_window_native(ref, 0, reads, 15, 20, 2)
+    t0 = time.perf_counter()
+    n_bub = 0
+    for ref, reads in wins:
+        _n_nodes, paths = dbg_window_native(ref, 0, reads, 15, 20, 2)
+        n_bub += len(paths)
+    dt = time.perf_counter() - t0
+    return {"kernel": "dbg", "value": round(n_win * w_len / dt / 1e6, 3),
+            "unit": "Mb-ref/s", "windows": n_win, "reads_per_window": n_reads}
+
+
 def bench_poa():
     from genomicsbench_palisade_tpu.ops.poa import msa_consensus_batch
 
@@ -335,7 +367,7 @@ def bench_grm():
 def main():
     results = []
     for fn in (bench_phmm, bench_bsw, bench_chain, bench_kmer, bench_fmi,
-               bench_poa, bench_abea, bench_pileup, bench_grm):
+               bench_poa, bench_abea, bench_pileup, bench_dbg, bench_grm):
         try:
             r = fn()
         except Exception as e:  # record the failure, keep going

@@ -46,11 +46,21 @@ def main(argv=None):
     _enable_cache()
 
     chrom, start, end = parse_region(args.region)
+    fetch_chunk = None
     if end is not None and os.path.exists(args.bam + ".bai"):
-        # indexed access: stream only the region's BGZF blocks
-        # (medaka_counts.c:330-340 htslib iterator analog)
-        refs, records = read_bam_region(args.bam, chrom, max(start - 1, 0),
-                                        end, parse_tags=args.weibull)
+        # indexed access, RE-QUERIED PER 100 kb CHUNK exactly like the
+        # reference driver's per-chunk htslib iterators
+        # (medaka_counts.c:330-340 inside the :545-555 chunk loop) —
+        # memory and event extraction stay chunk-sized even when the
+        # region is the whole contig (chr20:1-64444167 on a prom BAM)
+        from ..io.bam import read_bai
+
+        bai = read_bai(args.bam + ".bai")
+        refs, _ = read_bam_region(args.bam, chrom, 0, 0, index=bai)
+
+        def fetch_chunk(cs, ce):
+            return read_bam_region(args.bam, chrom, cs, ce,
+                                   parse_tags=args.weibull, index=bai)[1]
     else:
         refs, records = read_bam(args.bam, parse_tags=args.weibull)
     names = [n for n, _l in refs]
@@ -69,7 +79,8 @@ def main(argv=None):
         # (medaka_counts.c:545-555 vs :313-318), shifting every chunk's
         # start down one position — mirror that quirk exactly
         cs = max(cs - 1, 0)
-        res = calculate_pileup(records, chrom_id, cs, ce,
+        chunk_records = fetch_chunk(cs, ce) if fetch_chunk else records
+        res = calculate_pileup(chunk_records, chrom_id, cs, ce,
                                num_homop=args.num_homop,
                                weibull_summation=args.weibull,
                                dtypes=args.dtypes or None)

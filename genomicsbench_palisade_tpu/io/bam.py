@@ -446,15 +446,20 @@ def read_bam_header_stream(stream: BgzfStream):
 
 
 def read_bam_region(path: str, chrom: str, beg: int, end: int,
-                    parse_tags: bool = False, bai_path: str | None = None):
+                    parse_tags: bool = False, bai_path: str | None = None,
+                    index=None):
     """Records overlapping [beg, end) on `chrom` via the .bai index.
 
     Streams BGZF blocks from the index lower bound and stops at the
     first record starting at or past `end` (coordinate-sorted BAMs),
-    so memory and IO are proportional to the region, not the file."""
-    if bai_path is None:
-        bai_path = path + ".bai"
-    index = read_bai(bai_path)
+    so memory and IO are proportional to the region, not the file.
+    `index`: a preloaded read_bai() result — callers iterating many
+    chunks of one BAM (cli/pileup) pass it to skip re-parsing the .bai
+    per query."""
+    if index is None:
+        if bai_path is None:
+            bai_path = path + ".bai"
+        index = read_bai(bai_path)
     with open(path, "rb") as f:
         stream = BgzfStream(f)
         refs = read_bam_header_stream(stream)

@@ -60,14 +60,18 @@ def test_region_record_contents_match(whole):
         np.testing.assert_array_equal(r.qual, w.qual)
 
 
-def test_pileup_cli_indexed_equals_whole(tmp_path, capsys):
+@pytest.mark.parametrize("region", [
+    "tig1:40001-55000",    # single 100 kb chunk
+    "tig1:30001-160000",   # spans two chunks: per-chunk indexed re-query
+])
+def test_pileup_cli_indexed_equals_whole(tmp_path, capsys, region):
     """The pileup driver produces identical matrices with and without
-    the index present (it streams the region when .bai exists)."""
+    the index present (with .bai it re-queries the index PER 100 kb
+    chunk, the reference's per-chunk htslib iterator structure)."""
     import shutil
 
     from genomicsbench_palisade_tpu.cli.pileup import main as pileup_main
 
-    region = "tig1:40001-55000"
     rc = pileup_main([BAM, region, "1"])
     assert rc == 0
     indexed = capsys.readouterr().out

@@ -59,16 +59,32 @@ def main(argv=None):
 
     from ..io.native import dbg_window_native
 
+    # per-window read selection: reads are coordinate-sorted (BAM), so a
+    # window's overlap set lives in pos range [assem_start - max_span,
+    # assem_end) — searchsorted keeps the region loop O(reads-per-window)
+    # instead of rescanning every region read per 1.5 kb window (the
+    # reference's debruijn.cpp:1492-1516 gets this from its per-window
+    # htslib iterators)
+    pos_arr = np.array([r[0] for r in reads], np.int64)
+    rend_arr = np.array([r[1] for r in reads], np.int64)
+    sorted_ok = bool(np.all(pos_arr[1:] >= pos_arr[:-1]))
+    max_span = int((rend_arr - pos_arr).max()) if len(reads) else 0
+
+    def select(assem_start, assem_end):
+        if not sorted_ok:  # unsorted BAM fallback: full scan
+            return [(s, q, f) for p, re_, s, q, f in reads
+                    if p < assem_end and re_ > assem_start]
+        lo = int(np.searchsorted(pos_arr, assem_start - max_span))
+        hi = int(np.searchsorted(pos_arr, assem_end))
+        return [(reads[i][2], reads[i][3], reads[i][4])
+                for i in range(lo, hi) if rend_arr[i] > assem_start]
+
     t0 = time.perf_counter()
     n_windows = 0
     total_nodes = 0
     total_bubbles = 0
     for assem_start, assem_end, ref_start, ref_end in window_batches(beg, end):
-        window_reads = [
-            (seq, quals, flag)
-            for pos, rend, seq, quals, flag in reads
-            if pos < assem_end and rend > assem_start
-        ]
+        window_reads = select(assem_start, assem_end)
         # native C++ window assembly when built (native/dbg.cpp, ~21x;
         # fuzz-exact vs ops.dbg.assemble_window)
         nat = dbg_window_native(ref[ref_start:ref_end], ref_start,

@@ -50,6 +50,71 @@ def check_phmm():
     assert np.array_equal(got, want), "phmm mismatch"
 
 
+def check_phmm_large():
+    """The large-dataset geometry (reads <=250, haps <=473 -> h_pad 512,
+    PairHMMUnitTest.cpp:1-34): the 512 bucket must stay bit-exact too."""
+    import jax
+
+    from genomicsbench_palisade_tpu.ops import phmm as P
+    from genomicsbench_palisade_tpu.ops.phmm_pallas import phmm_forward_pallas
+
+    rng = np.random.default_rng(7)
+    reads, haps, pairs = [], [], []
+    for i in range(128):
+        rl, hl = int(rng.integers(5, 250)), int(rng.integers(303, 473))
+        reads.append({"bases": rng.integers(0, 5, rl),
+                      "q": rng.integers(36, 60, rl),
+                      "i": rng.integers(36, 60, rl),
+                      "d": rng.integers(36, 60, rl),
+                      "c": rng.integers(36, 60, rl)})
+        haps.append(rng.integers(0, 5, hl))
+        pairs.append((i, i))
+    batch = P.prepare_batch(reads, haps, pairs, r_pad=256, h_pad=512)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    want = np.asarray(P.phmm_forward(batch)[1])
+    got = np.asarray(phmm_forward_pallas(batch)[1])
+    assert np.array_equal(got, want), "phmm h512 mismatch"
+
+
+def check_chain_ring():
+    """Reference-scale call sizes (87k max) go through the multi-chunk
+    ring-carry path (n_pad > NC_RING): parity vs the XLA scan at 12k."""
+    import jax.numpy as jnp
+
+    from genomicsbench_palisade_tpu.ops import chain as C
+    from genomicsbench_palisade_tpu.ops.chain_pallas import (
+        chain_dp_pallas_batch, gap_fixed_point)
+
+    rng = np.random.default_rng(3)
+    b, n, w = 8, 12_000, 64
+    n_pad = C.pad_anchor_bucket(n)
+    assert n_pad > C.NC_RING and n_pad % C.NC_RING == 0, n_pad
+    calls = []
+    for _ in range(b):
+        xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64) + 1000
+        ys = np.maximum(xs + rng.integers(-300, 300, n), 0)
+        calls.append(C.prepare_call(xs, ys, avg_qspan=float(rng.uniform(10, 30))))
+
+    def p(a, fill=0):
+        return np.pad(a, (0, n_pad - len(a)), constant_values=fill)
+
+    stack = {k: np.stack([p(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
+                          if k != "gap_table" else c[k] for c in calls])
+             for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
+    steps, gap0, ok = gap_fixed_point(stack["gap_table"], 500)
+    assert ok.all()
+    args = tuple(jnp.asarray(stack[k])
+                 for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table"))
+    lens = jnp.full(b, n, np.int32)
+    want = C.chain_dp_device_batch(*args, lens, w, n_pad, 5000, 5000, 500)
+    got = chain_dp_pallas_batch(
+        args[0], args[1], args[2], args[3], jnp.asarray(steps),
+        jnp.asarray(gap0), lens, w, n_pad, 5000, 5000, 500)
+    for a, bb, name in zip(got, want, ("scores", "parents", "peaks")):
+        ga, wa = np.asarray(a)[:, :n], np.asarray(bb)[:, :n]
+        assert np.array_equal(ga, wa), f"chain ring {name}"
+
+
 def check_bsw():
     import jax
 
@@ -225,8 +290,10 @@ def check_grm():
 
 def main():
     failures = 0
-    for name, fn in (("phmm", check_phmm), ("bsw", check_bsw),
-                     ("chain", check_chain), ("abea", check_abea),
+    for name, fn in (("phmm", check_phmm), ("phmm-large", check_phmm_large),
+                     ("bsw", check_bsw),
+                     ("chain", check_chain), ("chain-ring", check_chain_ring),
+                     ("abea", check_abea),
                      ("abea-golden", check_abea_golden),
                      ("poa", check_poa), ("grm", check_grm)):
         try:

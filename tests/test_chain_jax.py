@@ -129,3 +129,59 @@ def test_pallas_routing_caps():
     assert not _pallas_eligible(False, 8192, 64, "tpu")  # non-step tables
     assert not _pallas_eligible(True, 8192, 64, "cpu")
     assert pad_anchor_bucket(87000) % 2048 == 0
+
+
+def test_chain_ring_multichunk_interpret_parity():
+    """The ring-carry pallas kernel's MULTI-CHUNK path (n_pad > nc, the
+    route that serves reference-scale 87k-anchor calls) must match the
+    scan engine bit-exactly.  Runs in TPU interpret mode at a reduced
+    chunk size (nc=128, 2 chunks) so the carry hand-off is exercised
+    without a chip (chip_parity re-proves it at n_pad=16384 on real
+    hardware)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genomicsbench_palisade_tpu.ops import chain as C
+    from genomicsbench_palisade_tpu.ops.chain_pallas import (
+        LANE_TILE, chain_dp_pallas_batch, gap_fixed_point)
+
+    rng = np.random.default_rng(3)
+    n = 250
+    x = (np.cumsum(rng.integers(1, 40, n)) + 1000).astype(np.uint64)
+    y = (x.astype(np.int64) + rng.integers(-200, 200, n)).astype(np.uint64)
+    call = C.prepare_call(x, y, 22.5)
+    n_pad, w, nc = 256, 16, 128
+
+    def p(a, f=0):
+        return np.pad(a, (0, n_pad - len(a)), constant_values=f)
+
+    def padb(a, f=0):
+        return np.pad(a, ((0, LANE_TILE - 1),) + ((0, 0),) * (a.ndim - 1),
+                      constant_values=f)
+
+    x_lo = np.stack([p(call["x_lo"].view(np.int32))])
+    qi = np.stack([p(call["qi"])])
+    qspan = np.stack([p(call["qspan"])])
+    st_eff = np.stack([p(call["st_eff"])])
+    gt = np.stack([call["gap_table"]])
+    steps, gap0, ok = gap_fixed_point(gt, call["bw"])
+    assert bool(ok.all())
+    nn = np.array([n], np.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        sc, par, pk = chain_dp_pallas_batch(
+            jnp.asarray(padb(x_lo)), jnp.asarray(padb(qi)),
+            jnp.asarray(padb(qspan)), jnp.asarray(padb(st_eff)),
+            jnp.asarray(padb(steps)), jnp.asarray(padb(gap0)),
+            jnp.asarray(padb(nn)), w, n_pad,
+            call["max_dist_x"], call["max_dist_y"], call["bw"], nc=nc)
+
+    ws, wp, wk = C.chain_dp_device_batch(
+        jnp.asarray(x_lo), jnp.asarray(qi), jnp.asarray(qspan),
+        jnp.asarray(st_eff), jnp.asarray(gt), jnp.asarray(nn),
+        w, n_pad, call["max_dist_x"], call["max_dist_y"], call["bw"])
+
+    np.testing.assert_array_equal(np.asarray(sc)[0, :n], np.asarray(ws)[0, :n])
+    np.testing.assert_array_equal(np.asarray(par)[0, :n], np.asarray(wp)[0, :n])
+    np.testing.assert_array_equal(np.asarray(pk)[0, :n], np.asarray(wk)[0, :n])

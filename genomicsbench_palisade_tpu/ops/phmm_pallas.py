@@ -176,12 +176,22 @@ def _kernel(
             # the scan's f32 summation order bit-exactly; only the stripe
             # containing rslen has a nonzero row_sel slice)
             c_at = d - rslen_loc  # [1, Bt]
-            cmask = ((c_at >= 1) & (c_at <= haplen)).astype(jnp.float32)
-            res_m_ref[:] = res_m_ref[:] + cmask * jnp.sum(
-                m_new * row_sel, axis=0, keepdims=True
+            cmask = (c_at >= 1) & (c_at <= haplen)
+            # NaN-safe gating (jnp.where, matching the scan's extraction):
+            # rows past rslen evolve with the padded prob rows' p==1
+            # transitions and can overflow to inf/NaN for high-likelihood
+            # pairs — multiply-gating (0 * NaN = NaN) poisoned the
+            # accumulator, where-gating discards them like the scan does
+            sel = row_sel > 0.0
+            res_m_ref[:] = res_m_ref[:] + jnp.where(
+                cmask,
+                jnp.sum(jnp.where(sel, m_new, 0.0), axis=0, keepdims=True),
+                0.0,
             )
-            res_x_ref[:] = res_x_ref[:] + cmask * jnp.sum(
-                x_new * row_sel, axis=0, keepdims=True
+            res_x_ref[:] = res_x_ref[:] + jnp.where(
+                cmask,
+                jnp.sum(jnp.where(sel, x_new, 0.0), axis=0, keepdims=True),
+                0.0,
             )
 
             # carry this stripe's last row to the next stripe (column

@@ -116,13 +116,14 @@ def _kernel(
         distm3 = distm3_ref[pl.ds(r0, st), :]
         rs_row = rs_row_ref[pl.ds(r0, st), :]
         row_sel = row_sel_ref[pl.ds(r0, st), :]
+        sel = row_sel > 0.0  # loop-invariant row selector
         rslen_loc = rslen - r0
 
         def body(d, _, row0=row0, p_mm=p_mm, p_gapm=p_gapm, p_mx=p_mx,
                  p_xx=p_xx, p_my=p_my, p_yy=p_yy, one_m_distm=one_m_distm,
-                 distm3=distm3, rs_row=rs_row, row_sel=row_sel,
+                 distm3=distm3, sel=sel,
                  rslen_loc=rslen_loc, st=st, s_first=s_first,
-                 s_last=s_last):
+                 s_last=s_last, rs_row=rs_row):
             m1 = m1_ref[pl.ds(0, st), :]
             x1 = x1_ref[pl.ds(0, st), :]
             y1 = y1_ref[pl.ds(0, st), :]
@@ -182,7 +183,6 @@ def _kernel(
             # transitions and can overflow to inf/NaN for high-likelihood
             # pairs — multiply-gating (0 * NaN = NaN) poisoned the
             # accumulator, where-gating discards them like the scan does
-            sel = row_sel > 0.0
             res_m_ref[:] = res_m_ref[:] + jnp.where(
                 cmask,
                 jnp.sum(jnp.where(sel, m_new, 0.0), axis=0, keepdims=True),

@@ -49,3 +49,22 @@ def test_bsw_pallas_matches_oracle():
         assert got["gtle"][i] == want["gtle"], i
         assert got["gscore"][i] == want["gscore"], i
         assert got["max_off"][i] == want["max_off"], i
+
+
+def test_bsw_pallas_vs_reference_fixtures(fixtures_dir):
+    """All 300 reference-binary golden cases through the PALLAS kernel
+    (interpret mode) at production-shape padding — previously goldens
+    only pinned the scan engine."""
+    import json
+
+    cases = json.load(open(fixtures_dir / "bsw_golden.json"))
+    pairs = [(np.array(c["query"]), np.array(c["target"]), c["h0"])
+             for c in cases]
+    while len(pairs) % 128:  # kernel batches are full lane tiles
+        pairs.append(pairs[0])
+    batch = W.prepare_pairs(pairs)
+    with pltpu.force_tpu_interpret_mode():
+        got = {k: np.asarray(v) for k, v in WP.bsw_batch_pallas(batch).items()}
+    for i, c in enumerate(cases):
+        for key in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
+            assert int(got[key][i]) == c["out"][key], (i, key)

@@ -185,3 +185,65 @@ def test_chain_ring_multichunk_interpret_parity():
     np.testing.assert_array_equal(np.asarray(sc)[0, :n], np.asarray(ws)[0, :n])
     np.testing.assert_array_equal(np.asarray(par)[0, :n], np.asarray(wp)[0, :n])
     np.testing.assert_array_equal(np.asarray(pk)[0, :n], np.asarray(wk)[0, :n])
+
+
+def test_chain_pallas_vs_reference_fixtures(fixtures_dir):
+    """Reference-binary goldens through the PALLAS kernel (interpret
+    mode, batched at a shared bucket) — goldens previously pinned only
+    the scan engine on CPU."""
+    import json
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genomicsbench_palisade_tpu.ops.chain_pallas import (
+        LANE_TILE, chain_dp_pallas_batch, gap_fixed_point)
+
+    calls = json.load(open(fixtures_dir / "chain_golden.json"))
+    preps, expect = [], []
+    for call in calls:
+        x = np.array([int(v) for v in call["x"]], dtype=np.uint64)
+        y = np.array([int(v) for v in call["y"]], dtype=np.uint64)
+        p = C.prepare_call(x, y, call["avg_qspan"], call["max_dist_x"],
+                           call["max_dist_y"], call["bw"])
+        preps.append(p)
+        expect.append(call)
+    w = max(int(2 ** np.ceil(np.log2(max(p["w_need"], 1)))) for p in preps)
+    w = max(w, 16)
+    n_pad = C.pad_anchor_bucket(max(p["n"] for p in preps))
+    assert w <= 512 and n_pad <= 2048, (w, n_pad)  # interpret-feasible
+
+    def pad(a, f=0):
+        return np.pad(a, (0, n_pad - len(a)), constant_values=f)
+
+    x_lo = np.stack([pad(p["x_lo"].view(np.int32)) for p in preps])
+    qi = np.stack([pad(p["qi"]) for p in preps])
+    qspan = np.stack([pad(p["qspan"]) for p in preps])
+    st_eff = np.stack([pad(p["st_eff"]) for p in preps])
+    gt = np.stack([p["gap_table"] for p in preps])
+    steps, gap0, ok = gap_fixed_point(gt, preps[0]["bw"])
+    assert bool(np.asarray(ok).all())
+    nn = np.array([p["n"] for p in preps], np.int32)
+
+    b0 = len(preps)
+    b_pad = -(-b0 // LANE_TILE) * LANE_TILE
+
+    def padb(a, f=0):
+        return np.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),
+                      constant_values=f)
+
+    with pltpu.force_tpu_interpret_mode():
+        sc, par, _pk = chain_dp_pallas_batch(
+            jnp.asarray(padb(x_lo)), jnp.asarray(padb(qi)),
+            jnp.asarray(padb(qspan)), jnp.asarray(padb(st_eff)),
+            jnp.asarray(padb(steps)), jnp.asarray(padb(gap0)),
+            jnp.asarray(padb(nn)), w, n_pad,
+            preps[0]["max_dist_x"], preps[0]["max_dist_y"], preps[0]["bw"])
+    sc = np.asarray(sc)
+    par = np.asarray(par)
+    for i, call in enumerate(expect):
+        nn_i = int(nn[i])
+        np.testing.assert_array_equal(sc[i, :nn_i], call["scores"],
+                                      err_msg=f"call {i} scores")
+        np.testing.assert_array_equal(par[i, :nn_i], call["parents"],
+                                      err_msg=f"call {i} parents")

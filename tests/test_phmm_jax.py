@@ -126,3 +126,38 @@ def test_phmm_f64_batched_matches_scalar_oracle():
         want = O.compute_full_prob(
             r["bases"], haps[hi], r["q"], r["i"], r["d"], r["c"], np.float64)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_phmm_pallas_vs_reference_fixtures(fixtures_dir):
+    """GKL-binary goldens through the PALLAS kernel (interpret mode):
+    the f32 raw sums must be bit-identical to the scan's, so the final
+    likelihoods (incl. f64-fallback routing) match the golden contract."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genomicsbench_palisade_tpu.ops import phmm_pallas as PP
+
+    cases = json.load(open(fixtures_dir / "phmm_golden.json"))
+    reads, haps, pairs = [], [], []
+    for k, case in enumerate(cases):
+        reads.append(
+            {
+                "bases": O.encode_bases(case["rs"]),
+                "q": np.array([ord(c) for c in case["q"]]),
+                "i": np.array([ord(c) for c in case["i"]]),
+                "d": np.array([ord(c) for c in case["d"]]),
+                "c": np.array([ord(c) for c in case["c"]]),
+            }
+        )
+        haps.append(O.encode_bases(case["hap"]))
+        pairs.append((k, k))
+    while len(pairs) % 128:  # full lane tile
+        reads.append(reads[0])
+        haps.append(haps[0])
+        pairs.append((len(pairs), len(pairs)))
+    batch = P.prepare_batch(reads, haps, pairs)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    want = np.asarray(P.phmm_forward(batch)[1])
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(PP.phmm_forward_pallas(batch)[1])
+    np.testing.assert_array_equal(got[: len(cases)], want[: len(cases)])

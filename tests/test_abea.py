@@ -122,3 +122,19 @@ def test_abea_pallas_wrapper_cpu_fallback(model):
     got = A.align_events_batch([seq], [ev], model, [1.0], [0.0])
     want = [AO.align(seq, ev, model, 1.0, 0.0)]
     assert got == want
+
+
+def test_abea_pallas_interpret_matches_oracle(model):
+    """The pallas band-fill + on-device walk in TPU interpret mode vs the
+    cited oracle — CPU-side coverage of the production TPU route
+    (chip_parity re-proves it on hardware with the f5c fixtures)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(31)
+    seqs = ["".join(rng.choice(list("ACGT"), 80)) for _ in range(2)]
+    evs = [_synth(rng, model, s) for s in seqs]
+    with pltpu.force_tpu_interpret_mode():
+        got = A.align_events_batch(seqs, evs, model, [1.0] * 2, [0.0] * 2,
+                                   use_pallas=True)
+    want = [AO.align(s, e, model, 1.0, 0.0) for s, e in zip(seqs, evs)]
+    assert got == want

@@ -247,11 +247,46 @@ def fuzz_abea_tb(rng):
     assert nat == py
 
 
+def fuzz_phmm_pallas(rng):
+    """phmm pallas kernel (interpret) vs the scan on HIGH-LIKELIHOOD
+    subsequence pairs — the data class that exposed the padded-row
+    inf/NaN poisoning (multiply- vs where-gated result accumulation);
+    random-vs-random pairs never trigger it."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genomicsbench_palisade_tpu.ops import phmm as P
+    from genomicsbench_palisade_tpu.ops import phmm_pallas as PP
+
+    reads, haps, pairs = [], [], []
+    for i in range(128):
+        rl = int(rng.integers(8, 60))
+        hl = int(rng.integers(rl + 2, 96))
+        hap = rng.integers(0, 4, hl)
+        start = int(rng.integers(0, hl - rl))
+        read = hap[start : start + rl].copy()
+        noise = rng.random(rl) < 0.05
+        read[noise] = rng.integers(0, 4, int(noise.sum()))
+        reads.append({"bases": read,
+                      "q": rng.integers(20, 62, rl),
+                      "i": rng.integers(20, 62, rl),
+                      "d": rng.integers(20, 62, rl),
+                      "c": rng.integers(20, 62, rl)})
+        haps.append(hap)
+        pairs.append((i, i))
+    batch = P.prepare_batch(reads, haps, pairs, r_pad=64, h_pad=128)
+    batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    want = np.asarray(P.phmm_forward(batch)[1])
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(PP.phmm_forward_pallas(batch)[1])
+    assert np.array_equal(got, want)
+
+
 SUITES = [
     ("bsw", fuzz_bsw), ("chain", fuzz_chain), ("fmi", fuzz_fmi),
     ("minimizers", fuzz_minimizers), ("dbg", fuzz_dbg),
     ("poa-native", fuzz_poa_native), ("ctc-beam", fuzz_ctc),
-    ("abea-tb", fuzz_abea_tb),
+    ("abea-tb", fuzz_abea_tb), ("phmm-pallas", fuzz_phmm_pallas),
 ]
 
 

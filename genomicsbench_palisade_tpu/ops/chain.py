@@ -248,6 +248,10 @@ def _pallas_eligible(tables_ok: bool, n_pad: int, w: int, backend: str):
             and backend != "cpu")
 
 
+LAST_ROUTE = {"pallas": 0, "scan": 0}  # calls per engine, last batch
+#              (diagnostic for tests/benches: proves the split routed)
+
+
 def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     """Run a list of prepared calls (same max_dist/bw) as one device batch.
 
@@ -277,41 +281,56 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
         "n": np.array([c["n"] for c in nonempty], np.int32),
     }
     c0 = nonempty[0]
-    # pallas fast path (ops/chain_pallas.py, ~75x the XLA scan) when every
-    # call's gap table fits the step-threshold form; 128-lane padding
+    # pallas fast path (ops/chain_pallas.py, ~75x the XLA scan) per call:
+    # calls whose gap table has an exact fixed-point slope run the kernel;
+    # the rare infeasible ones (exact-quarter avg_qspans like 25.0, where
+    # the reference's 0.01f double-rounding wobble admits no single slope)
+    # run the XLA scan as their own sub-batch — one unlucky call no longer
+    # routes the whole bucket to the slow path.
     from .chain_pallas import LANE_TILE, chain_dp_pallas_batch, gap_fixed_point
 
     import jax
 
     steps, gap0, ok = gap_fixed_point(stack["gap_table"], c0["bw"])
-    use_pallas = _pallas_eligible(bool(ok.all()), n_pad, w,
-                                  jax.default_backend())
+    kernel_ok = _pallas_eligible(True, n_pad, w, jax.default_backend())
+    feas = np.nonzero(ok)[0] if kernel_ok else np.zeros(0, np.int64)
+    infeas = (np.nonzero(~ok)[0] if kernel_ok
+              else np.arange(len(nonempty), dtype=np.int64))
+    LAST_ROUTE["pallas"], LAST_ROUTE["scan"] = len(feas), len(infeas)
 
-    if use_pallas:
-        b0 = stack["x_lo"].shape[0]
+    b_total = stack["x_lo"].shape[0]
+    scores = np.zeros((b_total, n_pad), np.int32)
+    parents = np.zeros((b_total, n_pad), np.int32)
+    peaks = np.zeros((b_total, n_pad), np.int32)
+
+    if len(feas):
+        b0 = len(feas)
         b_pad = -(-b0 // LANE_TILE) * LANE_TILE
 
         def padb(a, fill=0):
+            a = a[feas]
             return np.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),
                           constant_values=fill)
 
-        scores, parents, peaks = chain_dp_pallas_batch(
+        sc, par, pk = chain_dp_pallas_batch(
             jnp.asarray(padb(stack["x_lo"])), jnp.asarray(padb(stack["qi"])),
             jnp.asarray(padb(stack["qspan"])), jnp.asarray(padb(stack["st_eff"])),
             jnp.asarray(padb(steps)), jnp.asarray(padb(gap0)),
             jnp.asarray(padb(stack["n"])),
             w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
         )
-        scores, parents, peaks = scores[:b0], parents[:b0], peaks[:b0]
-    else:
-        scores, parents, peaks = chain_dp_device_batch(
-            *(jnp.asarray(stack[k]) for k in
+        scores[feas] = np.asarray(sc)[:b0]
+        parents[feas] = np.asarray(par)[:b0]
+        peaks[feas] = np.asarray(pk)[:b0]
+    if len(infeas):
+        sc, par, pk = chain_dp_device_batch(
+            *(jnp.asarray(stack[k][infeas]) for k in
               ("x_lo", "qi", "qspan", "st_eff", "gap_table", "n")),
             w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
         )
-    scores = np.asarray(scores)
-    parents = np.asarray(parents)
-    peaks = np.asarray(peaks)
+        scores[infeas] = np.asarray(sc)
+        parents[infeas] = np.asarray(par)
+        peaks[infeas] = np.asarray(pk)
     out = []
     bi = 0
     for c in calls:

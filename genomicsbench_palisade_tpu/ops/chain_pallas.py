@@ -10,10 +10,12 @@ Key reformulations vs the scan (bit-exact, tested):
   * the window is the SUBLANE axis; x/q windows are dynamic slices of
     VMEM-resident inputs, so nothing is precomputed or streamed;
   * the per-call f64-exact gap table (host-built, chain.prepare_call)
-    becomes per-call STEP THRESHOLDS: the table is a nondecreasing step
-    function of dd, so gap(dd) = gap[0] + #(thresholds <= dd) — S_CAP
-    row-broadcast compares instead of a per-element gather (XLA's gather
-    measured ~330 ms for the same lookups);
+    becomes a per-call FIXED-POINT SLOPE: gap(dd) = gap0 + ((dd*m)>>20)
+    + (ilog2(dd)>>1), host-verified exact over dd in [0, bw] — one mult
+    + shift instead of a per-element gather (XLA's gather measured
+    ~330 ms for the same lookups).  Calls with no exact slope (rare
+    double-rounding edge cases, e.g. avg_qspan an exact quarter) are
+    split out by chain.chain_calls_batched and run the XLA scan;
   * the reference's descending-j visit order becomes suffix scans
     (exclusive suffix-max, suffix-sum, suffix-min) via log2(w) masked
     roll rounds;
@@ -37,7 +39,6 @@ from .chain import MAX_SKIP
 
 NEG = -(1 << 28)
 LANE_TILE = 128
-S_CAP = 256  # max gap-table steps; calls needing more use the XLA path
 NC_RING = 2048  # anchor rows per ring chunk (scratch = 3x(nc+w)x128 i32)
 
 
@@ -213,29 +214,6 @@ def gap_fixed_point(gap_tables: np.ndarray, bw: int, shift: int = 20):
             ms[bi] = m
             ok[bi] = True
     return ms, gap0.astype(np.int32), ok
-
-
-def gap_table_steps(gap_table: np.ndarray, bw: int, s_cap: int = S_CAP):
-    """Per-call step thresholds of the (nondecreasing) gap table.
-
-    Returns (steps [B, s_cap] i32 padded with bw+1, gap0 [B] i32, ok [B])
-    where ok=False marks calls whose table has more than s_cap steps
-    (they must use the XLA path)."""
-    gt = np.asarray(gap_table, np.int64)
-    b = gt.shape[0]
-    steps = np.full((b, s_cap), bw + 1, np.int32)
-    ok = np.ones(b, bool)
-    diffs = np.diff(gt, axis=1)  # [B, bw]
-    for bi in range(b):
-        if (diffs[bi] < 0).any():  # non-monotone table: XLA path
-            ok[bi] = False
-            continue
-        pos = np.repeat(np.arange(1, bw + 1), diffs[bi])
-        if len(pos) > s_cap:
-            ok[bi] = False
-            continue
-        steps[bi, : len(pos)] = pos
-    return steps, gt[:, 0].astype(np.int32), ok
 
 
 @functools.partial(

@@ -82,8 +82,7 @@ def check_chain_ring():
     import jax.numpy as jnp
 
     from genomicsbench_palisade_tpu.ops import chain as C
-    from genomicsbench_palisade_tpu.ops.chain_pallas import (
-        chain_dp_pallas_batch, gap_fixed_point)
+    from genomicsbench_palisade_tpu.ops.chain_pallas import gap_fixed_point
 
     rng = np.random.default_rng(3)
     b, n, w = 8, 12_000, 64
@@ -94,6 +93,11 @@ def check_chain_ring():
         xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64) + 1000
         ys = np.maximum(xs + rng.integers(-300, 300, n), 0)
         calls.append(C.prepare_call(xs, ys, avg_qspan=float(rng.uniform(10, 30))))
+    # an infeasible-slope call rides along: production splits it to the
+    # scan sub-batch instead of demoting (or failing) the whole bucket
+    xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64) + 1000
+    ys = np.maximum(xs + rng.integers(-300, 300, n), 0)
+    calls[0] = C.prepare_call(xs, ys, avg_qspan=25.0)
 
     def p(a, fill=0):
         return np.pad(a, (0, n_pad - len(a)), constant_values=fill)
@@ -101,18 +105,19 @@ def check_chain_ring():
     stack = {k: np.stack([p(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
                           if k != "gap_table" else c[k] for c in calls])
              for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
-    steps, gap0, ok = gap_fixed_point(stack["gap_table"], 500)
-    assert ok.all()
+    _, _, ok = gap_fixed_point(stack["gap_table"], 500)
+    assert (not ok[0]) and ok[1:].all(), "fixture should be mixed"
     args = tuple(jnp.asarray(stack[k])
                  for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table"))
     lens = jnp.full(b, n, np.int32)
     want = C.chain_dp_device_batch(*args, lens, w, n_pad, 5000, 5000, 500)
-    got = chain_dp_pallas_batch(
-        args[0], args[1], args[2], args[3], jnp.asarray(steps),
-        jnp.asarray(gap0), lens, w, n_pad, 5000, 5000, 500)
-    for a, bb, name in zip(got, want, ("scores", "parents", "peaks")):
-        ga, wa = np.asarray(a)[:, :n], np.asarray(bb)[:, :n]
-        assert np.array_equal(ga, wa), f"chain ring {name}"
+    got = C.chain_calls_batched(calls, w=w, n_pad=n_pad)
+    assert C.LAST_ROUTE == {"pallas": b - 1, "scan": 1}, C.LAST_ROUTE
+    for oi, name in enumerate(("scores", "parents", "peaks")):
+        wa = np.asarray(want[oi])[:, :n]
+        for ci in range(b):
+            assert np.array_equal(got[ci][oi], wa[ci]), \
+                f"chain ring {name} call {ci}"
 
 
 def check_bsw():
@@ -144,30 +149,34 @@ def check_chain():
     import jax.numpy as jnp
 
     from genomicsbench_palisade_tpu.ops import chain as C
-    from genomicsbench_palisade_tpu.ops.chain_pallas import (
-        chain_dp_pallas_batch, gap_fixed_point)
+    from genomicsbench_palisade_tpu.ops.chain_pallas import gap_fixed_point
 
     rng = np.random.default_rng(2)
     b, n, w = 128, 1024, 64
     calls = []
-    for _ in range(b):
+    for i in range(b):
         xs = np.cumsum(rng.integers(1, 40, n)).astype(np.int64) + 1000
         ys = np.maximum(xs + rng.integers(-300, 300, n), 0)
-        calls.append(C.prepare_call(xs, ys, avg_qspan=float(rng.uniform(10, 30))))
+        # two exact-quarter avg_qspans (no fixed-point slope) ride along:
+        # production must split them to the scan sub-batch
+        q = 25.0 if i in (3, 77) else float(rng.uniform(10, 30))
+        calls.append(C.prepare_call(xs, ys, avg_qspan=q))
     stack = {k: np.stack([(c["x_lo"].view(np.int32) if k == "x_lo" else c[k])
                           for c in calls])
              for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table")}
-    steps, gap0, ok = gap_fixed_point(stack["gap_table"], 500)
-    assert ok.all()
+    _, _, ok = gap_fixed_point(stack["gap_table"], 500)
+    assert not ok[3] and not ok[77] and ok.sum() == b - 2, "mixed fixture"
     args = tuple(jnp.asarray(stack[k])
                  for k in ("x_lo", "qi", "qspan", "st_eff", "gap_table"))
     want = C.chain_dp_device_batch(*args, jnp.full(b, n, np.int32),
                                    w, n, 5000, 5000, 500)
-    got = chain_dp_pallas_batch(
-        args[0], args[1], args[2], args[3], jnp.asarray(steps),
-        jnp.asarray(gap0), jnp.full(b, n, np.int32), w, n, 5000, 5000, 500)
-    for a, bb, name in zip(got, want, ("scores", "parents", "peaks")):
-        assert np.array_equal(np.asarray(a), np.asarray(bb)), f"chain {name}"
+    got = C.chain_calls_batched(calls, w=w, n_pad=n)
+    assert C.LAST_ROUTE == {"pallas": b - 2, "scan": 2}, C.LAST_ROUTE
+    for oi, name in enumerate(("scores", "parents", "peaks")):
+        wa = np.asarray(want[oi])
+        for ci in range(b):
+            assert np.array_equal(got[ci][oi], wa[ci]), \
+                f"chain {name} call {ci}"
 
 
 def check_abea():

@@ -384,3 +384,60 @@ def fmi_pipeline_index_sharded(mesh: Mesh, index: dict, enc, readlen,
             FP.SPLIT_WIDTH, FP.MAX_MEM_INTV, split_len, m_cap=m_cap)
 
     return run(cp_pack, jnp.asarray(enc), jnp.asarray(readlen))
+
+
+def poa_align_sharded(mesh: Mesh, seq_arr, seq_len, garr_stack,
+                      params, w_cap: int, a_cap: int, axis: str = "dp"):
+    """Batch-sharded POA window alignment (the reference's OpenMP loop
+    over MSA windows, msa_spoa_omp.cpp:352-356, as pure DP over the
+    mesh): graph arrays and sequences sharded on the window batch dim,
+    no cross-device traffic inside the DP.  Returns the packed
+    [B, 2*a_cap+1] alignment rows (ops.poa._batched_align layout)."""
+    from ..ops import poa as poa_ops
+
+    gspecs = {k: P(axis) for k in garr_stack}
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), gspecs),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def step(sc, sl, ga):
+        ai, aj, cnt = jax.vmap(
+            lambda s1, l1, g1: poa_ops.poa_align_device(
+                s1, l1, g1, tuple(params), w_cap, a_cap))(sc, sl, ga)
+        return jnp.concatenate([ai, aj, cnt[:, None]], axis=1)
+
+    return step(seq_arr, seq_len, garr_stack)
+
+
+def abea_fill_sharded(mesh: Mesh, ev_pad, ranks_pad, n_events, n_kmers,
+                      model_arrays, scales, shifts, lp_consts, trim_vals,
+                      n_bands_pad: int, bandwidth: int, axis: str = "dp"):
+    """Batch-sharded adaptive-banded event-alignment band fill (the
+    reference's CUDA grid over reads, f5c.cu:450-497, as DP over the
+    mesh): per-read band inputs sharded on the read dim, the 4096-entry
+    pore model replicated.  Returns (traces, bes, bks, last_vals) sharded
+    like ops.abea.abea_fill_bands's vmapped outputs."""
+    from ..ops import abea as abea_ops
+
+    lm, ls, lls = model_arrays
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(None), P(None),
+                  P(None), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    def step(e, r, ne, nk, lm_r, ls_r, lls_r, sc, sh, lp, tv):
+        return jax.vmap(
+            lambda e1, r1, ne1, nk1, sc1, sh1, lp1, tv1:
+            abea_ops.abea_fill_bands(
+                e1, r1, ne1, nk1, lm_r, ls_r, lls_r, sc1, sh1, lp1, tv1,
+                n_bands_pad=n_bands_pad, bandwidth=bandwidth)
+        )(e, r, ne, nk, sc, sh, lp, tv)
+
+    return step(ev_pad, ranks_pad, n_events, n_kmers, lm, ls, lls,
+                scales, shifts, lp_consts, trim_vals)

@@ -118,20 +118,50 @@ class DeBruijnGraph:
 
     # ---- bubble path extraction (debruijn.cpp:1147-1230) ----
     def variant_paths_from(self, start_kmer: str, min_weight: float):
-        """Bounded DFS from a ref node; returns list of k-mer paths that
-        leave the reference and rejoin it, or None on explosion (>20)."""
-        stack = [[start_kmer]]
+        """All bubble paths leaving a ref node: for each qualifying edge
+        start->succ (the reference's own extension filter,
+        debruijn.cpp:1217), the reference's bounded DFS
+        getVariantPathsThroughGraphFromNode is run on the 2-node seed
+        path [start, succ].  Called on a bare 1-node REF_AND_READ path
+        the reference function degenerates (finishes immediately,
+        :1186-1189 has no length guard) and its benchmark driver never
+        calls it at all — per-seed invocation is the convention that
+        makes each call execute the reference's code non-trivially, and
+        it is what tools/golden/dbg_harness.cpp pins reference-executed
+        goldens against.  Exploded seeds (the reference's NULL return)
+        contribute nothing."""
+        start = self.nodes[start_kmer]
+        out = []
+        for succ, w in start.edges.items():
+            nxt = self.nodes[succ]
+            if not (w >= min_weight or nxt.colours in (REF_AND_READ, REF)):
+                continue
+            paths = self.variant_paths_from_seed([start_kmer, succ],
+                                                 min_weight)
+            if paths:
+                out.extend(paths)
+        return out
+
+    def variant_paths_from_seed(self, seed, min_weight: float):
+        """getVariantPathsThroughGraphFromNode (debruijn.cpp:1147-1230)
+        on one seed path: bounded DFS (stack and finished both capped at
+        20, checked after each pop, :1176), per-path cycle rejection
+        (:1116-1143), finish on rejoining a REF_AND_READ node, drop on a
+        pure-REF end, extend through edges with weight >= minWeight or
+        ref-coloured targets (:1217).  Returns the finished paths in the
+        reference's push order, or None on explosion (NULL return)."""
+        stack = [list(seed)]
         finished = []
         while stack:
             path = stack.pop()
-            end = self.nodes[path[-1]]
             if len(stack) > 20 or len(finished) > 20:
                 return None
             if len(set(path)) != len(path):  # cycle in path
                 continue
-            if end.colours == REF_AND_READ and len(path) > 1:
+            end = self.nodes[path[-1]]
+            if end.colours == REF_AND_READ:
                 finished.append(path)
-            elif end.colours == REF and len(path) > 1:
+            elif end.colours == REF:
                 continue
             else:
                 for succ, w in end.edges.items():

@@ -105,53 +105,65 @@ extern "C" void* gt_dbg_window(
     auto* h = new Handle();
     h->n_nodes = (int64_t)g.nodes.size();
 
-    // bubble DFS per REF_AND_READ node, in node insertion order
+    // bubble DFS: per REF_AND_READ node in insertion order, the
+    // reference's getVariantPathsThroughGraphFromNode run on each
+    // qualifying 2-node seed [start, succ] (ops/dbg.py
+    // variant_paths_from_seed; pinned by tools/golden/dbg_harness.cpp
+    // which executes the reference's own function per seed)
     const double min_weight = (double)(min_reads * min_qual);
     std::vector<std::vector<int32_t>> stack, finished;
     for (int32_t start = 0; start < (int32_t)g.nodes.size(); start++) {
         if (g.nodes[start].colours != REF_AND_READ) continue;
-        stack.clear();
-        finished.clear();
-        stack.push_back({start});
-        bool exploded = false;
-        while (!stack.empty()) {
-            std::vector<int32_t> path = std::move(stack.back());
-            stack.pop_back();
-            const Node& end = g.nodes[path.back()];
-            if ((int64_t)stack.size() > 20 || (int64_t)finished.size() > 20) {
-                exploded = true;
-                break;
-            }
-            bool dup = false;  // cycle within the path
-            for (size_t a = 0; a < path.size() && !dup; a++)
-                for (size_t b = a + 1; b < path.size(); b++)
-                    if (path[a] == path[b]) { dup = true; break; }
-            if (dup) continue;
-            if (end.colours == REF_AND_READ && path.size() > 1) {
-                finished.push_back(path);
-            } else if (end.colours == REF && path.size() > 1) {
+        for (const auto& se : g.nodes[start].edges) {
+            const Node& snxt = g.nodes[se.succ];
+            if (!(se.weight >= min_weight || snxt.colours == REF_AND_READ
+                  || snxt.colours == REF))
                 continue;
-            } else {
-                for (const auto& e : end.edges) {
-                    const Node& nxt = g.nodes[e.succ];
-                    if (e.weight >= min_weight || nxt.colours == REF_AND_READ
-                        || nxt.colours == REF) {
-                        std::vector<int32_t> p2 = path;
-                        p2.push_back(e.succ);
-                        stack.push_back(std::move(p2));
+            stack.clear();
+            finished.clear();
+            stack.push_back({start, se.succ});
+            bool exploded = false;
+            while (!stack.empty()) {
+                std::vector<int32_t> path = std::move(stack.back());
+                stack.pop_back();
+                if ((int64_t)stack.size() > 20
+                    || (int64_t)finished.size() > 20) {
+                    exploded = true;  // reference returns NULL
+                    break;
+                }
+                bool dup = false;  // cycle within the path
+                for (size_t a = 0; a < path.size() && !dup; a++)
+                    for (size_t b = a + 1; b < path.size(); b++)
+                        if (path[a] == path[b]) { dup = true; break; }
+                if (dup) continue;
+                const Node& end = g.nodes[path.back()];
+                if (end.colours == REF_AND_READ) {
+                    finished.push_back(path);
+                } else if (end.colours == REF) {
+                    continue;
+                } else {
+                    for (const auto& e : end.edges) {
+                        const Node& nxt = g.nodes[e.succ];
+                        if (e.weight >= min_weight
+                            || nxt.colours == REF_AND_READ
+                            || nxt.colours == REF) {
+                            std::vector<int32_t> p2 = path;
+                            p2.push_back(e.succ);
+                            stack.push_back(std::move(p2));
+                        }
                     }
                 }
             }
-        }
-        if (exploded || finished.empty()) continue;  // Python's `if paths:`
-        for (const auto& path : finished) {
-            std::string seq;
-            seq.reserve(path.size() + k);
-            for (size_t i = 0; i + 1 < path.size(); i++)
-                seq.push_back(g.kmers[path[i]][0]);
-            seq += g.kmers[path.back()];
-            h->seq_bytes += (int64_t)seq.size() + 1;
-            h->bubbles.push_back(std::move(seq));
+            if (exploded || finished.empty()) continue;
+            for (const auto& path : finished) {
+                std::string seq;
+                seq.reserve(path.size() + k);
+                for (size_t i = 0; i + 1 < path.size(); i++)
+                    seq.push_back(g.kmers[path[i]][0]);
+                seq += g.kmers[path.back()];
+                h->seq_bytes += (int64_t)seq.size() + 1;
+                h->bubbles.push_back(std::move(seq));
+            }
         }
     }
     return h;

@@ -552,23 +552,78 @@ def gen_dbg(n_cases: int = 25) -> None:
              str(exe)], check=True, capture_output=True)
         cases = []
         rng = np.random.default_rng(20260822)
-        for ci in range(n_cases):
-            ref_len = int(rng.integers(60, 600))
-            ref = _rand_dna(rng, ref_len)
-            min_qual = int(rng.choice([15, 20, 20, 25]))
-            kmer_size = int(rng.choice([15, 15, 15, 11, 21]))
-            reads = []
-            for _ in range(int(rng.integers(2, 14))):
-                pos = int(rng.integers(0, max(1, ref_len - 40)))
-                L = int(rng.integers(kmer_size + 4,
-                                     min(100, ref_len - pos + 20)))
-                seq = list((ref + _rand_dna(rng, 120))[pos : pos + L])
-                for _ in range(int(rng.integers(0, 4))):
-                    p = int(rng.integers(0, len(seq)))
-                    seq[p] = ("N" if rng.random() < 0.15 else
-                              "ACGT"[int(rng.integers(0, 4))])
-                quals = rng.integers(5, 50, len(seq)).tolist()
-                reads.append(dict(seq="".join(seq), quals=quals))
+        specs = [("random", None)] * n_cases
+        # bubble-rich adversarial cases: shared SNPs carried by several
+        # high-quality reads push read-only detour edges past
+        # minWeight=2*minQual, so the reference's variant-path DFS finds
+        # genuine k+2-node bubbles (and, in the dense tangles, explodes)
+        specs += [("bubble", i) for i in range(8)]
+        # corridor tangles: every read shares a non-ref 24bp anchor between
+        # two private random corridors, so the DFS can enter via read i's
+        # corridor and exit via read j's — n_reads^2 finished paths.
+        # 4 reads -> 16 paths (rich multi-path goldens); 7 reads -> 49
+        # (trips the reference's 20-cap: EXPLODED verdicts pinned too)
+        specs += [("tangle", 4), ("tangle", 7)]
+        # shared-entry tangle: one common corridor A fans out to 23
+        # private corridor Bs — 23 finished paths from the SAME seed
+        # trips the reference's finished>20 cap: EXPLODED pinned
+        specs += [("tangle_shared", 23)]
+        for ci, (kind, bi) in enumerate(specs):
+            if kind == "random":
+                ref_len = int(rng.integers(60, 600))
+                ref = _rand_dna(rng, ref_len)
+                min_qual = int(rng.choice([15, 20, 20, 25]))
+                kmer_size = int(rng.choice([15, 15, 15, 11, 21]))
+                reads = []
+                for _ in range(int(rng.integers(2, 14))):
+                    pos = int(rng.integers(0, max(1, ref_len - 40)))
+                    L = int(rng.integers(kmer_size + 4,
+                                         min(100, ref_len - pos + 20)))
+                    seq = list((ref + _rand_dna(rng, 120))[pos : pos + L])
+                    for _ in range(int(rng.integers(0, 4))):
+                        p = int(rng.integers(0, len(seq)))
+                        seq[p] = ("N" if rng.random() < 0.15 else
+                                  "ACGT"[int(rng.integers(0, 4))])
+                    quals = rng.integers(5, 50, len(seq)).tolist()
+                    reads.append(dict(seq="".join(seq), quals=quals))
+            elif kind in ("tangle", "tangle_shared"):
+                min_qual = 20
+                kmer_size = 15
+                ref = _rand_dna(rng, 160)
+                anchor = _rand_dna(rng, 24)
+                shared_a = _rand_dna(rng, 8)
+                reads = []
+                for r in range(bi):
+                    corrA = shared_a if kind == "tangle_shared" \
+                        else _rand_dna(rng, 8)
+                    corrB = _rand_dna(rng, 8)
+                    seq = ref[:40] + corrA + anchor + corrB + ref[40:80]
+                    quals = [45] * len(seq)
+                    reads.append(dict(seq=seq, quals=quals))
+                ref_len = len(ref)
+            else:
+                ref_len = int(rng.integers(140, 260))
+                ref = _rand_dna(rng, ref_len)
+                min_qual = 20
+                kmer_size = 15
+                n_snps = 1 + (bi % 3)  # 1..3 shared SNPs; 3 = dense tangle
+                snps = []
+                for s in range(n_snps):
+                    p = int(rng.integers(40, ref_len - 40))
+                    alt = "ACGT"[(("ACGT".index(ref[p])) + 1
+                                  + int(rng.integers(0, 3))) % 4]
+                    snps.append((p, alt))
+                reads = []
+                for r in range(int(rng.integers(6, 12))):
+                    pos = int(rng.integers(0, 30))
+                    L = min(int(rng.integers(80, 140)), ref_len - pos)
+                    seq = list(ref[pos : pos + L])
+                    carry = rng.random(n_snps) < 0.7
+                    for (p, alt), c in zip(snps, carry):
+                        if c and pos <= p < pos + L:
+                            seq[p - pos] = alt
+                    quals = rng.integers(25, 46, len(seq)).tolist()
+                    reads.append(dict(seq="".join(seq), quals=quals))
             case_txt = tmp / f"case{ci}.txt"
             with open(case_txt, "w") as f:
                 f.write(f"1000 {min_qual} {kmer_size}\n{ref}\n"
@@ -578,24 +633,32 @@ def gen_dbg(n_cases: int = 25) -> None:
                     f.write(" ".join(map(str, r["quals"])) + "\n")
             out = subprocess.run([str(exe), str(case_txt)], check=True,
                                  capture_output=True, text=True).stdout
-            nodes, edges, cycles = {}, {}, None
+            nodes, edges, cycles, seeds = {}, {}, None, []
             for line in out.splitlines():
                 p = line.split()
                 if p[0] == "N":
                     nodes[p[1]] = [int(p[2]), int(p[3]), float(p[4])]
                 elif p[0] == "E":
                     edges[f"{p[1]}>{p[2]}"] = float(p[3])
+                elif p[0] == "B":  # per-seed variant-path extraction
+                    seeds.append(dict(start=p[1], succ=p[2],
+                                      exploded=p[3] == "EXPLODED",
+                                      paths=[]))
+                elif p[0] == "b":
+                    seeds[-1]["paths"].append(p[1:])
                 elif p[0] == "CYCLES":
                     cycles = int(p[1])
             cases.append(dict(ref=ref, ref_start=1000, min_qual=min_qual,
                               kmer_size=kmer_size, reads=reads,
-                              nodes=nodes, edges=edges, cycles=cycles))
+                              nodes=nodes, edges=edges, cycles=cycles,
+                              seeds=seeds))
         out_path = FIXTURES / "dbg_golden.json"
         out_path.write_text(json.dumps(
             dict(generator="tools/golden/dbg_harness.cpp",
                  reference="benchmarks/dbg/debruijn.cpp graph build "
                            "(createDeBruijnGraph/loadReference/loadBAMData"
-                           "/detectCycles)",
+                           "/detectCycles) + per-seed variant paths "
+                           "(getVariantPathsThroughGraphFromNode :1147)",
                  cases=cases)))
         print(f"dbg: wrote {len(cases)} cases, "
               f"{sum(len(c['nodes']) for c in cases)} nodes -> {out_path}")

@@ -76,6 +76,53 @@ int main(int argc, char** argv) {
         }
     }
     int minWeight = 2 * minQual;  // minReads * minQual (debruijn.cpp:1401)
+
+    // Variant-path extraction via the reference's OWN bounded DFS
+    // (getVariantPathsThroughGraphFromNode, debruijn.cpp:1147-1230; the
+    // benchmark driver ships it unused).  Called on a bare REF_AND_READ
+    // node it degenerates (no length guard at :1186), so the pinned
+    // convention is one invocation per qualifying seed edge
+    // [start, succ] using the function's own extension filter (:1217).
+    // Output per seed (order-independent across seeds; within a seed the
+    // reference's finish order):
+    //   B <start_kmer> <succ_kmer> EXPLODED        (NULL return)
+    //   B <start_kmer> <succ_kmer> <nPaths>
+    //   b <kmer> <kmer> ...                        (one line per path)
+    for (int b2 = 0; b2 < dict->nBuckets; b2++) {
+        for (int s2 = 0; dict->buckets[b2] && s2 < dict->bucketSize[b2]; s2++) {
+            Node* node = dict->buckets[b2][s2];
+            if (!node || node->colours != REF_AND_READ) continue;
+            for (int e = 0; e < node->nEdges; e++) {
+                Edge* edge = node->edges[e];
+                Node* succ = edge->endNode;
+                if (!(edge->weight >= minWeight || succ->colours == REF_AND_READ
+                      || succ->colours == REF))
+                    continue;
+                Path* seed = createPath(kmerSize);
+                addNodeToPath(seed, node, 0.0);
+                addNodeToPath(seed, succ, edge->weight);
+                PathStack* fin = getVariantPathsThroughGraphFromNode(
+                    graph, seed, minWeight);
+                if (fin == NULL) {
+                    printf("B %.*s %.*s EXPLODED\n", node->kmerSize,
+                           node->sequence, succ->kmerSize, succ->sequence);
+                    continue;
+                }
+                printf("B %.*s %.*s %d\n", node->kmerSize, node->sequence,
+                       succ->kmerSize, succ->sequence, fin->top + 1);
+                for (int p = 0; p <= fin->top; p++) {
+                    Path* path = fin->elements[p];
+                    printf("b");
+                    for (int q = 0; q < path->nNodes; q++)
+                        printf(" %.*s", path->nodes->elements[q]->kmerSize,
+                               path->nodes->elements[q]->sequence);
+                    printf("\n");
+                }
+                destroyPathStack(fin);
+            }
+        }
+    }
+
     printf("CYCLES %d\n",
            detectCyclesInGraph_Recursive(graph, minWeight) ? 1 : 0);
     return 0;

@@ -20,7 +20,14 @@ from ..ops import bsw as B
 from ..ops.oracle.bsw import DEFAULT_PARAMS, BswParams
 
 
-def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS, edges=(32, 64, 128, 256, 512)):
+DEV_BATCH = 65536  # pairs per device dispatch: bounds the transposed
+#  [t_pad, B] i32 staging the kernel wrapper builds in HBM (~64 MB/array
+#  at t_pad=256) — dispatching a whole dataset-scale bucket at once
+#  (10.6M pairs, scripts/bsw_large:8) needs >18 GB and OOMs the chip
+
+
+def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
+                edges=(32, 64, 128, 256, 512), dev_batch: int = DEV_BATCH):
     """Bucketed scoring; returns list of result dicts in input order."""
     results = [None] * len(pairs)
     groups = group_by_buckets(pairs, lambda p: (len(p[0]), len(p[1])), edges)
@@ -32,13 +39,18 @@ def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS, edges=(32, 64, 128, 2
         sub = [p for _, p in members]
         n = len(sub)
         # the pallas kernel (VMEM-resident, ~8x the scan) needs 128-lane
-        # tiles; pad the bucket with empty pairs
-        n_pad = -(-n // 128) * 128
-        sub_p = sub + [(np.zeros(1, int), np.zeros(1, int), 0)] * (n_pad - n)
-        batch = B.prepare_pairs(sub_p, params, q_pad=q_pad, t_pad=t_pad)
-        out = {k: np.asarray(v) for k, v in bsw_batch_pallas(batch, ptuple).items()}
-        for row, i in enumerate(idxs):
-            results[i] = {k: int(out[k][row]) for k in out}
+        # tiles; large buckets run as fixed-size chunks (every chunk
+        # padded to the same shape -> one compile per bucket)
+        chunk = min(dev_batch, -(-n // 128) * 128)
+        filler = (np.zeros(1, int), np.zeros(1, int), 0)
+        for lo in range(0, n, chunk):
+            part = sub[lo : lo + chunk]
+            part = part + [filler] * (chunk - len(part))
+            batch = B.prepare_pairs(part, params, q_pad=q_pad, t_pad=t_pad)
+            out = {k: np.asarray(v)
+                   for k, v in bsw_batch_pallas(batch, ptuple).items()}
+            for row, i in enumerate(idxs[lo : lo + chunk]):
+                results[i] = {k: int(out[k][row]) for k in out}
     return results
 
 

@@ -233,7 +233,12 @@ def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
     by HBM, not VMEM — reference-scale 87k-anchor calls run here."""
     b, _ = x_lo.shape
     if nc is None:
-        nc = min(n_pad, NC_RING)
+        # scoped-VMEM model (measured on v5e: the compiler's scoped need
+        # is ~(14*nc + 7*w) rows of 512 B against a 16 MB limit): the
+        # full NC_RING chunk fits for windows <= 128 rows; wider windows
+        # (reference max_iter buckets up to W_CAP=512) need nc=1024 —
+        # at nc=2048/w=512 the 87k-anchor dataset call OOMs by 848 KB.
+        nc = min(n_pad, NC_RING if w <= 128 else 1024)
     assert nc >= w, (nc, w)  # ring carry must cover the window
     assert b % lane_tile == 0 and n_pad % nc == 0, (b, lane_tile, n_pad, nc)
     n_chunks = n_pad // nc

@@ -36,6 +36,57 @@ import pytest  # noqa: E402
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
+# ---------------------------------------------------------------------------
+# slow-test split: `pytest -m "not slow"` is the ~5-minute core loop on a
+# 1-core VM; the full suite (~40 min, dominated by interpret-mode Pallas
+# and dataset-scale cases) stays the CI gate.  Centralised here instead of
+# per-file decorators so the core-loop budget is auditable in one place.
+# Every component family keeps at least one unmarked test (fmi via
+# test_fmi_jax small cases, poa via test_poa small cases, phmm via the
+# fixture suites, abea via eventalign[16] + CLI tests, ...).
+# ---------------------------------------------------------------------------
+
+SLOW_TESTS = {
+    "test_fmi_golden.py::test_fmi_reference_golden",
+    "test_poa_golden.py::test_poa_device_matches_reference",
+    "test_poa_golden.py::test_poa_oracle_matches_reference",
+    "test_multiprocess.py::test_two_process_distributed_parity",
+    "test_phmm_pallas.py::test_pallas_512_hap_bucket_matches_scan",
+    "test_parallel.py::test_chain_halo_sharded_matches_single",
+    "test_parallel.py::test_kmer_sharded_matches_oracle",
+    "test_parallel.py::test_fmi_pipeline_index_sharded",
+    "test_parallel.py::test_sharded_index_files_roundtrip_and_search",
+    "test_parallel.py::test_fmi_sharded_index_search",
+    "test_parallel.py::test_profiling_roi",
+    "test_parallel.py::test_scaling_harness_runs",
+    "test_models.py::test_clair_forward_shapes",
+    "test_abea.py::test_abea_pallas_interpret_matches_oracle",
+    "test_abea_golden.py::test_abea_oracle_matches_reference",
+    "test_poa.py::test_jax_alignment_matches_oracle",
+    "test_poa.py::test_jax_consensus_end_to_end",
+    "test_poa.py::test_native_graph_full_run_matches_python",
+    "test_kmer_golden.py::test_kmer_device_matches_reference",
+    "test_fmi_jax.py::test_full_pipeline_matches_oracle",
+    "test_fmi_jax.py::test_fmi_cli_host_engine_matches_tpu",
+    "test_nn_cli.py::test_call_var_cli_reference_flags",
+    "test_nn_cli.py::test_call_var_cli",
+    "test_nn_cli.py::test_call_var_cli_h5",
+    "test_nn_cli.py::test_basecall_cli",
+}
+
+# parametrized cases marked individually (one representative stays fast)
+SLOW_NODEIDS = {
+    f"test_eventalign.py::test_eventalign_golden[{ci}]"
+    for ci in (17, 18, 20, 21, 24)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        key = it.nodeid.rsplit("tests/", 1)[-1]
+        if key.split("[", 1)[0] in SLOW_TESTS or key in SLOW_NODEIDS:
+            it.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def fixtures_dir():

@@ -228,12 +228,14 @@ W_CAP = 512  # max pallas window (sublane) size; wider windows take the scan
 
 
 def pad_anchor_bucket(n: int) -> int:
-    """Power-of-two buckets up to 8192, then multiples of 8192 (bounded
-    compile variants; the ring kernel needs n_pad % NC_RING == 0 past one
-    chunk — reference calls reach ~87k anchors)."""
-    if n <= 8192:
-        return max(64, int(2 ** np.ceil(np.log2(max(n, 1)))))
-    return -(-n // 8192) * 8192
+    """Power-of-two buckets throughout (reference calls reach ~87k
+    anchors -> 131072).  Coarser big-call buckets than the old
+    multiples-of-8192 scheme: remote Mosaic compiles cost minutes per
+    (n_pad, w) shape, and merging near-size calls into one bucket packs
+    the 128-lane tiles better than splitting them across several
+    mostly-empty ones (measured on the 1001-call dataset: fewer total
+    kernel steps, 7 fewer compile variants)."""
+    return max(64, int(2 ** np.ceil(np.log2(max(n, 1)))))
 
 
 def _pallas_eligible(tables_ok: bool, n_pad: int, w: int, backend: str):
@@ -308,29 +310,36 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
         b_pad = -(-b0 // LANE_TILE) * LANE_TILE
 
         def padb(a, fill=0):
-            a = a[feas]
-            return np.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),
-                          constant_values=fill)
+            # ship only the real lanes; zero-fill the lane tile ON DEVICE
+            # (sparse big-call buckets were shipping up to 10x padding
+            # bytes through the relay — 46 MB/array for 13 real calls)
+            a = jnp.asarray(a[feas])
+            return jnp.pad(a, ((0, b_pad - b0),) + ((0, 0),) * (a.ndim - 1),
+                           constant_values=fill)
 
         sc, par, pk = chain_dp_pallas_batch(
-            jnp.asarray(padb(stack["x_lo"])), jnp.asarray(padb(stack["qi"])),
-            jnp.asarray(padb(stack["qspan"])), jnp.asarray(padb(stack["st_eff"])),
-            jnp.asarray(padb(steps)), jnp.asarray(padb(gap0)),
-            jnp.asarray(padb(stack["n"])),
+            padb(stack["x_lo"]), padb(stack["qi"]),
+            padb(stack["qspan"]), padb(stack["st_eff"]),
+            padb(steps), padb(gap0), padb(stack["n"]),
             w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
         )
-        scores[feas] = np.asarray(sc)[:b0]
-        parents[feas] = np.asarray(par)[:b0]
-        peaks[feas] = np.asarray(pk)[:b0]
+        # slice the padding lanes off on device and pack the three
+        # outputs into ONE array: the relay fetch costs ~27 ms each
+        # regardless of size, and padding rows never cross the wire
+        packed = np.asarray(jnp.stack([sc[:b0], par[:b0], pk[:b0]]))
+        scores[feas] = packed[0]
+        parents[feas] = packed[1]
+        peaks[feas] = packed[2]
     if len(infeas):
         sc, par, pk = chain_dp_device_batch(
             *(jnp.asarray(stack[k][infeas]) for k in
               ("x_lo", "qi", "qspan", "st_eff", "gap_table", "n")),
             w, n_pad, c0["max_dist_x"], c0["max_dist_y"], c0["bw"],
         )
-        scores[infeas] = np.asarray(sc)
-        parents[infeas] = np.asarray(par)
-        peaks[infeas] = np.asarray(pk)
+        packed = np.asarray(jnp.stack([sc, par, pk]))
+        scores[infeas] = packed[0]
+        parents[infeas] = packed[1]
+        peaks[infeas] = packed[2]
     out = []
     bi = 0
     for c in calls:

@@ -166,15 +166,91 @@ def read_bam_native(path: str):
     return refs, cols
 
 
+SB_BLOCKS = 1 << 16  # v2 superblock stride (blocks); see fmsearch.cpp
+
+
+def _hostpack32(didx):
+    """v2 compressed occ layout: [blocks, 8] u32 rows (4 per-base counts
+    relative to the superblock + 2-bit-plane words for 64 positions,
+    fmsearch.cpp occ4 v2) and the [n_sb, 4] int64 superblock table.
+    Half of v1's 64 B/row: same lines per lookup, half the pages and
+    twice the LLC coverage.  Persisted as a mmap-able sidecar like the
+    v1 rows."""
+    pack = getattr(didx, "_host_pack32", None)
+    if pack is not None:
+        return pack, didx._host_sb32
+    import os as _os
+
+    cc = np.ascontiguousarray(didx.cp_count)
+    blocks = cc.shape[0]
+    sb = np.ascontiguousarray(cc[::SB_BLOCKS].astype(np.int64))
+    cache = getattr(didx, "_npz_path", None)
+    cache = cache + ".hostpack32.npy" if cache else None
+    if cache and _os.path.exists(cache) and (
+            _os.path.getmtime(cache) >= _os.path.getmtime(didx._npz_path)):
+        m = np.load(cache, mmap_mode="r")
+        if m.shape == (blocks, 8) and m.dtype == np.uint32:
+            pack = m
+    if pack is None:
+        pack = np.empty((blocks, 8), np.uint32)
+        # relative counts, superblock-chunked (no [blocks, 4] i64 temp)
+        for s0 in range(0, blocks, SB_BLOCKS):
+            s1 = min(s0 + SB_BLOCKS, blocks)
+            pack[s0:s1, 0:4] = (cc[s0:s1] - sb[s0 // SB_BLOCKS]).astype(
+                np.uint32)
+        oh_hi, oh_lo = didx.one_hot_hi, didx.one_hot_lo
+        pack[:, 4] = oh_hi[:, 2] | oh_hi[:, 3]  # hi plane, positions 0..31
+        pack[:, 5] = oh_lo[:, 2] | oh_lo[:, 3]  # hi plane, positions 32..63
+        pack[:, 6] = oh_hi[:, 1] | oh_hi[:, 3]  # lo plane, positions 0..31
+        pack[:, 7] = oh_lo[:, 1] | oh_lo[:, 3]  # lo plane, positions 32..63
+        if cache:
+            try:
+                np.save(cache, pack)
+            except OSError:
+                pass
+    didx._host_pack32, didx._host_sb32 = pack, sb
+    return pack, sb
+
+
+def _huge_copy(lib, didx, pack, attr):
+    """Copy an occ table into an anonymous THP-backed mapping (one per
+    process): file-backed .npy mmaps sit on 4 KiB page-cache pages, and
+    at genome scale every occ row is a dTLB miss + page walk.  2 MiB
+    pages cut the walk depth; the copy itself is outside the search
+    timer (index-load work, like the reference's load_index)."""
+    cached = getattr(didx, attr, None)
+    if cached is not None and cached.shape == pack.shape:
+        return cached
+    if not hasattr(lib, "_pages_ready"):
+        lib.gt_alloc_pages.restype = ctypes.c_void_p
+        lib.gt_alloc_pages.argtypes = [ctypes.c_int64, ctypes.c_int]
+        lib.gt_free_pages.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib._pages_ready = True
+    ptr = lib.gt_alloc_pages(pack.nbytes, 1)
+    if not ptr:
+        return pack
+    buf = np.ctypeslib.as_array(
+        ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint32)),
+        shape=pack.shape)
+    np.copyto(buf, pack)
+    setattr(didx, attr, buf)
+    return buf
+
+
 def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
                       min_seed_len: int = 19, split_width: int = 10,
                       max_mem_intv: int = 20, split_factor: float = 1.5,
-                      threads: int | None = None):
+                      threads: int | None = None,
+                      pack_mode: int | None = None):
     """Host 3-phase SMEM search over the packed index (native/fmsearch.cpp).
 
     didx: index.fmi_index.DeviceFmIndex; enc_codes: [B, L] int8/int32
     codes (>=4 ambiguous); lengths: [B].  Returns (smem dict int64 arrays
     in phase order, n1, n2, n3) or None when the library isn't built.
+
+    pack_mode 32 (default; GT_FMI_PACK overrides) uses the compressed
+    bit-plane rows; 64 the reference-shaped CP_OCC rows.  GT_FMI_HUGE=0
+    disables the THP staging copy for genome-scale tables.
     """
     lib = _load()
     if not lib:
@@ -183,6 +259,14 @@ def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
         lib.gt_fmi_run.restype = ctypes.c_void_p
         lib.gt_fmi_run.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int,
+        ]
+        lib.gt_fmi_run2.restype = ctypes.c_void_p
+        lib.gt_fmi_run2.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_int,
@@ -198,8 +282,19 @@ def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
 
     if threads is None:
         threads = max(_os.cpu_count() or 1, 1)
+    if pack_mode is None:
+        pack_mode = int(_os.environ.get("GT_FMI_PACK", "32"))
+    huge_env = _os.environ.get("GT_FMI_HUGE")
     pack = getattr(didx, "_host_pack", None)
-    if pack is None:
+    if pack_mode == 32:
+        pack32, sb = _hostpack32(didx)
+        # THP staging pays off once the table dwarfs the dTLB reach;
+        # default on past 1 GB, env-overridable either way
+        huge = (pack32.nbytes > (1 << 30)) if huge_env is None \
+            else huge_env not in ("0", "")
+        if huge:
+            pack32 = _huge_copy(lib, didx, pack32, "_host_pack32_huge")
+    elif pack is None:
         # Packed 64-byte occ rows are part of index LOADING for the host
         # engine (the reference's load_index materializes cp_occ the same
         # way, FMI_search.cpp:469-588, outside its kernel timer).  At
@@ -236,6 +331,8 @@ def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
                 except OSError:
                     pass  # read-only index dir: keep the in-memory rows
         didx._host_pack = pack
+    if pack_mode != 32 and huge_env not in (None, "0", ""):
+        pack = _huge_copy(lib, didx, pack, "_host_pack_huge")
     count5 = np.ascontiguousarray(np.asarray(didx.count, np.int64))
 
     b = enc_codes.shape[0]
@@ -244,15 +341,29 @@ def fmi_search_native(didx, enc_codes: np.ndarray, lengths: np.ndarray,
         (np.arange(b, dtype=np.int64) * enc_codes.shape[1]))
     lens = np.ascontiguousarray(lengths.astype(np.int32))
 
-    h = lib.gt_fmi_run(
-        pack.ctypes.data_as(ctypes.c_void_p),
-        count5.ctypes.data_as(ctypes.c_void_p),
-        int(didx.sentinel_index),
-        flat.ctypes.data_as(ctypes.c_void_p),
-        offs.ctypes.data_as(ctypes.c_void_p),
-        lens.ctypes.data_as(ctypes.c_void_p),
-        b, min_seed_len, split_width, max_mem_intv, split_factor, threads,
-    )
+    if pack_mode == 32:
+        h = lib.gt_fmi_run2(
+            pack32.ctypes.data_as(ctypes.c_void_p),
+            sb.ctypes.data_as(ctypes.c_void_p),
+            count5.ctypes.data_as(ctypes.c_void_p),
+            int(didx.sentinel_index),
+            flat.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            b, min_seed_len, split_width, max_mem_intv, split_factor,
+            threads,
+        )
+    else:
+        h = lib.gt_fmi_run(
+            pack.ctypes.data_as(ctypes.c_void_p),
+            count5.ctypes.data_as(ctypes.c_void_p),
+            int(didx.sentinel_index),
+            flat.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            b, min_seed_len, split_width, max_mem_intv, split_factor,
+            threads,
+        )
     try:
         n1, n2, n3 = lib.gt_fmi_n1(h), lib.gt_fmi_n2(h), lib.gt_fmi_n3(h)
         total = n1 + n2 + n3

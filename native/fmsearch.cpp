@@ -11,9 +11,22 @@
 // oracle (genomicsbench_palisade_tpu/ops/oracle/fmi.py, itself cited to
 // FMI_search.cpp:986-1326) — NOT from the reference source.
 //
-// Index layout: the framework's packed 64-byte cp rows ([blocks, 16] u32:
-// count lo x4, count hi x4, one-hot bits 0..31 x4 MSB-first, bits
-// 32..63 x4), count[5], sentinel.
+// Index layouts:
+//   v1 (64 B/block, [blocks, 16] u32): count lo x4, count hi x4, one-hot
+//      bits 0..31 x4 MSB-first, bits 32..63 x4 — the reference's own
+//      CP_OCC shape (FMI_search.h:59-63).
+//   v2 (32 B/block, [blocks, 8] u32): per-base counts RELATIVE to a
+//      superblock base x4, then the 64 positions as TWO BIT-PLANES
+//      (hi plane words for positions 0..31 / 32..63, lo plane likewise;
+//      base c at position p <=> hi bit = c>>1, lo bit = c&1).  A
+//      separate [n_superblocks, 4] int64 table (one row per 2^16
+//      blocks, ~50 KB at hg38 scale so it lives in L2) carries the
+//      absolute counts.  Half the per-access footprint of v1 — same
+//      cache-line count per lookup but half the pages and twice the
+//      LLC coverage, which is where the occ walk spends its time.
+//      The sentinel position is stored as code 0 in the planes; occ
+//      subtracts the spurious base-0 hit when the counted prefix
+//      covers it.
 
 #include <cstdint>
 #include <cstdlib>
@@ -23,14 +36,20 @@
 #include <thread>
 #include <vector>
 
+#include <sys/mman.h>
+
 namespace {
+
+constexpr int SB_SHIFT = 16;  // blocks per superblock (v2 layout)
 
 struct Smem {
     int64_t rid, m, n, k, l, s;
 };
 
 struct Idx {
-    const uint32_t* pack;  // [blocks][16]
+    const uint32_t* pack;    // v1: [blocks][16]; null in v2 mode
+    const uint32_t* pack32;  // v2: [blocks][8]; null in v1 mode
+    const int64_t* sbtab;    // v2: [n_superblocks][4]
     int64_t count[5];
     int64_t sentinel;
 };
@@ -38,6 +57,21 @@ struct Idx {
 inline void occ4(const Idx& ix, int64_t pp, int64_t out[4]) {
     int64_t blk = pp >> 6;
     int y = (int)(pp & 63);
+    if (ix.pack32) {
+        const uint32_t* row = ix.pack32 + blk * 8;
+        const int64_t* sb = ix.sbtab + (blk >> SB_SHIFT) * 4;
+        uint64_t hi = ((uint64_t)row[4] << 32) | row[5];
+        uint64_t lo = ((uint64_t)row[6] << 32) | row[7];
+        uint64_t pm = y ? (~0ull << (64 - y)) : 0;  // positions 0..y-1
+        for (int c = 0; c < 4; c++) {
+            uint64_t m = ((c & 2) ? hi : ~hi) & ((c & 1) ? lo : ~lo) & pm;
+            out[c] = sb[c] + row[c] + __builtin_popcountll(m);
+        }
+        // the sentinel is encoded as code 0; drop its spurious hit when
+        // the prefix [blk*64, pp) covers it
+        out[0] -= ((ix.sentinel >> 6) == blk && (int)(ix.sentinel & 63) < y);
+        return;
+    }
     const uint32_t* row = ix.pack + blk * 16;
     uint32_t hi_mask = 0, lo_mask = 0;
     int ym = y < 32 ? y : 32;
@@ -255,12 +289,17 @@ struct OccPair {
     int64_t sp, ep;
     bool await_ready() const noexcept { return false; }
     void await_suspend(std::coroutine_handle<> h) noexcept {
-        const uint32_t* r1 = ix.pack + (sp >> 6) * 16;
-        const uint32_t* r2 = ix.pack + (ep >> 6) * 16;
-        __builtin_prefetch(r1);
-        __builtin_prefetch(r1 + 8);
-        __builtin_prefetch(r2);
-        __builtin_prefetch(r2 + 8);
+        if (ix.pack32) {  // 32 B rows: one line each
+            __builtin_prefetch(ix.pack32 + (sp >> 6) * 8);
+            __builtin_prefetch(ix.pack32 + (ep >> 6) * 8);
+        } else {
+            const uint32_t* r1 = ix.pack + (sp >> 6) * 16;
+            const uint32_t* r2 = ix.pack + (ep >> 6) * 16;
+            __builtin_prefetch(r1);
+            __builtin_prefetch(r1 + 8);
+            __builtin_prefetch(r2);
+            __builtin_prefetch(r2 + 8);
+        }
         slot.current = h;
     }
     OccOut await_resume() const noexcept {
@@ -491,20 +530,12 @@ void run_interleaved(const Idx& ix, const int8_t* reads,
     }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Runs the full 3-phase pipeline over n_reads reads.  Returns a handle.
-void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
-                 int64_t sentinel, const int8_t* reads,
-                 const int64_t* read_off, const int32_t* read_len,
-                 int64_t n_reads, int min_seed_len, int split_width,
-                 int max_mem_intv, double split_factor, int n_threads) {
-    Idx ix;
-    ix.pack = cp_pack;
-    std::memcpy(ix.count, count5, 5 * sizeof(int64_t));
-    ix.sentinel = sentinel;
+// shared 3-phase driver once the Idx (either layout) is assembled
+void* fmi_run_common(Idx ix, const int8_t* reads, const int64_t* read_off,
+                     const int32_t* read_len, int64_t n_reads,
+                     int min_seed_len, int split_width, int max_mem_intv,
+                     double split_factor, int n_threads,
+                     const int64_t* count5) {
     int split_len = (int)(min_seed_len * split_factor + 0.499);
 
     auto* res = new FmiResult();
@@ -590,6 +621,63 @@ void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
         res->s3.insert(res->s3.end(), p.s3.begin(), p.s3.end());
     }
     return res;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs the full 3-phase pipeline over n_reads reads (v1 64 B rows).
+void* gt_fmi_run(const uint32_t* cp_pack, const int64_t* count5,
+                 int64_t sentinel, const int8_t* reads,
+                 const int64_t* read_off, const int32_t* read_len,
+                 int64_t n_reads, int min_seed_len, int split_width,
+                 int max_mem_intv, double split_factor, int n_threads) {
+    Idx ix;
+    ix.pack = cp_pack;
+    ix.pack32 = nullptr;
+    ix.sbtab = nullptr;
+    std::memcpy(ix.count, count5, 5 * sizeof(int64_t));
+    ix.sentinel = sentinel;
+    return fmi_run_common(ix, reads, read_off, read_len, n_reads,
+                          min_seed_len, split_width, max_mem_intv,
+                          split_factor, n_threads, count5);
+}
+
+// v2 compressed layout: 32 B bit-plane rows + superblock count table.
+void* gt_fmi_run2(const uint32_t* pack32, const int64_t* sbtab,
+                  const int64_t* count5, int64_t sentinel,
+                  const int8_t* reads, const int64_t* read_off,
+                  const int32_t* read_len, int64_t n_reads,
+                  int min_seed_len, int split_width, int max_mem_intv,
+                  double split_factor, int n_threads) {
+    Idx ix;
+    ix.pack = nullptr;
+    ix.pack32 = pack32;
+    ix.sbtab = sbtab;
+    std::memcpy(ix.count, count5, 5 * sizeof(int64_t));
+    ix.sentinel = sentinel;
+    return fmi_run_common(ix, reads, read_off, read_len, n_reads,
+                          min_seed_len, split_width, max_mem_intv,
+                          split_factor, n_threads, count5);
+}
+
+// Anonymous mapping for the occ tables, optionally THP-backed: the walk
+// is one dTLB miss per occ row on 4 KiB pages (6.4 GB v1 table = 1.6M
+// pages); MADV_HUGEPAGE before first touch makes the kernel back the
+// region with 2 MiB pages at fault time (THP is in madvise mode here),
+// collapsing the page-walk depth.  File-backed mmap (the .npy sidecar)
+// cannot be THP-backed, so callers copy the table in once per process.
+void* gt_alloc_pages(int64_t bytes, int huge) {
+    void* p = mmap(nullptr, (size_t)bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return nullptr;
+    if (huge) madvise(p, (size_t)bytes, MADV_HUGEPAGE);
+    return p;
+}
+
+void gt_free_pages(void* p, int64_t bytes) {
+    if (p) munmap(p, (size_t)bytes);
 }
 
 int64_t gt_fmi_n1(void* h) { return (int64_t)((FmiResult*)h)->s1.size(); }

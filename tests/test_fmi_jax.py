@@ -197,10 +197,11 @@ def test_fmi_native_interleaved_matches_serial(tmp_path, monkeypatch):
         np.testing.assert_array_equal(m_s[key], m_i[key])
 
 
-def test_fmi_hostpack_sidecar_roundtrip(tmp_path):
+@pytest.mark.parametrize("pack_mode", [64, 32])
+def test_fmi_hostpack_sidecar_roundtrip(tmp_path, pack_mode):
     """load_npz indexes persist the host engine's packed occ rows as a
-    mmap-able <npz>.hostpack.npy sidecar; a second load must reuse it
-    (mmap) and produce identical SMEMs (io/native.py pack cache)."""
+    mmap-able <npz>.hostpack{,32}.npy sidecar; a second load must reuse
+    it (mmap) and produce identical SMEMs (io/native.py pack cache)."""
     import numpy as np
 
     from genomicsbench_palisade_tpu.index import builder as IB
@@ -208,8 +209,6 @@ def test_fmi_hostpack_sidecar_roundtrip(tmp_path):
     from genomicsbench_palisade_tpu.io.native import available, fmi_search_native
 
     if not available():
-        import pytest
-
         pytest.skip("native lib not built")
     rng = np.random.default_rng(5)
     codes = rng.integers(0, 4, 4000).astype(np.int8)
@@ -222,15 +221,17 @@ def test_fmi_hostpack_sidecar_roundtrip(tmp_path):
     rl = np.full(n, L, np.int32)
 
     d1 = FI.load_npz(p)
-    out1 = fmi_search_native(d1, enc, rl, min_seed_len=12)
+    out1 = fmi_search_native(d1, enc, rl, min_seed_len=12, pack_mode=pack_mode)
     import os
 
-    sidecar = p + ".hostpack.npy"
+    suffix = ".hostpack.npy" if pack_mode == 64 else ".hostpack32.npy"
+    sidecar = p + suffix
     assert os.path.exists(sidecar)
 
     d2 = FI.load_npz(p)
-    out2 = fmi_search_native(d2, enc, rl, min_seed_len=12)
-    assert isinstance(d2._host_pack, np.memmap)  # cache was reused
+    out2 = fmi_search_native(d2, enc, rl, min_seed_len=12, pack_mode=pack_mode)
+    attr = "_host_pack" if pack_mode == 64 else "_host_pack32"
+    assert isinstance(getattr(d2, attr), np.memmap)  # cache was reused
     assert out1[1:] == out2[1:]
     for key in out1[0]:
         np.testing.assert_array_equal(out1[0][key], out2[0][key])

@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--min-seed-len", type=int, default=19)
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--sweep", default="",
+                    help="comma-separated interleave widths to sweep on "
+                         "v2+huge after the three-mode A/B (GT_FMI_WIDTH)")
     args = ap.parse_args(argv)
 
     wd = pathlib.Path(args.workdir)
@@ -78,6 +81,24 @@ def main(argv=None):
             "total_smems": int(n1 + n2 + n3),
             "dump_parity": key == golden,
         }), flush=True)
+
+    for width in [int(v) for v in args.sweep.split(",") if v]:
+        os.environ["GT_FMI_HUGE"] = "1"
+        os.environ["GT_FMI_WIDTH"] = str(width)
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            m, n1, n2, n3 = fmi_search_native(
+                didx, enc, rl, min_seed_len=args.min_seed_len,
+                threads=args.threads, pack_mode=32)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({
+            "mode": f"v2+huge w={width}", "best_s": round(best, 3),
+            "reads_per_s": round(args.reads / best, 1),
+            "dump_parity": smem_key_set(m) == golden,
+        }), flush=True)
+    os.environ.pop("GT_FMI_WIDTH", None)
     return 0
 
 

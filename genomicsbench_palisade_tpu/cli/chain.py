@@ -21,14 +21,16 @@ from ..ops import chain as C
 from ..ops.oracle import chain as CO
 
 
-def run_calls(calls):
+def run_calls(calls, want_peaks: bool = True):
     """Returns list of (scores, parents, peaks) in input order.
 
-    Device-eligible calls are bucketed by (padded n, window, params) and
-    run as vmapped batches — the TPU analog of the reference's OpenMP
-    loop over calls (host_kernel.cpp:484-487)."""
+    Device-eligible calls are LANE-PACKED (several calls per kernel lane,
+    ops/chain.chain_calls_packed) and run as a handful of launches — the
+    TPU analog of the reference's OpenMP loop over calls
+    (host_kernel.cpp:484-487), with full 128-lane occupancy on mixed-size
+    datasets instead of one padded lane per call."""
     results = [None] * len(calls)
-    buckets = {}  # (n_pad, w, params) -> list[(orig_idx, prepared)]
+    packable = []  # (orig_idx, prepared)
     for i, call in enumerate(calls):
         if call.n == 0:
             z = np.zeros(0, np.int32)
@@ -47,14 +49,11 @@ def run_calls(calls):
         prep = C.prepare_call(
             call.x, call.y, call.avg_qspan, call.max_dist_x, call.max_dist_y, call.bw
         )
-        n_pad = C.pad_anchor_bucket(call.n)
-        w = max(int(2 ** np.ceil(np.log2(max(prep["w_need"], 1)))), 16)
-        w = min(w, C.MAX_ITER + 16)
-        key = (n_pad, w, call.max_dist_x, call.max_dist_y, call.bw)
-        buckets.setdefault(key, []).append((i, prep))
-    for (n_pad, w, *_), members in buckets.items():
-        outs = C.chain_calls_batched([p for _, p in members], w=w, n_pad=n_pad)
-        for (i, _), out in zip(members, outs):
+        packable.append((i, prep))
+    if packable:
+        outs = C.chain_calls_packed([p for _, p in packable],
+                                    want_peaks=want_peaks)
+        for (i, _), out in zip(packable, outs):
             results[i] = out
     return results
 
@@ -71,7 +70,9 @@ def main(argv=None):
 
     calls = parse_chain_dump(args.input)
     t0 = time.perf_counter()
-    results = run_calls(calls)
+    # the reference driver dumps scores+parents only (print_return),
+    # so the CLI skips fetching peak scores (~1/3 of output bytes)
+    results = run_calls(calls, want_peaks=False)
     dt = time.perf_counter() - t0
     if args.output:
         with open(args.output, "w") as f:

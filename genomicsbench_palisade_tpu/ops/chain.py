@@ -354,6 +354,183 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("want_peaks",))
+def _pack_chain_outputs(sc, par, pk, want_peaks: bool):
+    """Device-side output packing for the lane-packed path: parents
+    become u16 window deltas (0 = no parent; the window is <= W_CAP=512
+    rows so deltas fit 16 bits), two per i32 word, concatenated after
+    the scores (and peaks when requested) so ONE fetch ships 6 or 10
+    bytes per anchor instead of three 4-byte arrays."""
+    iota = jnp.arange(sc.shape[1], dtype=jnp.int32)[None, :]
+    delta = jnp.where(par >= 0, iota - par, 0)
+    dw = delta[:, 0::2] | (delta[:, 1::2] << 16)
+    outs = [sc, dw] + ([pk] if want_peaks else [])
+    return jnp.concatenate(outs, axis=1)
+
+
+def chain_calls_packed(calls, lane_tile: int = 128,
+                       force_kernel: bool = False, nc: int = 1024,
+                       timings: dict | None = None,
+                       want_peaks: bool = True):
+    """Run a list of prepared calls with MULTIPLE CALLS PER LANE.
+
+    The bucketed path (chain_calls_batched) gives every call its own
+    kernel lane padded to the bucket size — on real datasets (1001 calls,
+    log-uniform n up to 87k; benchmarks/chain/src/main.cpp:100-101) that
+    is ~5x padding waste and ~19 compile variants.  Here calls are
+    greedy-balance packed into lane_tile lanes per window group,
+    concatenated along the anchor axis:
+
+      * st_eff (already per-anchor) is offset by each call's start, so
+        the kernel's `j_abs >= st_i` fence makes cross-call predecessor
+        rows ineligible — no other state is per-call except the gap
+        slope, which becomes a per-anchor array (chain_pallas per_anchor
+        mode; prepare_call's gap_table[0] is identically 0, asserted);
+      * one launch per window group (w, max_dist, bw) instead of one per
+        (n_pad, w) bucket — fewer Mosaic compiles and full lanes.
+
+    Calls that cannot run the kernel (no exact fixed-point slope, w over
+    W_CAP, nonzero gap0) fall back per bucket through
+    chain_calls_batched.  force_kernel packs even on the CPU backend
+    (interpret-mode tests).  Returns (scores, parents, peaks) numpy
+    tuples in input order; parents are call-local indices.
+
+    Transfer layout (the relay moves ~80 MB/s, so bytes — not FLOPs —
+    bound dataset-scale wall time; tools/chain_phase_probe.py): inputs
+    ship as 4 per-anchor i32 arrays (slope packed into qspan's word);
+    all groups dispatch async first and fetch after (ship/kernel/fetch
+    pipeline across groups); outputs come back as ONE array per group
+    with parents as u16 window deltas (two per i32 word) and peaks
+    omitted when want_peaks=False (the reference driver dumps only
+    scores+parents, host_data_io.cpp print_return) — in that case the
+    third tuple element is None.
+    """
+    import heapq
+    import time as _time
+
+    import jax
+
+    from .chain_pallas import chain_dp_pallas_batch, gap_fixed_point
+
+    tm = timings if timings is not None else {}
+    tm.setdefault("route_s", 0.0)
+    tm.setdefault("pack_s", 0.0)
+    tm.setdefault("ship_s", 0.0)
+    tm.setdefault("kernel_s", 0.0)
+    tm.setdefault("fetch_s", 0.0)
+    tm.setdefault("unpack_s", 0.0)
+    _t0 = _time.perf_counter()
+    calls = list(calls)
+    results = [None] * len(calls)
+    groups = {}   # (w, mdx, mdy, bw) -> list[(idx, prep, m_slope)]
+    fallback = {}  # (n_pad, w, mdx, mdy, bw) -> list[(idx, prep)]
+    backend = jax.default_backend()
+    for i, c in enumerate(calls):
+        if c["n"] == 0:
+            z = np.zeros(0, np.int32)
+            results[i] = (z, z.astype(np.int64), z)
+            continue
+        w = max(int(2 ** np.ceil(np.log2(max(c["w_need"], 1)))), 16)
+        w = min(w, MAX_ITER + 16)
+        key_fb = (pad_anchor_bucket(c["n"]), w,
+                  c["max_dist_x"], c["max_dist_y"], c["bw"])
+        if w > W_CAP or (backend == "cpu" and not force_kernel):
+            fallback.setdefault(key_fb, []).append((i, c))
+            continue
+        m, g0, ok = gap_fixed_point(c["gap_table"][None, :], c["bw"])
+        if not ok[0] or g0[0] != 0:
+            fallback.setdefault(key_fb, []).append((i, c))
+            continue
+        groups.setdefault((w, c["max_dist_x"], c["max_dist_y"], c["bw"]),
+                          []).append((i, c, int(m[0])))
+    tm["route_s"] += _time.perf_counter() - _t0
+
+    # phase 1: pack + dispatch every group (transfers and kernels overlap
+    # through the relay's async stream); phase 2 fetches in launch order
+    pending = []  # (placed, n_pad, device handle)
+    for (w, mdx, mdy, bw), members in groups.items():
+        _t0 = _time.perf_counter()
+        # nc=1024 default: chain_pallas per_anchor scoped-VMEM model
+        assert nc >= w, (nc, w)
+        # greedy balance: largest call first onto the least-loaded lane
+        members.sort(key=lambda t: -t[1]["n"])
+        heap = [(0, lane) for lane in range(lane_tile)]
+        heapq.heapify(heap)
+        placed = [[] for _ in range(lane_tile)]  # lane -> [(idx, prep, off)]
+        for idx, prep, m in members:
+            load, lane = heapq.heappop(heap)
+            placed[lane].append((idx, prep, m, load))
+            heapq.heappush(heap, (load + prep["n"], lane))
+        max_load = max(load for load, _ in heap)
+        n_pad = max(-(-max_load // nc) * nc, nc)
+
+        pk = {k: np.zeros((lane_tile, n_pad), np.int32)
+              for k in ("x_lo", "qi", "word", "st_eff")}
+        for lane, items in enumerate(placed):
+            for idx, prep, m, off in items:
+                nn = prep["n"]
+                sl = slice(off, off + nn)
+                pk["x_lo"][lane, sl] = prep["x_lo"].view(np.int32)
+                pk["qi"][lane, sl] = prep["qi"]
+                # slope << 8 | qspan: one shipped word per anchor
+                pk["word"][lane, sl] = (m << 8) | prep["qspan"]
+                pk["st_eff"][lane, sl] = prep["st_eff"] + off
+        zeros_b = np.zeros(lane_tile, np.int32)
+        n_arr = np.array([sum(p["n"] for _, p, _, _ in items)
+                          for items in placed], np.int32)
+        tm["pack_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        dev = [jnp.asarray(pk[k]) for k in ("x_lo", "qi", "word", "st_eff")]
+        if timings is not None:  # force transfer completion to split phases
+            _ = np.asarray(dev[-1][0, 0])
+            tm["ship_s"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+        sc, par, peaks = chain_dp_pallas_batch(
+            dev[0], dev[1], dev[2], dev[3],
+            jnp.asarray(zeros_b), jnp.asarray(zeros_b),
+            jnp.asarray(n_arr), w, n_pad, mdx, mdy, bw,
+            lane_tile=lane_tile, nc=nc, per_anchor=True)
+        out_dev = _pack_chain_outputs(sc, par, peaks, want_peaks)
+        if timings is not None:  # force kernel completion
+            _ = np.asarray(out_dev[0, 0])
+            tm["kernel_s"] += _time.perf_counter() - _t0
+        pending.append((placed, n_pad, out_dev))
+
+    for placed, n_pad, out_dev in pending:
+        _t0 = _time.perf_counter()
+        fetched = np.asarray(out_dev)
+        tm["fetch_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        sc_h = fetched[:, :n_pad]
+        dw = fetched[:, n_pad : n_pad + n_pad // 2]
+        # two u16 window deltas per i32 word; delta 0 = no parent
+        delta = np.empty((lane_tile, n_pad), np.int32)
+        delta[:, 0::2] = dw & 0xFFFF
+        delta[:, 1::2] = (dw >> 16) & 0xFFFF
+        iota = np.arange(n_pad, dtype=np.int64)[None, :]
+        par_h = np.where(delta > 0, iota - delta, -1)
+        pk_h = fetched[:, n_pad + n_pad // 2 :] if want_peaks else None
+        for lane, items in enumerate(placed):
+            for idx, prep, m, off in items:
+                nn = prep["n"]
+                sl = slice(off, off + nn)
+                p_sl = par_h[lane, sl]
+                results[idx] = (
+                    sc_h[lane, sl].copy(),
+                    np.where(p_sl >= 0, p_sl - off, -1),
+                    pk_h[lane, sl].copy() if want_peaks else None,
+                )
+        tm["unpack_s"] += _time.perf_counter() - _t0
+    for (n_pad, w, *_), members in fallback.items():
+        outs = chain_calls_batched([p for _, p in members], w=w, n_pad=n_pad)
+        for (i, _), out in zip(members, outs):
+            results[i] = out
+    # after the fallback loop: chain_calls_batched resets LAST_ROUTE
+    LAST_ROUTE["pallas"] = sum(len(m) for m in groups.values())
+    LAST_ROUTE["scan"] = sum(len(m) for m in fallback.values())
+    return results
+
+
 def chain_call(call_dict, w: int | None = None, n_pad: int | None = None,
                engine: str = "auto"):
     """Run one prepared call on device; returns numpy (scores, parents,

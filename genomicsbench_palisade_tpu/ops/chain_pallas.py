@@ -57,13 +57,22 @@ def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
     """Anchor axis is processed in CHUNKS of nc rows per grid step with a
     w-row ring carry: the sequential state scratch holds only [nc+w]
     rows, so VMEM no longer bounds the call size (the reference's calls
-    reach ~87k anchors; the old whole-call scratch capped at 8192)."""
-    w, nc, n_pad, max_dist_x, max_dist_y, bw = params
+    reach ~87k anchors; the old whole-call scratch capped at 8192).
+
+    per_anchor mode (lane packing): the qspan input instead carries a
+    PER-ANCHOR packed word (slope << 8 | qspan; slope < 2^22 verified by
+    gap_fixed_point, qspan <= 255 by construction) so one lane can hold
+    several calls concatenated along the anchor axis — the per-anchor
+    st_eff already fences each call's predecessor window at its start,
+    so no other state is per-call.  steps_ref is unused in this mode
+    (one packed array ships instead of two: the relay moves ~80 MB/s,
+    so input bytes are the dataset-scale bottleneck, not FLOPs)."""
+    w, nc, n_pad, max_dist_x, max_dist_y, bw, per_anchor = params
     bt = qspan_ref.shape[1]
     j = pl.program_id(1)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (w, bt), 0)
-    m_fp = steps_ref[0:1, :]   # [1, bt] fixed-point gap slope (<<20)
+    m_fp = None if per_anchor else steps_ref[0:1, :]  # [1, bt] slope (<<20)
     gap0 = gap0_ref[0:1, :]  # [1, bt]
 
     @pl.when(j == 0)
@@ -77,7 +86,13 @@ def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
 
     def body(t, _):
         i = j * nc + t  # absolute anchor index within this call tile
-        qspan_i = qspan_ref[pl.ds(t, 1), :]  # [1, bt]
+        if per_anchor:
+            word = qspan_ref[pl.ds(t, 1), :]  # [1, bt] (m << 8 | qspan)
+            qspan_i = word & 0xFF
+            m_row = jax.lax.shift_right_logical(word, 8)
+        else:
+            qspan_i = qspan_ref[pl.ds(t, 1), :]  # [1, bt]
+            m_row = m_fp
         st_i = st_ref[pl.ds(t, 1), :]
         x_i = x_ref[pl.ds(t + w, 1), :]
         q_i = q_ref[pl.ds(t + w, 1), :]
@@ -104,7 +119,7 @@ def _kernel(params, x_ref, q_ref, qspan_ref, st_ref, steps_ref, gap0_ref,
         # old 256-threshold unroll bit-for-bit at ~5% of its vector ops.
         # Overflow for dd > bw is unmasked garbage, but those rows fail
         # `eligible` and never contribute.
-        lin = jax.lax.shift_right_logical(dd * m_fp, 20)
+        lin = jax.lax.shift_right_logical(dd * m_row, 20)
         ilog = jnp.zeros((w, bt), jnp.int32)
         for k in range(1, n_log + 1):
             ilog = ilog + (dd >= (1 << k)).astype(jnp.int32)
@@ -219,15 +234,19 @@ def gap_fixed_point(gap_tables: np.ndarray, bw: int, shift: int = 20):
 @functools.partial(
     jax.jit,
     static_argnames=("w", "n_pad", "max_dist_x", "max_dist_y", "bw",
-                     "lane_tile", "nc"),
+                     "lane_tile", "nc", "per_anchor"),
 )
 def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
                           w, n_pad, max_dist_x, max_dist_y, bw,
-                          lane_tile: int = LANE_TILE, nc: int | None = None):
+                          lane_tile: int = LANE_TILE, nc: int | None = None,
+                          per_anchor: bool = False):
     """Batched chain DP, pallas path.  Same outputs as
     chain_dp_device_batch; `steps` is the per-call fixed-point gap slope
     from gap_fixed_point (1 mult + shift per cell instead of the old
     unrolled threshold compares — those were ~2/3 of per-step work).
+    per_anchor (lane packing, chain.chain_calls_packed): `qspan` instead
+    carries the per-anchor packed word (slope << 8 | qspan) so lanes may
+    hold several calls — st_eff fences the windows; `steps` is ignored.
 
     The anchor axis is chunked (ring-carry kernel), so n_pad is bounded
     by HBM, not VMEM — reference-scale 87k-anchor calls run here."""
@@ -238,7 +257,9 @@ def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
         # full NC_RING chunk fits for windows <= 128 rows; wider windows
         # (reference max_iter buckets up to W_CAP=512) need nc=1024 —
         # at nc=2048/w=512 the 87k-anchor dataset call OOMs by 848 KB.
-        nc = min(n_pad, NC_RING if w <= 128 else 1024)
+        # per_anchor adds one chunked(nc) input (the slope rows), so the
+        # w <= 128 case drops to nc=1024 as well to stay inside the model.
+        nc = min(n_pad, NC_RING if (w <= 128 and not per_anchor) else 1024)
     assert nc >= w, (nc, w)  # ring carry must cover the window
     assert b % lane_tile == 0 and n_pad % nc == 0, (b, lane_tile, n_pad, nc)
     n_chunks = n_pad // nc
@@ -257,7 +278,8 @@ def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
     q_t = halo_chunks(qi)
     qspan_t = qspan.astype(jnp.int32).T   # [n_pad, B]
     st_t = st_eff.astype(jnp.int32).T
-    m_t = steps.astype(jnp.int32)[None, :]    # [1, B] fixed-point slope
+    # per_anchor: slope rides inside qspan_t; steps is a dead [B] input
+    m_t = steps.astype(jnp.int32)[None, :]    # [1, B] per-call slope
     gap0_t = gap0.astype(jnp.int32)[None, :]  # [1, B]
 
     grid = (b // lane_tile, n_chunks)
@@ -272,7 +294,8 @@ def chain_dp_pallas_batch(x_lo, qi, qspan, st_eff, steps, gap0, n,
 
     out_shape = [jax.ShapeDtypeStruct((n_pad, b), jnp.int32)] * 3
     scores, parents, peaks = pl.pallas_call(
-        functools.partial(_kernel, (w, nc, n_pad, max_dist_x, max_dist_y, bw)),
+        functools.partial(_kernel, (w, nc, n_pad, max_dist_x, max_dist_y, bw,
+                                    per_anchor)),
         grid=grid,
         in_specs=[chunked(nc + w), chunked(nc + w), chunked(nc), chunked(nc),
                   col(1), col(1)],

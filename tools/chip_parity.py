@@ -120,6 +120,32 @@ def check_chain_ring():
                 f"chain ring {name} call {ci}"
 
 
+def check_chain_packed():
+    """Lane-packed batching (chain_calls_packed): mixed-size calls share
+    kernel lanes at production lane_tile=128 / nc=1024; parity vs the
+    per-call scan engine, including an infeasible-slope rider."""
+    from genomicsbench_palisade_tpu.ops import chain as C
+
+    rng = np.random.default_rng(11)
+    sizes = rng.integers(80, 4000, 300)
+    calls = []
+    for i, n in enumerate(sizes):
+        xs = np.cumsum(rng.integers(1, 40, int(n))).astype(np.int64) + 1000
+        ys = np.maximum(xs + rng.integers(-300, 300, int(n)), 0)
+        q = 25.0 if i == 7 else float(rng.uniform(10, 30))
+        calls.append(C.prepare_call(xs, ys, avg_qspan=q))
+    got = C.chain_calls_packed(calls)
+    assert C.LAST_ROUTE["scan"] >= 1 and C.LAST_ROUTE["pallas"] >= 290, \
+        C.LAST_ROUTE
+    for ci in rng.choice(len(calls), 12, replace=False):
+        c = calls[int(ci)]
+        w = max(int(2 ** np.ceil(np.log2(max(c["w_need"], 1)))), 16)
+        want = C.chain_call(c, w=w, n_pad=int(c["n"]), engine="scan")
+        for oi, name in enumerate(("scores", "parents", "peaks")):
+            assert np.array_equal(got[int(ci)][oi], want[oi]), \
+                f"chain packed {name} call {ci}"
+
+
 def check_bsw():
     import jax
 
@@ -302,6 +328,7 @@ def main():
     for name, fn in (("phmm", check_phmm), ("phmm-large", check_phmm_large),
                      ("bsw", check_bsw),
                      ("chain", check_chain), ("chain-ring", check_chain_ring),
+                     ("chain-packed", check_chain_packed),
                      ("abea", check_abea),
                      ("abea-golden", check_abea_golden),
                      ("poa", check_poa), ("grm", check_grm)):

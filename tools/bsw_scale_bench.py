@@ -121,8 +121,8 @@ def main(argv=None):
         want = {k: np.asarray(v) for k, v in W.bsw_batch(batch).items()}
         for row, i in enumerate(sel):
             for key in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
-                assert results[i][key] == int(want[key][row]), (
-                    key, i, results[i][key], int(want[key][row]))
+                assert int(results[key][i]) == int(want[key][row]), (
+                    key, i, int(results[key][i]), int(want[key][row]))
 
     cells = float(sum(len(q) * len(t) for q, t, _ in pairs))
     out = {

@@ -250,8 +250,21 @@ class PoaGraph:
         return "".join(self.decoder[self.nodes[nid].code] for nid in self.consensus)
 
 
-def convex_nw_align(sequence: str, graph: PoaGraph, params: PoaParams = PoaParams()):
-    """SisdAlignmentEngine::convex with kNW (sisd_alignment_engine.cpp:659-907).
+def convex_align(sequence: str, graph: PoaGraph,
+                 params: PoaParams = PoaParams(), align_type: str = "nw"):
+    """SisdAlignmentEngine::convex (sisd_alignment_engine.cpp:659-907)
+    for all three AlignmentTypes (alignment_engine.hpp:19-24):
+
+      nw  global (the benchmark driver's hardcoded type,
+          msa_spoa_omp.cpp:264): H boundaries from the gap chains; max
+          cell restricted to the last column of sink rows; traceback to
+          (0, 0).
+      sw  local: zero boundaries, every cell clamped at 0
+          (sisd_alignment_engine.cpp:747-749), max over all cells,
+          traceback stops at H == 0.
+      ov  overlap: NW-style top row / zero first column
+          (sisd_alignment_engine.cpp:214-240), max over all cells of
+          sink rows, traceback stops at i == 0 or j == 0.
 
     Returns the alignment as a list of (node_id, seq_pos) with -1 gaps.
     """
@@ -275,13 +288,16 @@ def convex_nw_align(sequence: str, graph: PoaGraph, params: PoaParams = PoaParam
     O = [[0] * w for _ in range(h)]
     Q = [[0] * w for _ in range(h)]
 
-    # init (initialize(), kConvex + kNW)
+    # init (initialize(): kConvex boundary gap chains for every type;
+    # the H boundary is the only type-dependent part)
+    assert align_type in ("nw", "sw", "ov"), align_type
     for j in range(1, w):
         O[0][j] = NEG_INF
         Q[0][j] = p.q + (j - 1) * p.c
         F[0][j] = NEG_INF
         E[0][j] = p.g + (j - 1) * p.e
-        H[0][j] = max(Q[0][j], E[0][j])
+        if align_type in ("nw", "ov"):
+            H[0][j] = max(Q[0][j], E[0][j])
     for r in range(1, h):
         node = graph.nodes[rank_to_node_id[r - 1]]
         pen_o = p.q - p.c if not node.in_edges else NEG_INF
@@ -294,9 +310,10 @@ def convex_nw_align(sequence: str, graph: PoaGraph, params: PoaParams = PoaParam
         Q[r][0] = NEG_INF
         F[r][0] = pen_f + p.e
         E[r][0] = NEG_INF
-        H[r][0] = max(O[r][0], F[r][0])
+        if align_type == "nw":
+            H[r][0] = max(O[r][0], F[r][0])
 
-    max_score = NEG_INF
+    max_score = 0 if align_type == "sw" else NEG_INF
     max_i = max_j = -1
 
     for nid in rank_to_node_id:
@@ -321,15 +338,28 @@ def convex_nw_align(sequence: str, graph: PoaGraph, params: PoaParams = PoaParam
             E[i][j] = max(H[i][j - 1] + p.g, E[i][j - 1] + p.e)
             Q[i][j] = max(H[i][j - 1] + p.q, Q[i][j - 1] + p.c)
             H[i][j] = max(H[i][j], F[i][j], E[i][j], O[i][j], Q[i][j])
-            if j == w - 1 and out_empty:
-                if max_score < H[i][j]:
-                    max_score = H[i][j]
-                    max_i, max_j = i, j
+            if align_type == "sw":
+                H[i][j] = max(H[i][j], 0)
+                hit = True
+            elif align_type == "nw":
+                hit = j == w - 1 and out_empty
+            else:  # ov
+                hit = out_empty
+            if hit and max_score < H[i][j]:
+                max_score = H[i][j]
+                max_i, max_j = i, j
 
-    # traceback
+    # traceback (type-dependent stop conditions, :770-778)
+    def _more(i, j):
+        if align_type == "sw":
+            return H[i][j] != 0
+        if align_type == "ov":
+            return not (i == 0 or j == 0)
+        return not (i == 0 and j == 0)
+
     alignment = []
     i, j = max_i, max_j
-    while not (i == 0 and j == 0):
+    while _more(i, j):
         h_ij = H[i][j]
         found = False
         extend_left = extend_up = False
@@ -413,6 +443,13 @@ def convex_nw_align(sequence: str, graph: PoaGraph, params: PoaParams = PoaParam
 
     alignment.reverse()
     return alignment
+
+
+def convex_nw_align(sequence: str, graph: PoaGraph,
+                    params: PoaParams = PoaParams()):
+    """kNW convex alignment — the benchmark driver's hardcoded engine
+    type (msa_spoa_omp.cpp:264)."""
+    return convex_align(sequence, graph, params, align_type="nw")
 
 
 def msa_consensus(seqs, params: PoaParams = PoaParams()) -> str:

@@ -309,6 +309,79 @@ def gen_poa(n_cases: int = 25) -> None:
               f"{sum(len(c['batches']) for c in cases)} windows -> {out_path}")
 
 
+def gen_poa_swov(n_cases: int = 10) -> None:
+    """kSW / kOV alignment-type goldens (alignment_engine.hpp:19-24).
+
+    The benchmark driver hardcodes kNW (msa_spoa_omp.cpp:264); these pin
+    the spoa library's remaining AlignmentType capability surface at the
+    ALIGNMENT level (AL lines: exact (node_id, seq_pos) pair lists) plus
+    the consensus grown from those alignments."""
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td)
+        farm = make_farm(tmp, ["tools/spoa/src", "tools/spoa/include/spoa"])
+        src = farm / "tools/spoa/src"
+        exe = build(
+            tmp, "poa_golden",
+            [str(GOLDEN / "poa_harness.cpp"),
+             str(src / "alignment_engine.cpp"),
+             str(src / "sisd_alignment_engine.cpp"),
+             str(src / "graph.cpp"), str(src / "sequence.cpp")],
+            include_dirs=[str(farm / "tools/spoa/include"), str(src)],
+            extra_flags=["-march=native"], libs=[],
+        )
+        cases = []
+        rng = np.random.default_rng(20260820)
+        for ci in range(n_cases):
+            base = _rand_dna(rng, int(rng.integers(30, 250)))
+            seqs = []
+            for si in range(int(rng.integers(2, 8))):
+                s = list(base)
+                for _ in range(int(rng.integers(0, max(2, len(base) // 10)))):
+                    p = int(rng.integers(0, len(s)))
+                    op = rng.random()
+                    if op < 0.5:
+                        s[p] = "ACGT"[int(rng.integers(0, 4))]
+                    elif op < 0.75:
+                        s.insert(p, "ACGT"[int(rng.integers(0, 4))])
+                    elif len(s) > 10:
+                        del s[p]
+                # sw/ov differ from nw most when ends are clipped/extended
+                if rng.random() < 0.5:
+                    pre = _rand_dna(rng, int(rng.integers(1, 20)))
+                    suf = _rand_dna(rng, int(rng.integers(1, 20)))
+                    s = list(pre) + s + list(suf)
+                seqs.append("".join(s))
+            fa = tmp / f"case{ci}.fa"
+            fa.write_text("".join(
+                f">{0 if si == 0 else 1}_0_{si}\n{s}\n"
+                for si, s in enumerate(seqs)))
+            per_type = {}
+            for t in ("sw", "ov"):
+                out = subprocess.run([str(exe), str(fa), t], check=True,
+                                     capture_output=True, text=True).stdout
+                alns, cons = [], None
+                for line in out.splitlines():
+                    if line.startswith("AL "):
+                        parts = line.split()
+                        pairs = [[int(v) for v in pr.split(",")]
+                                 for pr in parts[4:]]
+                        assert len(pairs) == int(parts[3])
+                        alns.append(pairs)
+                    elif line.startswith("C "):
+                        cons = line.split(None, 2)[2] if len(
+                            line.split(None, 2)) > 2 else ""
+                per_type[t] = dict(alignments=alns, consensus=cons)
+            cases.append(dict(seqs=seqs, sw=per_type["sw"],
+                              ov=per_type["ov"]))
+        out_path = FIXTURES / "poa_swov_golden.json"
+        out_path.write_text(json.dumps(
+            dict(generator="tools/golden/poa_harness.cpp [sw|ov]",
+                 reference="tools/spoa sisd_alignment_engine kSW/kOV "
+                           "convex (driver scores)",
+                 cases=cases)))
+        print(f"poa_swov: wrote {len(cases)} cases -> {out_path}")
+
+
 # --------------------------------------------------------------------------
 # abea: f5c event detection + scaling + adaptive banded event alignment
 # (benchmarks/abea/src/{events.c,align.c})
@@ -1189,6 +1262,7 @@ GENERATORS = {
     "fmi": gen_fmi,
     "kmer": gen_kmer,
     "poa": gen_poa,
+    "poa_swov": gen_poa_swov,
     "abea": gen_abea,
     "pileup": gen_pileup,
     "dbg": gen_dbg,

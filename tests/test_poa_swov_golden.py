@@ -1,0 +1,53 @@
+"""Reference-binary golden parity for spoa's kSW / kOV alignment types.
+
+The benchmark driver hardcodes kNW (msa_spoa_omp.cpp:264); kSW and kOV
+are the spoa library's remaining AlignmentType capability surface
+(alignment_engine.hpp:19-24).  Fixtures in fixtures/poa_swov_golden.json
+come from the reference's own spoa library (tools/golden/poa_harness.cpp
+with the [sw|ov] argument) and pin EXACT per-sequence alignments — the
+(node_id, seq_pos) pair lists with -1 gaps — plus the consensus grown
+from them, against ops/oracle/poa.convex_align.
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from genomicsbench_palisade_tpu.ops.oracle import poa as PO
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(FIXTURES / "poa_swov_golden.json") as f:
+        return json.load(f)["cases"]
+
+
+@pytest.mark.parametrize("align_type", ["sw", "ov"])
+def test_swov_alignments_match_reference(golden, align_type):
+    for ci, case in enumerate(golden):
+        graph = PO.PoaGraph()
+        want = case[align_type]
+        for si, seq in enumerate(case["seqs"]):
+            aln = PO.convex_align(seq, graph, align_type=align_type)
+            assert [list(pr) for pr in aln] == want["alignments"][si], (
+                f"case {ci} seq {si} {align_type} alignment mismatch")
+            graph.add_alignment(aln, seq)
+        assert graph.generate_consensus() == want["consensus"], (
+            f"case {ci} {align_type} consensus mismatch")
+
+
+def test_nw_alias_unchanged():
+    """convex_nw_align must stay the kNW specialisation of convex_align
+    (the production device/golden paths route through it)."""
+    rng_seqs = ["ACGTACGTAC", "ACGTACGTTC"]
+    g1, g2 = PO.PoaGraph(), PO.PoaGraph()
+    for s in rng_seqs:
+        a1 = PO.convex_nw_align(s, g1)
+        a2 = PO.convex_align(s, g2, align_type="nw")
+        assert a1 == a2
+        g1.add_alignment(a1, s)
+        g2.add_alignment(a2, s)
+    assert g1.generate_consensus() == g2.generate_consensus()

@@ -4,9 +4,12 @@
 // (msa_spoa_omp.cpp:352-460): createGraph -> align (kNW convex, m=2 x=-4
 // o1=-4 e1=-2 o2=-24 e2=-1) -> add_alignment -> generate_consensus.
 //
-// Usage: poa_golden <batches.fasta>
+// Usage: poa_golden <batches.fasta> [nw|sw|ov]
 //   driver format: alternating ">name"/sequence lines; a header whose
 //   second character is '0' starts a new batch (msa_spoa_omp.cpp:115).
+//   The optional engine type selects AlignmentType kNW/kSW/kOV
+//   (alignment_engine.hpp:19-24); the driver itself hardcodes kNW, the
+//   other two pin the library's remaining capability surface.
 // Output: "C <batch_id> <consensus>" per batch.
 #include <cstdio>
 #include <fstream>
@@ -29,14 +32,21 @@ std::unique_ptr<AlignmentEngine> createSimdAlignmentEngine(
 }  // namespace spoa
 
 int main(int argc, char** argv) {
-    if (argc != 2) {
-        fprintf(stderr, "usage: %s <batches.fasta>\n", argv[0]);
+    if (argc != 2 && argc != 3) {
+        fprintf(stderr, "usage: %s <batches.fasta> [nw|sw|ov]\n", argv[0]);
         return 2;
+    }
+    spoa::AlignmentType type = spoa::AlignmentType::kNW;
+    if (argc == 3) {
+        std::string t = argv[2];
+        if (t == "sw") type = spoa::AlignmentType::kSW;
+        else if (t == "ov") type = spoa::AlignmentType::kOV;
+        else if (t != "nw") { fprintf(stderr, "bad type %s\n", argv[2]); return 2; }
     }
     std::int8_t m = 2, x = -4, o1 = -4, e1 = -2, o2 = -24, e2 = -1;
     std::int8_t oe1 = o1 + e1, oe2 = o2 + e2;
     auto engine = spoa::createAlignmentEngine(
-        spoa::AlignmentType::kNW, m,
+        type, m,
         encrypt_plaintext_integer_to_ciphertext(m), x,
         encrypt_plaintext_integer_to_ciphertext(x), oe1,
         encrypt_plaintext_integer_to_ciphertext(oe1), e1,

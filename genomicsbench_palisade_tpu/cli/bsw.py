@@ -42,7 +42,8 @@ def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
     stream), and one fetched array per chunk."""
     import jax.numpy as jnp
 
-    from ..ops.bsw_pallas import bsw_batch_pallas
+    from ..ops.bsw_pallas import (bsw_batch_pallas, bsw_batch_pallas_packed,
+                                  pack_codes_2bit)
 
     n_all = len(pairs)
     results = {k: np.zeros(n_all, np.int32) for k in OUT_FIELDS}
@@ -64,19 +65,40 @@ def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
-            query = np.full((chunk, q_pad), 4, np.int8)
-            target = np.full((chunk, t_pad), 4, np.int8)
             # mask-scatter: one flat concat + one boolean assignment per
             # side instead of 2 row copies per pair
             qm = np.arange(q_pad)[None, :] < ql[lo:hi, None]
             tm = np.arange(t_pad)[None, :] < tl[lo:hi, None]
-            query[:m][qm] = np.concatenate([q for q, _, _ in sub[lo:hi]])
-            target[:m][tm] = np.concatenate([t for _, t, _ in sub[lo:hi]])
-            batch = {"query": query, "target": target,
-                     "qlen": np.pad(ql[lo:hi], (0, chunk - m)),
-                     "tlen": np.pad(tl[lo:hi], (0, chunk - m)),
-                     "h0": np.pad(h0[lo:hi], (0, chunk - m))}
-            out = bsw_batch_pallas(batch, ptuple)
+            flat_q = np.concatenate([q for q, _, _ in sub[lo:hi]])
+            flat_t = np.concatenate([t for _, t, _ in sub[lo:hi]])
+            # 2-bit wire format when every code is a plain base (0..3):
+            # the relay moves ~70 MB/s, so raw sequence bytes dominate
+            # dataset-scale wall (BSW_SCALE.json); pack 4 bases/byte on
+            # host, unpack on device inside the kernel's jit.  Codes >= 4
+            # (ambiguous bases) fall back to the raw int8 path.
+            packable = (q_pad % 4 == 0 and t_pad % 4 == 0
+                        and (flat_q.size == 0 or
+                             (flat_q.min() >= 0 and flat_q.max() <= 3))
+                        and (flat_t.size == 0 or
+                             (flat_t.min() >= 0 and flat_t.max() <= 3)))
+            lens = {"qlen": np.pad(ql[lo:hi], (0, chunk - m)),
+                    "tlen": np.pad(tl[lo:hi], (0, chunk - m)),
+                    "h0": np.pad(h0[lo:hi], (0, chunk - m))}
+            if packable:
+                query = np.zeros((chunk, q_pad), np.uint8)
+                target = np.zeros((chunk, t_pad), np.uint8)
+                query[:m][qm] = flat_q
+                target[:m][tm] = flat_t
+                batch = {"qpack": pack_codes_2bit(query),
+                         "tpack": pack_codes_2bit(target), **lens}
+                out = bsw_batch_pallas_packed(batch, q_pad, t_pad, ptuple)
+            else:
+                query = np.full((chunk, q_pad), 4, np.int8)
+                target = np.full((chunk, t_pad), 4, np.int8)
+                query[:m][qm] = flat_q
+                target[:m][tm] = flat_t
+                batch = {"query": query, "target": target, **lens}
+                out = bsw_batch_pallas(batch, ptuple)
             pending.append((idxs[lo:hi],
                             jnp.stack([out[k][:m] for k in OUT_FIELDS])))
     for idx, dev in pending:

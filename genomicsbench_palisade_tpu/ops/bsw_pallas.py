@@ -188,16 +188,61 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
 def bsw_batch_pallas(batch, params=_params_tuple(DEFAULT_PARAMS),
                      lane_tile: int = LANE_TILE):
     """Drop-in replacement for bsw_batch (same outputs, VMEM-resident)."""
-    from .bsw import bsw_batch as _scan  # reuse its init math below
+    return _bsw_core(
+        batch["query"].astype(jnp.int32),
+        batch["target"].astype(jnp.int32),
+        batch["qlen"].astype(jnp.int32),
+        batch["tlen"].astype(jnp.int32),
+        batch["h0"].astype(jnp.int32),
+        params, lane_tile)
 
+
+def pack_codes_2bit(codes):
+    """Host-side 2-bit pack: [n, L] uint8 base codes in 0..3 (pad slots 0),
+    L % 4 == 0, -> [n, L//4] uint8 wire bytes (little-endian within the
+    byte).  The axon relay moves ~70 MB/s, so at the reference's
+    bsw_large scale (10.6M pairs, scripts/bsw_large:5-8) raw int8
+    sequence bytes dominate end-to-end wall; this quarters them."""
+    n, L = codes.shape
+    assert L % 4 == 0, L
+    b = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+         | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+    return np.ascontiguousarray(b, dtype=np.uint8)
+
+
+def _unpack2(packed, length, nlen, fill=4):
+    """Device-side inverse of pack_codes_2bit: -> [n, length] i32 codes,
+    positions >= nlen restored to the kernel's pad value (bit-exact
+    reconstruction of the raw padded array)."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    codes = ((packed[:, :, None] >> shifts[None, None, :])
+             & jnp.uint8(3)).reshape(packed.shape[0], -1)
+    codes = codes[:, :length].astype(jnp.int32)
+    j = jnp.arange(length, dtype=jnp.int32)[None, :]
+    return jnp.where(j < nlen[:, None], codes, jnp.int32(fill))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("q_pad", "t_pad", "params", "lane_tile"))
+def bsw_batch_pallas_packed(batch, q_pad, t_pad,
+                            params=_params_tuple(DEFAULT_PARAMS),
+                            lane_tile: int = LANE_TILE):
+    """bsw_batch_pallas with the 2-bit packed wire format: batch carries
+    "qpack"/"tpack" ([B, pad//4] uint8 from pack_codes_2bit) instead of
+    raw code arrays; the unpack runs on device inside the same jit."""
+    qlen = batch["qlen"].astype(jnp.int32)
+    tlen = batch["tlen"].astype(jnp.int32)
+    return _bsw_core(
+        _unpack2(batch["qpack"], q_pad, qlen),
+        _unpack2(batch["tpack"], t_pad, tlen),
+        qlen, tlen, batch["h0"].astype(jnp.int32),
+        params, lane_tile)
+
+
+def _bsw_core(query, target, qlen, tlen, h0, params, lane_tile):
     o_del, e_del, o_ins, e_ins, zdrop, end_bonus, match, mismatch, ambig, w0 = params
     oe_ins = o_ins + e_ins
 
-    query = batch["query"].astype(jnp.int32)
-    target = batch["target"].astype(jnp.int32)
-    qlen = batch["qlen"].astype(jnp.int32)
-    tlen = batch["tlen"].astype(jnp.int32)
-    h0 = batch["h0"].astype(jnp.int32)
     b, qp = query.shape
     tp = target.shape[1]
     qe = qp + 1

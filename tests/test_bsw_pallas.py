@@ -68,3 +68,74 @@ def test_bsw_pallas_vs_reference_fixtures(fixtures_dir):
     for i, c in enumerate(cases):
         for key in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
             assert int(got[key][i]) == c["out"][key], (i, key)
+
+
+def test_bsw_packed_wire_matches_raw():
+    """2-bit wire format (pack on host, unpack on device) is bit-exact vs
+    the raw int8 path, and score_pairs routes base-only buckets through
+    it (ambiguous codes >= 4 fall back to raw)."""
+    rng = np.random.default_rng(7)
+    pairs = []
+    for _ in range(128):
+        ql = int(rng.integers(5, 60))
+        tl = int(rng.integers(5, 90))
+        t = rng.integers(0, 4, tl)  # plain bases only: the packable class
+        q = t[: min(ql, tl)].copy() if rng.random() < 0.5 else rng.integers(0, 4, ql)
+        pairs.append((q.astype(np.int8), t.astype(np.int8), int(rng.integers(1, 80))))
+
+    ql = np.array([len(q) for q, _, _ in pairs], np.int32)
+    tl = np.array([len(t) for _, t, _ in pairs], np.int32)
+    h0 = np.array([h for _, _, h in pairs], np.int32)
+    q_pad, t_pad = 64, 96
+    raw_q = np.full((128, q_pad), 4, np.int8)
+    raw_t = np.full((128, t_pad), 4, np.int8)
+    pk_q = np.zeros((128, q_pad), np.uint8)
+    pk_t = np.zeros((128, t_pad), np.uint8)
+    for i, (q, t, _) in enumerate(pairs):
+        raw_q[i, : len(q)] = q
+        raw_t[i, : len(t)] = t
+        pk_q[i, : len(q)] = q
+        pk_t[i, : len(t)] = t
+
+    # host pack -> device unpack round-trips to the exact raw padded array
+    import jax.numpy as jnp
+
+    up_q = np.asarray(WP._unpack2(jnp.asarray(WP.pack_codes_2bit(pk_q)),
+                                  q_pad, jnp.asarray(ql)))
+    np.testing.assert_array_equal(up_q, raw_q.astype(np.int32))
+
+    raw_batch = {"query": raw_q, "target": raw_t,
+                 "qlen": ql, "tlen": tl, "h0": h0}
+    packed_batch = {"qpack": WP.pack_codes_2bit(pk_q),
+                    "tpack": WP.pack_codes_2bit(pk_t),
+                    "qlen": ql, "tlen": tl, "h0": h0}
+    with pltpu.force_tpu_interpret_mode():
+        want = {k: np.asarray(v)
+                for k, v in WP.bsw_batch_pallas(raw_batch).items()}
+        got = {k: np.asarray(v)
+               for k, v in WP.bsw_batch_pallas_packed(
+                   packed_batch, q_pad, t_pad).items()}
+    for key in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+
+
+def test_score_pairs_packed_route_end_to_end():
+    """cli score_pairs on a packable pair set (interpret mode) matches the
+    scan engine — exercises the production packed dispatch path."""
+    from genomicsbench_palisade_tpu.cli.bsw import score_pairs
+
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(40):
+        ql = int(rng.integers(5, 30))
+        tl = int(rng.integers(8, 40))
+        pairs.append((rng.integers(0, 4, ql).astype(np.int8),
+                      rng.integers(0, 4, tl).astype(np.int8),
+                      int(rng.integers(1, 50))))
+    batch = W.prepare_pairs(pairs, q_pad=32, t_pad=64)
+    want = {k: np.asarray(v)[: len(pairs)]
+            for k, v in W.bsw_batch(batch).items()}
+    with pltpu.force_tpu_interpret_mode():
+        got = score_pairs(pairs)
+    for key in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)

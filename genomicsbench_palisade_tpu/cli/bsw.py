@@ -14,8 +14,7 @@ import time
 
 import numpy as np
 
-from ..io.bucketing import group_by_buckets
-from ..io.pairs import parse_pairs
+from ..io.pairs import parse_pairs_soa
 from ..ops import bsw as B
 from ..ops.oracle.bsw import DEFAULT_PARAMS, BswParams
 
@@ -29,35 +28,59 @@ DEV_BATCH = 65536  # pairs per device dispatch: bounds the transposed
 OUT_FIELDS = ("score", "qle", "tle", "gtle", "gscore", "max_off")
 
 
-def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
-                edges=(32, 64, 128, 256, 512), dev_batch: int = DEV_BATCH):
-    """Bucketed scoring; returns a dict of [n_pairs] int32 arrays (the 6
-    output fields, OUT_FIELDS) in input order.
+def _gather_flat(codes, off, ln):
+    """codes[off[i] : off[i]+ln[i]] for all i, concatenated (vectorized)."""
+    total = int(ln.sum())
+    if total == 0:
+        return np.empty(0, codes.dtype)
+    ln64 = ln.astype(np.int64)
+    row_start = np.concatenate(([0], np.cumsum(ln64[:-1])))
+    within = np.arange(total, dtype=np.int64) - np.repeat(row_start, ln64)
+    return codes[np.repeat(off, ln64) + within]
+
+
+def score_pairs_soa(soa, params: BswParams = DEFAULT_PARAMS,
+                    edges=(32, 64, 128, 256, 512),
+                    dev_batch: int = DEV_BATCH):
+    """Bucketed scoring over a parse_pairs_soa dict; returns a dict of
+    [n_pairs] int32 arrays (OUT_FIELDS) in input order.
 
     Dataset-scale layout (the reference's bsw_large is 10.6M pairs,
     scripts/bsw_large:5-8): struct-of-arrays end to end — per-pair
-    Python dicts cost more than the kernel at this scale — with
-    vectorized mask-scatter padding, all chunks DISPATCHED before any
-    output fetch (transfers/kernels pipeline through the relay's async
-    stream), and one fetched array per chunk."""
+    Python objects cost more than the kernel at this scale — with
+    vectorized bucketing (searchsorted + stable argsort), vectorized
+    mask-scatter padding, the 2-bit packed wire format for plain-base
+    chunks, all chunks DISPATCHED before any output fetch (transfers and
+    kernels pipeline through the relay's async stream), and one fetched
+    array per chunk."""
     import jax.numpy as jnp
 
     from ..ops.bsw_pallas import (bsw_batch_pallas, bsw_batch_pallas_packed,
                                   pack_codes_2bit)
 
-    n_all = len(pairs)
+    codes = soa["codes"]
+    q_len, t_len = soa["q_len"], soa["t_len"]
+    q_off, t_off = soa["q_off"], soa["t_off"]
+    h0_all = soa["h0"]
+    n_all = len(q_len)
     results = {k: np.zeros(n_all, np.int32) for k in OUT_FIELDS}
-    groups = group_by_buckets(pairs, lambda p: (len(p[0]), len(p[1])), edges)
     ptuple = B._params_tuple(params)
 
+    e = np.asarray(edges, np.int64)
+    qb = np.searchsorted(e, q_len)
+    tb = np.searchsorted(e, t_len)
+    if n_all and (int(qb.max()) >= len(e) or int(tb.max()) >= len(e)):
+        bad = max(int(q_len.max(initial=0)), int(t_len.max(initial=0)))
+        raise ValueError(f"length {bad} exceeds the largest bucket {edges[-1]}")
+    key = qb * len(e) + tb
+    order = np.argsort(key, kind="stable")
+    bounds = np.flatnonzero(np.diff(key[order])) + 1
     pending = []  # (idx array, device [6, chunk] stack)
-    for (q_pad, t_pad), members in groups.items():
-        idxs = np.fromiter((i for i, _ in members), np.int64, len(members))
-        sub = [p for _, p in members]
-        n = len(sub)
-        ql = np.fromiter((len(q) for q, _, _ in sub), np.int32, n)
-        tl = np.fromiter((len(t) for _, t, _ in sub), np.int32, n)
-        h0 = np.fromiter((h for _, _, h in sub), np.int32, n)
+    for grp in np.split(order, bounds):
+        q_pad = int(e[qb[grp[0]]])
+        t_pad = int(e[tb[grp[0]]])
+        n = len(grp)
+        ql, tl, h0 = q_len[grp], t_len[grp], h0_all[grp]
         # the pallas kernel (VMEM-resident, ~8x the scan) needs 128-lane
         # tiles; large buckets run as fixed-size chunks (every chunk
         # padded to the same shape -> one compile per bucket)
@@ -65,12 +88,12 @@ def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
-            # mask-scatter: one flat concat + one boolean assignment per
+            # mask-scatter: one flat gather + one boolean assignment per
             # side instead of 2 row copies per pair
             qm = np.arange(q_pad)[None, :] < ql[lo:hi, None]
             tm = np.arange(t_pad)[None, :] < tl[lo:hi, None]
-            flat_q = np.concatenate([q for q, _, _ in sub[lo:hi]])
-            flat_t = np.concatenate([t for _, t, _ in sub[lo:hi]])
+            flat_q = _gather_flat(codes, q_off[grp[lo:hi]], ql[lo:hi])
+            flat_t = _gather_flat(codes, t_off[grp[lo:hi]], tl[lo:hi])
             # 2-bit wire format when every code is a plain base (0..3):
             # the relay moves ~70 MB/s, so raw sequence bytes dominate
             # dataset-scale wall (BSW_SCALE.json); pack 4 bases/byte on
@@ -99,13 +122,34 @@ def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
                 target[:m][tm] = flat_t
                 batch = {"query": query, "target": target, **lens}
                 out = bsw_batch_pallas(batch, ptuple)
-            pending.append((idxs[lo:hi],
+            pending.append((grp[lo:hi],
                             jnp.stack([out[k][:m] for k in OUT_FIELDS])))
     for idx, dev in pending:
         fetched = np.asarray(dev)
         for row, k in enumerate(OUT_FIELDS):
             results[k][idx] = fetched[row]
     return results
+
+
+def score_pairs(pairs, params: BswParams = DEFAULT_PARAMS,
+                edges=(32, 64, 128, 256, 512), dev_batch: int = DEV_BATCH):
+    """List-of-(q, t, h0) front end: converts to the SoA layout and
+    delegates to score_pairs_soa (same outputs, input order)."""
+    n = len(pairs)
+    if n == 0:
+        return {k: np.zeros(0, np.int32) for k in OUT_FIELDS}
+    q_len = np.fromiter((len(q) for q, _, _ in pairs), np.int32, n)
+    t_len = np.fromiter((len(t) for _, t, _ in pairs), np.int32, n)
+    h0 = np.fromiter((h for _, _, h in pairs), np.int32, n)
+    codes = np.concatenate(
+        [np.asarray(a, np.int8) for q, t, _ in pairs for a in (q, t)])
+    sizes = np.empty(2 * n, np.int64)
+    sizes[0::2] = q_len
+    sizes[1::2] = t_len
+    offs = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    soa = {"codes": codes, "q_off": offs[0::2], "q_len": q_len,
+           "t_off": offs[1::2], "t_len": t_len, "h0": h0}
+    return score_pairs_soa(soa, params, edges, dev_batch)
 
 
 def main(argv=None):
@@ -132,20 +176,21 @@ def main(argv=None):
         mismatch=args.mismatch,
     )
     t0 = time.perf_counter()
-    pairs = parse_pairs(args.pairs)
+    soa = parse_pairs_soa(args.pairs)
     read_time = time.perf_counter() - t0
+    n_pairs = len(soa["h0"])
     print(f"Read time = {read_time:.4f}")
-    print(f"Total Pairs read: {len(pairs)}")
+    print(f"Total Pairs read: {n_pairs}")
 
     t0 = time.perf_counter()
-    results = score_pairs(pairs, params)
+    results = score_pairs_soa(soa, params)
     kernel_time = time.perf_counter() - t0
     if args.print_output:
         cols = np.stack([results[k] for k in OUT_FIELDS], axis=1)
         sys.stdout.write("\n".join(
             " ".join(map(str, row)) for row in cols.tolist()) + "\n")
     print(f"Overall SW cycles(kernel time) = {kernel_time:.4f} sec")
-    print(f"Total Pairs processed: {len(pairs)}")
+    print(f"Total Pairs processed: {n_pairs}")
     return 0
 
 

@@ -139,3 +139,38 @@ def test_score_pairs_packed_route_end_to_end():
         got = score_pairs(pairs)
     for key in ("score", "qle", "tle", "gtle", "gscore", "max_off"):
         np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+
+
+def test_parse_pairs_soa_matches_list_parser(tmp_path):
+    """SoA parser (vectorized h0 digits) is record-exact vs parse_pairs,
+    including negative h0, trailing fields, and an unterminated last line."""
+    from genomicsbench_palisade_tpu.io.pairs import parse_pairs, parse_pairs_soa
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(257):
+        ql = int(rng.integers(1, 40))
+        tl = int(rng.integers(1, 60))
+        t = rng.integers(0, 5, tl, dtype=np.int8)
+        q = rng.integers(0, 5, ql, dtype=np.int8)
+        h0 = int(rng.integers(0, 12345)) * (-1 if i % 11 == 0 else 1)
+        head = b"%d" % h0 if i % 3 else b"%d %d %d" % (h0, tl, ql)
+        rows.append(b"%s\n%s\n%s\n" % (
+            head, (t + 48).astype(np.uint8).tobytes(),
+            (q + 48).astype(np.uint8).tobytes()))
+    blob = b"".join(rows)[:-1]  # strip final newline: EOF-terminated record
+    p = tmp_path / "pairs.txt"
+    p.write_bytes(blob)
+
+    want = parse_pairs(str(p))
+    soa = parse_pairs_soa(str(p))
+    assert len(soa["h0"]) == len(want) == 257
+    for i, (q, t, h0) in enumerate(want):
+        assert int(soa["h0"][i]) == h0, i
+        np.testing.assert_array_equal(
+            soa["codes"][soa["q_off"][i]: soa["q_off"][i] + soa["q_len"][i]], q)
+        np.testing.assert_array_equal(
+            soa["codes"][soa["t_off"][i]: soa["t_off"][i] + soa["t_len"][i]], t)
+
+    got = parse_pairs_soa(str(p), max_pairs=10)
+    assert len(got["h0"]) == 10

@@ -89,14 +89,15 @@ def main(argv=None):
               f"({pf.stat().st_size / 1e9:.2f} GB) in "
               f"{time.perf_counter() - t0:.0f} s", file=sys.stderr)
 
-    from genomicsbench_palisade_tpu.cli.bsw import score_pairs
-    from genomicsbench_palisade_tpu.io.pairs import parse_pairs
+    from genomicsbench_palisade_tpu.cli.bsw import score_pairs_soa
+    from genomicsbench_palisade_tpu.io.pairs import parse_pairs_soa
     from genomicsbench_palisade_tpu.ops import bsw as W
 
     t0 = time.perf_counter()
-    pairs = parse_pairs(str(pf))
+    soa = parse_pairs_soa(str(pf))
     read_s = time.perf_counter() - t0
-    print(f"[read] {len(pairs):,} pairs in {read_s:.1f} s", file=sys.stderr)
+    n_pairs = len(soa["h0"])
+    print(f"[read] {n_pairs:,} pairs in {read_s:.1f} s", file=sys.stderr)
 
     if args.smoke:
         from jax.experimental.pallas import tpu as pltpu
@@ -107,16 +108,18 @@ def main(argv=None):
 
     with ctx:
         t0 = time.perf_counter()
-        results = score_pairs(pairs)
+        results = score_pairs_soa(soa)
         warm_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        results = score_pairs(pairs)
+        results = score_pairs_soa(soa)
         kernel_s = time.perf_counter() - t0
 
         # parity sample: pallas CLI results vs the golden-pinned scan engine
-        sel = rng.choice(len(pairs), min(args.parity_sample, len(pairs)),
+        sel = rng.choice(n_pairs, min(args.parity_sample, n_pairs),
                          replace=False)
-        sample = [pairs[i] for i in sel]
+        sample = [(soa["codes"][soa["q_off"][i]: soa["q_off"][i] + soa["q_len"][i]],
+                   soa["codes"][soa["t_off"][i]: soa["t_off"][i] + soa["t_len"][i]],
+                   int(soa["h0"][i])) for i in sel]
         batch = W.prepare_pairs(sample)
         want = {k: np.asarray(v) for k, v in W.bsw_batch(batch).items()}
         for row, i in enumerate(sel):
@@ -124,15 +127,15 @@ def main(argv=None):
                 assert int(results[key][i]) == int(want[key][row]), (
                     key, i, int(results[key][i]), int(want[key][row]))
 
-    cells = float(sum(len(q) * len(t) for q, t, _ in pairs))
+    cells = float(soa["q_len"].astype(np.int64) @ soa["t_len"].astype(np.int64))
     out = {
         "tool": "bsw_scale_bench",
-        "pairs": len(pairs),
+        "pairs": n_pairs,
         "input_gb": round(pf.stat().st_size / 1e9, 2),
         "read_s": round(read_s, 1),
         "warm_s": round(warm_s, 1),
         "kernel_s": round(kernel_s, 2),
-        "pairs_per_s": round(len(pairs) / kernel_s, 1),
+        "pairs_per_s": round(n_pairs / kernel_s, 1),
         "gcups_upper": round(cells / kernel_s / 1e9, 2),
         "parity_sample": int(len(sel)),
         "smoke": bool(args.smoke),

@@ -48,15 +48,16 @@ def score_pairs_soa(soa, params: BswParams = DEFAULT_PARAMS,
     Dataset-scale layout (the reference's bsw_large is 10.6M pairs,
     scripts/bsw_large:5-8): struct-of-arrays end to end — per-pair
     Python objects cost more than the kernel at this scale — with
-    vectorized bucketing (searchsorted + stable argsort), vectorized
-    mask-scatter padding, the 2-bit packed wire format for plain-base
-    chunks, all chunks DISPATCHED before any output fetch (transfers and
-    kernels pipeline through the relay's async stream), and one fetched
-    array per chunk."""
-    import jax.numpy as jnp
-
-    from ..ops.bsw_pallas import (bsw_batch_pallas, bsw_batch_pallas_packed,
-                                  pack_codes_2bit)
+    vectorized bucketing (searchsorted + stable argsort), native C++
+    chunk prep (native/pairsio.cpp gt_bsw_pack_rows: flat-gather + pad +
+    2-bit wire pack in one pass — the numpy version cost ~0.44 s per
+    64k-pair chunk, 72 s over bsw_large, more than the kernel), all
+    chunks DISPATCHED before any output fetch (transfers and kernels
+    pipeline through the relay's async stream), and one stacked —
+    int16-narrowed when the score bound allows — output fetch per chunk."""
+    from ..io.native import bsw_pack_rows_native, bsw_pad_rows_native
+    from ..ops.bsw_pallas import (bsw_batch_pallas_packed_stacked,
+                                  bsw_batch_pallas_stacked, pack_codes_2bit)
 
     codes = soa["codes"]
     q_len, t_len = soa["q_len"], soa["t_len"]
@@ -72,10 +73,18 @@ def score_pairs_soa(soa, params: BswParams = DEFAULT_PARAMS,
     if n_all and (int(qb.max()) >= len(e) or int(tb.max()) >= len(e)):
         bad = max(int(q_len.max(initial=0)), int(t_len.max(initial=0)))
         raise ValueError(f"length {bad} exceeds the largest bucket {edges[-1]}")
+    # int16 output narrowing: every output field is bounded by
+    # max|h0| + qlen*match (score/gscore; ksw_extend scores only ever add
+    # `match` per step from h0) or by the pad lengths (qle/tle/gtle/
+    # max_off), so when the bound fits, fetch bytes halve
+    narrow = bool(
+        n_all == 0
+        or (int(np.abs(h0_all).max()) + int(e[-1]) * params.match + 64
+            < 32767) and int(e[-1]) < 32767)
     key = qb * len(e) + tb
     order = np.argsort(key, kind="stable")
     bounds = np.flatnonzero(np.diff(key[order])) + 1
-    pending = []  # (idx array, device [6, chunk] stack)
+    pending = []  # (idx array, n valid, device [6, chunk] stack)
     for grp in np.split(order, bounds):
         q_pad = int(e[qb[grp[0]]])
         t_pad = int(e[tb[grp[0]]])
@@ -88,46 +97,64 @@ def score_pairs_soa(soa, params: BswParams = DEFAULT_PARAMS,
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             m = hi - lo
-            # mask-scatter: one flat gather + one boolean assignment per
-            # side instead of 2 row copies per pair
-            qm = np.arange(q_pad)[None, :] < ql[lo:hi, None]
-            tm = np.arange(t_pad)[None, :] < tl[lo:hi, None]
-            flat_q = _gather_flat(codes, q_off[grp[lo:hi]], ql[lo:hi])
-            flat_t = _gather_flat(codes, t_off[grp[lo:hi]], tl[lo:hi])
-            # 2-bit wire format when every code is a plain base (0..3):
-            # the relay moves ~70 MB/s, so raw sequence bytes dominate
-            # dataset-scale wall (BSW_SCALE.json); pack 4 bases/byte on
-            # host, unpack on device inside the kernel's jit.  Codes >= 4
-            # (ambiguous bases) fall back to the raw int8 path.
-            packable = (q_pad % 4 == 0 and t_pad % 4 == 0
-                        and (flat_q.size == 0 or
-                             (flat_q.min() >= 0 and flat_q.max() <= 3))
-                        and (flat_t.size == 0 or
-                             (flat_t.min() >= 0 and flat_t.max() <= 3)))
-            lens = {"qlen": np.pad(ql[lo:hi], (0, chunk - m)),
-                    "tlen": np.pad(tl[lo:hi], (0, chunk - m)),
+            # pad the LENGTH arrays to the chunk (rows past m get len 0,
+            # which both native row builders turn into all-padding rows)
+            ql_p = np.pad(ql[lo:hi], (0, chunk - m))
+            tl_p = np.pad(tl[lo:hi], (0, chunk - m))
+            qo_p = np.pad(q_off[grp[lo:hi]], (0, chunk - m))
+            to_p = np.pad(t_off[grp[lo:hi]], (0, chunk - m))
+            lens = {"qlen": ql_p, "tlen": tl_p,
                     "h0": np.pad(h0[lo:hi], (0, chunk - m))}
-            if packable:
-                query = np.zeros((chunk, q_pad), np.uint8)
-                target = np.zeros((chunk, t_pad), np.uint8)
-                query[:m][qm] = flat_q
-                target[:m][tm] = flat_t
-                batch = {"qpack": pack_codes_2bit(query),
-                         "tpack": pack_codes_2bit(target), **lens}
-                out = bsw_batch_pallas_packed(batch, q_pad, t_pad, ptuple)
+            batch, packed = None, False
+            if q_pad % 4 == 0 and t_pad % 4 == 0:
+                nat_q = bsw_pack_rows_native(codes, qo_p, ql_p, q_pad)
+                if nat_q is not None:
+                    qpack, bad_q = nat_q
+                    tpack, bad_t = bsw_pack_rows_native(codes, to_p, tl_p,
+                                                        t_pad)
+                    if bad_q == 0 and bad_t == 0:
+                        batch = {"qpack": qpack, "tpack": tpack, **lens}
+                        packed = True
+                else:
+                    # numpy fallback (native lib not built): mask-scatter
+                    # rows then 2-bit pack, with a plain-base check
+                    qm = np.arange(q_pad)[None, :] < ql_p[:, None]
+                    tm = np.arange(t_pad)[None, :] < tl_p[:, None]
+                    flat_q = _gather_flat(codes, qo_p, ql_p)
+                    flat_t = _gather_flat(codes, to_p, tl_p)
+                    ok = ((flat_q.size == 0 or
+                           (flat_q.min() >= 0 and flat_q.max() <= 3))
+                          and (flat_t.size == 0 or
+                               (flat_t.min() >= 0 and flat_t.max() <= 3)))
+                    if ok:
+                        query = np.zeros((chunk, q_pad), np.uint8)
+                        target = np.zeros((chunk, t_pad), np.uint8)
+                        query[qm] = flat_q
+                        target[tm] = flat_t
+                        batch = {"qpack": pack_codes_2bit(query),
+                                 "tpack": pack_codes_2bit(target), **lens}
+                        packed = True
+            if packed:
+                out = bsw_batch_pallas_packed_stacked(
+                    batch, q_pad, t_pad, ptuple, narrow=narrow)
             else:
-                query = np.full((chunk, q_pad), 4, np.int8)
-                target = np.full((chunk, t_pad), 4, np.int8)
-                query[:m][qm] = flat_q
-                target[:m][tm] = flat_t
+                query = bsw_pad_rows_native(codes, qo_p, ql_p, q_pad)
+                if query is not None:
+                    target = bsw_pad_rows_native(codes, to_p, tl_p, t_pad)
+                else:
+                    qm = np.arange(q_pad)[None, :] < ql_p[:, None]
+                    tm = np.arange(t_pad)[None, :] < tl_p[:, None]
+                    query = np.full((chunk, q_pad), 4, np.int8)
+                    target = np.full((chunk, t_pad), 4, np.int8)
+                    query[qm] = _gather_flat(codes, qo_p, ql_p)
+                    target[tm] = _gather_flat(codes, to_p, tl_p)
                 batch = {"query": query, "target": target, **lens}
-                out = bsw_batch_pallas(batch, ptuple)
-            pending.append((grp[lo:hi],
-                            jnp.stack([out[k][:m] for k in OUT_FIELDS])))
-    for idx, dev in pending:
+                out = bsw_batch_pallas_stacked(batch, ptuple, narrow=narrow)
+            pending.append((grp[lo:hi], m, out))
+    for idx, m, dev in pending:
         fetched = np.asarray(dev)
         for row, k in enumerate(OUT_FIELDS):
-            results[k][idx] = fetched[row]
+            results[k][idx] = fetched[row, :m]
     return results
 
 

@@ -71,6 +71,96 @@ def parse_reads_native(path: str, limit: int = -1):
     return codes, quals, offsets, lengths
 
 
+def _pairs_lib():
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_pairs_ready"):
+        lib.gt_pairs_count.restype = ctypes.c_int64
+        lib.gt_pairs_count.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.gt_pairs_parse.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 5)
+        lib.gt_bsw_pack_rows.restype = ctypes.c_int64
+        lib.gt_bsw_pack_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+        lib.gt_bsw_pad_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int8,
+            ctypes.c_void_p]
+        lib.gt_sub48.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib._pairs_ready = True
+    return lib
+
+
+def sub48_native(arr: np.ndarray):
+    """int8(arr) - 48 in one fused native pass, or None."""
+    lib = _pairs_lib()
+    if not lib:
+        return None
+    arr = np.ascontiguousarray(arr, np.uint8)
+    out = np.empty(arr.size, np.int8)
+    lib.gt_sub48(arr.ctypes.data, arr.size, out.ctypes.data)
+    return out
+
+
+def parse_pairs_struct_native(buf: np.ndarray):
+    """Single-pass structural parse of the bsw 3-line pair format
+    (native/pairsio.cpp): buf is the raw uint8 file image; returns
+    (t_off i64, t_len i32, q_off i64, q_len i32, h0 i32) with offsets
+    into buf, or None when the native library isn't built."""
+    lib = _pairs_lib()
+    if not lib:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = lib.gt_pairs_count(buf.ctypes.data, buf.size)
+    t_off = np.empty(n, np.int64)
+    t_len = np.empty(n, np.int32)
+    q_off = np.empty(n, np.int64)
+    q_len = np.empty(n, np.int32)
+    h0 = np.empty(n, np.int32)
+    lib.gt_pairs_parse(buf.ctypes.data, buf.size, n,
+                       t_off.ctypes.data, t_len.ctypes.data,
+                       q_off.ctypes.data, q_len.ctypes.data, h0.ctypes.data)
+    return t_off, t_len, q_off, q_len, h0
+
+
+def bsw_pack_rows_native(codes: np.ndarray, off: np.ndarray, ln: np.ndarray,
+                         pad: int, bias: int = 0):
+    """2-bit-packed [n, pad//4] uint8 wire rows (pack_codes_2bit layout)
+    built directly from the flat codes buffer, or None when unavailable.
+    Returns (rows, n_bad); n_bad > 0 means out-of-range codes were seen
+    and the caller must use the raw path instead."""
+    lib = _pairs_lib()
+    if not lib:
+        return None
+    n = len(ln)
+    off = np.ascontiguousarray(off, np.int64)
+    ln = np.ascontiguousarray(ln, np.int32)
+    out = np.empty((n, pad // 4), np.uint8)
+    bad = lib.gt_bsw_pack_rows(codes.ctypes.data, off.ctypes.data,
+                               ln.ctypes.data, n, pad, bias,
+                               out.ctypes.data)
+    return out, int(bad)
+
+
+def bsw_pad_rows_native(codes: np.ndarray, off: np.ndarray, ln: np.ndarray,
+                        pad: int, bias: int = 0, fill: int = 4):
+    """Raw int8 [n, pad] rows (pad columns = fill), or None."""
+    lib = _pairs_lib()
+    if not lib:
+        return None
+    n = len(ln)
+    off = np.ascontiguousarray(off, np.int64)
+    ln = np.ascontiguousarray(ln, np.int32)
+    out = np.empty((n, pad), np.int8)
+    lib.gt_bsw_pad_rows(codes.ctypes.data, off.ctypes.data, ln.ctypes.data,
+                        n, pad, bias, fill, out.ctypes.data)
+    return out
+
+
 def sais(codes: np.ndarray, out: np.ndarray | None = None
          ) -> np.ndarray | None:
     """Suffix array of int8/uint8 codes in [0, 255) via native SA-IS.

@@ -68,15 +68,45 @@ def parse_pairs_soa(path_or_file, max_pairs: int | None = None):
     The per-record loop in parse_pairs (h0 int() + tuple build) costs
     ~10 us/record — over 100 s at the reference's bsw_large scale
     (10.6M pairs, scripts/bsw_large:5-8); here h0 digits are parsed with
-    a handful of vectorized gathers instead."""
+    a handful of vectorized gathers instead.  When the native library is
+    built, the structural scan runs in C++ (native/pairsio.cpp): the
+    numpy newline scan alone costs ~22 s on the 3.8 GB bsw_large file vs
+    ~2 s for the single memchr pass."""
+    mm = None
     if hasattr(path_or_file, "read"):
         data = path_or_file.read()
         if isinstance(data, str):
             data = data.encode()
+        arr = np.frombuffer(data, np.uint8)
     else:
-        with open(path_or_file, "rb") as f:
-            data = f.read()
-    arr = np.frombuffer(data, np.uint8)
+        # mmap instead of read(): this VM copies at ~200 MB/s, so the
+        # 3.8 GB bsw_large file costs ~19 s to slurp; mapped pages are
+        # read in place by the native scan and the fused decode
+        import mmap
+
+        try:
+            with open(path_or_file, "rb") as f:
+                mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+            arr = np.frombuffer(mm, np.uint8)
+        except (ValueError, OSError):  # empty file / no mmap support
+            arr = np.fromfile(path_or_file, np.uint8)
+
+    from .native import parse_pairs_struct_native, sub48_native
+
+    nat = parse_pairs_struct_native(arr) if len(arr) else None
+    if nat is not None:
+        t_off, t_len, q_off, q_len, h0 = nat
+        n = len(h0)
+        if max_pairs is not None and max_pairs < n:
+            n = max_pairs
+            t_off, t_len = t_off[:n], t_len[:n]
+            q_off, q_len = q_off[:n], q_len[:n]
+            h0 = h0[:n]
+        codes = sub48_native(arr)
+        return {"codes": codes, "t_off": t_off, "t_len": t_len,
+                "q_off": q_off, "q_len": q_len, "h0": h0}
+    if mm is not None:
+        arr = np.array(arr)  # own the bytes before the mmap closes
     nl = np.flatnonzero(arr == 10)
     n_lines = len(nl)
     if len(arr) and (not n_lines or nl[-1] != len(arr) - 1):

@@ -50,6 +50,10 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
     w = w_ref[0, :]
 
     log_rounds = max(int(np.ceil(np.log2(qe_pad))), 1)
+    # j-bits for the packed (h_row << JB) | j max-reduce; scores already
+    # assume |value| < 2^20 (the NEG sentinel), so the shift stays in i32
+    jb = max(int(np.ceil(np.log2(qe_pad))), 1)
+    jmask = (1 << jb) - 1
 
     def cummax_sub(g):
         # inclusive running max down the sublane axis
@@ -73,13 +77,18 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
         )  # [Bt]
 
         t_char = target_ref[pl.ds(jnp.minimum(i, tp - 1), 1), :]  # [1, Bt]
+        # codes are 0..3 bases, 4 ambiguous, 5 query pad: (q|t) >= 4 iff
+        # either operand >= 4 (bit 2 set), one op cheaper than two compares
         qsc = jnp.where(
-            (t_char >= 4) | (q_codes >= 4),
+            (t_char | q_codes) >= 4,
             jnp.int32(ambig),
             jnp.where(q_codes == t_char, jnp.int32(match), jnp.int32(-mismatch)),
         )
 
-        in_band = (j_iota >= beg[None, :]) & (j_iota < end[None, :])
+        ge_beg = j_iota >= beg[None, :]
+        le_end = j_iota <= end[None, :]
+        in_band = ge_beg & (j_iota < end[None, :])
+        band_cl = ge_beg & le_end  # closed band [beg, end]
 
         m_val = jnp.where(h != 0, h + qsc, 0)
         h0_val = jnp.maximum(m_val, e)
@@ -87,22 +96,30 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
         g = jnp.where(in_band, c + j_iota * e_ins, neg)
         gmax = cummax_sub(g)
         gsh = jnp.where(j_iota == 0, NEG, pltpu.roll(gmax, 1, axis=0))
+        # out-of-band gsh is exactly NEG, and banded values are >= 0, so
+        # the max-with-0 already zeroes the NEG case (no extra guard)
         f = jnp.maximum(gsh - (j_iota - 1) * e_ins, 0)
-        f = jnp.where(gsh <= NEG // 2, 0, f)
         h_row = jnp.maximum(h0_val, f)
         e_next = jnp.maximum(e - e_del, jnp.maximum(m_val - oe_del, 0))
 
-        h_band = jnp.where(in_band, h_row, 0)
-        m = jnp.maximum(jnp.max(h_band, axis=0), 0)  # [Bt]
-        mj = jnp.max(jnp.where(in_band & (h_row == m[None, :]), j_iota, -1), axis=0)
+        # row max + argmax in ONE masked reduce: h_row >= 0, so the max of
+        # (h_row << jb) | j is (max h, largest j achieving it) — identical
+        # to the separate max + masked-argmax (which also tie-broke by
+        # largest j); empty band gives -1 -> m = 0, mj = -1
+        packed = jnp.where(in_band, (h_row << jb) | j_iota, -1)
+        pmax = jnp.max(packed, axis=0)  # [Bt]
+        m = jnp.maximum(pmax >> jb, 0)
+        mj = jnp.where(pmax < 0, -1, pmax & jmask)
 
         h1_idx = jnp.maximum(end - 1, 0)
         h1_fin = jnp.max(jnp.where(j_iota == h1_idx[None, :], h_row, NEG), axis=0)
         h1_fin = jnp.where(end > beg, h1_fin, h1_pre)
 
-        h_shift = jnp.where(j_iota == 0, 0, pltpu.roll(h_row, 1, axis=0))
+        # row shift: the wrapped top row lands at j=0, which is either
+        # overwritten by the j==beg select (beg==0) or outside upd (beg>0)
+        h_shift = pltpu.roll(h_row, 1, axis=0)
         cand_h = jnp.where(j_iota == beg[None, :], h1_pre[None, :], h_shift)
-        upd = (j_iota >= beg[None, :]) & (j_iota <= end[None, :]) & act[None, :]
+        upd = band_cl & act[None, :]
         h_new = jnp.where(upd, cand_h, h)
         cand_e = jnp.where(j_iota == end[None, :], 0, e_next)
         e_new = jnp.where(upd, cand_e, e)
@@ -132,16 +149,17 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
         alive = alive & ~zbreak
         mmax, max_i, max_j = new_max, new_max_i, new_max_j
 
-        nz = (h_new != 0) | (e_new != 0)
-        in_scan = (j_iota >= beg[None, :]) & (j_iota < end[None, :])
-        first_nz = jnp.min(
-            jnp.where(in_scan & nz, j_iota, end[None, :]), axis=0
-        )
+        # band shrink: both nz scans share the closed-band mask.  The
+        # first-nz scan may include j==end (it can only ever produce its
+        # own default `end` there), and the last-nz scan over [beg_n, end]
+        # equals the scan over [beg, end] (no nz exists in [beg, beg_n));
+        # its empty-mask default beg_n-1 is restored by the final maximum.
+        nz_mask = band_cl & ((h_new | e_new) != 0)
+        j_or_end = jnp.where(nz_mask, j_iota, end[None, :])
+        first_nz = jnp.min(j_or_end, axis=0)
+        last_raw = jnp.max(jnp.where(nz_mask, j_iota, -1), axis=0)
         beg_n = first_nz
-        in_scan2 = (j_iota >= beg_n[None, :]) & (j_iota <= end[None, :])
-        last_nz = jnp.max(
-            jnp.where(in_scan2 & nz, j_iota, beg_n[None, :] - 1), axis=0
-        )
+        last_nz = jnp.maximum(last_raw, beg_n - 1)
         end_n = jnp.minimum(last_nz + 2, qlen)
 
         upd_band = act2 & ~zbreak
@@ -237,6 +255,52 @@ def bsw_batch_pallas_packed(batch, q_pad, t_pad,
         _unpack2(batch["tpack"], t_pad, tlen),
         qlen, tlen, batch["h0"].astype(jnp.int32),
         params, lane_tile)
+
+
+OUT_ORDER = ("score", "qle", "tle", "gtle", "gscore", "max_off")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_pad", "t_pad", "params", "lane_tile",
+                              "narrow"))
+def bsw_batch_pallas_packed_stacked(batch, q_pad, t_pad,
+                                    params=_params_tuple(DEFAULT_PARAMS),
+                                    lane_tile: int = LANE_TILE,
+                                    narrow: bool = False):
+    """Packed-wire kernel returning ONE stacked [6, B] device array
+    (OUT_ORDER rows) instead of a dict: the dataset-scale driver fetches
+    one object per dispatch, and stacking inside the jit avoids 6 eager
+    slice dispatches per chunk through the relay.  With narrow=True the
+    stack is cast to int16 before the fetch — callers prove the bound
+    (max |h0| + q_pad*match plus index fields <= t_pad) fits, halving
+    fetch bytes on the ~70 MB/s relay."""
+    qlen = batch["qlen"].astype(jnp.int32)
+    tlen = batch["tlen"].astype(jnp.int32)
+    out = _bsw_core(
+        _unpack2(batch["qpack"], q_pad, qlen),
+        _unpack2(batch["tpack"], t_pad, tlen),
+        qlen, tlen, batch["h0"].astype(jnp.int32),
+        params, lane_tile)
+    arr = jnp.stack([out[k] for k in OUT_ORDER])
+    return arr.astype(jnp.int16) if narrow else arr
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "lane_tile", "narrow"))
+def bsw_batch_pallas_stacked(batch, params=_params_tuple(DEFAULT_PARAMS),
+                             lane_tile: int = LANE_TILE,
+                             narrow: bool = False):
+    """Raw-codes variant of bsw_batch_pallas_packed_stacked (fallback for
+    chunks containing ambiguous bases, which the 2-bit wire can't carry)."""
+    out = _bsw_core(
+        batch["query"].astype(jnp.int32),
+        batch["target"].astype(jnp.int32),
+        batch["qlen"].astype(jnp.int32),
+        batch["tlen"].astype(jnp.int32),
+        batch["h0"].astype(jnp.int32),
+        params, lane_tile)
+    arr = jnp.stack([out[k] for k in OUT_ORDER])
+    return arr.astype(jnp.int16) if narrow else arr
 
 
 def _bsw_core(query, target, qlen, tlen, h0, params, lane_tile):

@@ -34,13 +34,13 @@ import numpy as np
 NEG_INF = -(1 << 31) + 1024  # spoa kNegativeInfinity
 
 @functools.lru_cache(maxsize=None)
-def _batched_align(params, w_cap, a_cap):
+def _batched_align(params, w_cap, a_cap, atype="nw"):
     """Cached jit of the vmapped aligner (re-creating the vmap closure per
     call would re-trace the whole DP every round, ~50 ms host time)."""
     def run(sc, sl, ga):
         ai, aj, cnt = jax.vmap(
             lambda sc1, sl1, ga1: poa_align_device(
-                sc1, sl1, ga1, params, w_cap, a_cap)
+                sc1, sl1, ga1, params, w_cap, a_cap, atype)
         )(sc, sl, ga)
         # one packed output -> ONE host fetch (each relay fetch ~27 ms)
         return jnp.concatenate([ai, aj, cnt[:, None]], axis=1)
@@ -108,14 +108,27 @@ def _lazy_chain(h, open_pen, ext_pen, j_iota, w):
     return jnp.where(j_iota == 0, NEG_INF, e)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "w_cap", "a_cap"))
-def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
-    """One (sequence, graph) convex-NW alignment on device.
+@functools.partial(jax.jit,
+                   static_argnames=("params", "w_cap", "a_cap", "atype"))
+def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap,
+                     atype: str = "nw"):
+    """One (sequence, graph) convex alignment on device, for all three
+    spoa AlignmentTypes (alignment_engine.hpp:19-24; type-dependent
+    pieces mirror oracle convex_align / sisd_alignment_engine.cpp:165-240):
+
+      nw  H boundaries from the gap chains; max cell in the last column
+          of sink rows; traceback to (0, 0).
+      sw  zero H boundaries, every cell clamped at 0 (:747-749), max over
+          all cells (first in rank-then-column order), traceback stops at
+          H == 0 (carried as a 13th bit plane).
+      ov  NW top row / zero first column (:214-240), max over all cells
+          of sink rows, traceback stops at i == 0 or j == 0.
 
     seqcode: [w_cap-1] int32 base codes; seqlen: scalar; garr: graph arrays.
     Returns (aln_i [a_cap] rank-or-minus-one, aln_j [a_cap], aln_len).
     Designed to be vmapped over a batch of windows.
     """
+    assert atype in ("nw", "sw", "ov"), atype
     m, nmis, g, e, q, c = params
     n_cap, p_cap = garr["preds"].shape
     w = w_cap  # matrix width = seq capacity + 1
@@ -134,7 +147,11 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
     row0_Q = jnp.where(j_iota == 0, 0, q + (j_iota - 1) * c)
     row0_F = jnp.where(j_iota == 0, 0, NEG_INF)
     row0_E = jnp.where(j_iota == 0, 0, g + (j_iota - 1) * e)
-    row0_H = jnp.where(j_iota == 0, 0, jnp.maximum(row0_Q, row0_E))
+    # the H boundary is the only type-dependent part of initialize()
+    if atype == "sw":
+        row0_H = jnp.zeros(w, jnp.int32)
+    else:  # nw, ov
+        row0_H = jnp.where(j_iota == 0, 0, jnp.maximum(row0_Q, row0_E))
     HFO = jnp.zeros((n_cap + 1, 3, w), jnp.int32)
     HFO = HFO.at[0].set(jnp.stack([row0_H, row0_F, row0_O]))
 
@@ -202,7 +219,8 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
             el_stop.astype(jnp.int32),
             hit_a.astype(jnp.int32), prev_a,
             hit_b.astype(jnp.int32), prev_b,
-        ])  # [12, w]
+            (h_row == 0).astype(jnp.int32),  # sw traceback stop bit
+        ])  # [NPLANES, w]
 
     def row_step(HFO, r):
         i = r + 1
@@ -230,7 +248,10 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
         o0 = jnp.where(
             has_preds, jnp.max(jnp.where(pred_mask, O_p[:, 0], NEG_INF)), q - c
         ) + c
-        h0 = jnp.maximum(f0, o0)
+        # H column 0 is set from the gap chains for kNW only (oracle
+        # convex_align init; sw/ov leave it 0)
+        h0 = (jnp.maximum(f0, o0) if atype == "nw"
+              else jnp.zeros((), jnp.int32))
 
         F_row = jnp.max(jnp.maximum(H_pm + g, F_pm + e), axis=0)
         O_row = jnp.max(jnp.maximum(H_pm + q, O_pm + c), axis=0)
@@ -255,10 +276,14 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
             e_new = jnp.where(j_iota == 0, NEG_INF, e_new)
             q_new = jnp.where(j_iota == 0, NEG_INF, q_new)
             h_new = jnp.maximum(base, jnp.maximum(e_new, q_new))
+            if atype == "sw":  # local: every cell clamped at 0 (:747-749)
+                h_new = jnp.maximum(h_new, 0)
             h_new = jnp.where(j_iota == 0, h0, h_new)
             changed = jnp.any(h_new != h_cur)
             return (h_new, e_new, q_new, changed)
 
+        if atype == "sw":
+            base = jnp.where(j_iota == 0, h0, jnp.maximum(base, 0))
         st = (base, jnp.full(w, NEG_INF, jnp.int32), jnp.full(w, NEG_INF, jnp.int32), jnp.bool_(True))
         h_row, e_row, q_row, _ = jax.lax.while_loop(fix_cond, fix_body, st)
         # one more pass so E/Q reflect the final H (matrix-value exactness)
@@ -282,17 +307,35 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
     )
     H = HFO[:, 0, :]
 
-    # ---------------- find max (kNW: last column, sink rows) ----------------
+    # ---------------- find max (type-dependent cell set; the reference
+    # keeps the FIRST maximum in rank-then-column order via strict <,
+    # which jnp.argmax's first-max rule reproduces) ----------------
     rows = jnp.arange(n_cap, dtype=jnp.int32)
-    is_sink = garr["out_empty"] & (rows < n_nodes)
+    live_rows = rows < n_nodes
+    is_sink = garr["out_empty"] & live_rows
     h_last = H[1:, :]  # row i corresponds to rank i-1
-    end_scores = jnp.where(
-        is_sink, jnp.take_along_axis(h_last, jnp.broadcast_to(seqlen, (n_cap,))[:, None], 1)[:, 0], NEG_INF
-    )
-    # reference keeps the FIRST maximal sink in rank order (strict <)
-    best_rank = jnp.argmax(end_scores)  # argmax returns first max
-    max_i = best_rank + 1
-    max_j = seqlen
+    start_done = jnp.bool_(False)
+    if atype == "nw":  # last column of sink rows
+        end_scores = jnp.where(
+            is_sink, jnp.take_along_axis(h_last, jnp.broadcast_to(seqlen, (n_cap,))[:, None], 1)[:, 0], NEG_INF
+        )
+        best_rank = jnp.argmax(end_scores)  # argmax returns first max
+        max_i = best_rank + 1
+        max_j = seqlen
+    else:  # sw: all cells of all rows; ov: all cells of sink rows
+        j_ok = (j_iota >= 1) & valid_j
+        h_m = jnp.where(j_ok[None, :], h_last, NEG_INF)
+        row_max = jnp.max(h_m, axis=1)
+        row_arg = jnp.argmax(h_m, axis=1).astype(jnp.int32)
+        rmask = is_sink if atype == "ov" else live_rows
+        scores = jnp.where(rmask, row_max, NEG_INF)
+        best_rank = jnp.argmax(scores)
+        max_i = best_rank + 1
+        max_j = row_arg[best_rank]
+        if atype == "sw":
+            # local max_score starts at 0 with strict improvement: no
+            # positive cell means an empty alignment
+            start_done = scores[best_rank] <= 0
 
     # ---------------- traceback ----------------
     # The per-step predecessor gathers + .at[cnt].set appends of a naive
@@ -320,10 +363,12 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
         found_h0.astype(jnp.int32), ext_left0.astype(jnp.int32),
         el_stop0.astype(jnp.int32),
         zero_plane, zero_plane, zero_plane, zero_plane,
-    ])  # [12, w]
+        (row0_H == 0).astype(jnp.int32),
+    ])  # [NPLANES, w]
+    nplanes = planes_0.shape[0]
     bits = jnp.concatenate(
         [planes_0[:, None, :], jnp.moveaxis(planes_r, 0, 1)], axis=1
-    )  # [12, N+1, W]
+    )  # [NPLANES, N+1, W]
 
     MODE_NORMAL, MODE_EL, MODE_EU = 0, 1, 2
 
@@ -331,10 +376,15 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
         i, j, mode, done = st
         j_eff = jnp.where(mode == MODE_EL, j - 1, j)
         v = jax.lax.dynamic_slice(
-            bits, (0, i, jnp.maximum(j_eff, 0)), (12, 1, 1))[:, 0, 0]
+            bits, (0, i, jnp.maximum(j_eff, 0)), (nplanes, 1, 1))[:, 0, 0]
 
-        # --- normal step (reference outer-loop body) ---
-        at_end = (i == 0) & (j == 0)
+        # --- normal step (type-dependent stop, oracle _more :770-778) ---
+        if atype == "nw":
+            at_end = (i == 0) & (j == 0)
+        elif atype == "ov":
+            at_end = (i == 0) | (j == 0)
+        else:  # sw: stop when H[i][j] == 0 (plane 12)
+            at_end = v[12] == 1
         fd = (v[0] == 1) & ~at_end
         fv = (v[2] == 1) & ~fd & ~at_end
         fh = (v[5] == 1) & ~fd & ~fv & ~at_end
@@ -375,7 +425,7 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
         mode3 = jnp.where(done2, mode, mode2)
         return (i3, j3, mode3, done2), (oi, oj, emit)
 
-    st0 = (max_i, jnp.int32(max_j), jnp.int32(MODE_NORMAL), jnp.bool_(False))
+    st0 = (max_i, jnp.int32(max_j), jnp.int32(MODE_NORMAL), start_done)
     _, (aln_i, aln_j, emits) = jax.lax.scan(
         tb_step, st0, None, length=a_cap)
     cnt = jnp.sum(emits.astype(jnp.int32))
@@ -383,13 +433,15 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap):
 
 
 def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap=16,
-                w_cap=None, a_cap=None):
+                w_cap=None, a_cap=None, align_type: str = "nw"):
     """Host entry: align seqs[k] against graphs[k] for every window k.
 
     graphs: list of PoaGraph; seqs: list of str (codes via ACGT->0..3).
+    align_type selects the spoa AlignmentType ("nw" — the benchmark
+    driver's hardcoded choice, msa_spoa_omp.cpp:264 — "sw" or "ov").
     Returns list of spoa Alignment lists [(node_id, seq_pos)].
     """
-    from .oracle.poa import convex_nw_align
+    from .oracle.poa import convex_align
 
     code_map = {ch: i for i, ch in enumerate("ACGT")}
     b = len(graphs)
@@ -431,7 +483,7 @@ def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap
         seq_arr[i, : len(codes)] = codes
         seq_len[i] = len(codes)
 
-    fn = _batched_align(tuple(params), w_cap, a_cap)
+    fn = _batched_align(tuple(params), w_cap, a_cap, align_type)
     packed = np.asarray(
         fn(jnp.asarray(seq_arr), jnp.asarray(seq_len), garr_stack))
     ai, aj, cnt = packed[:, :a_cap], packed[:, a_cap:-1], packed[:, -1]
@@ -440,7 +492,7 @@ def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap
     for gi, g in enumerate(graphs):
         if fallback[gi] or _nn(g) == 0:
             gpy = g.to_python() if isinstance(g, NativePoaGraph) else g
-            out.append(convex_nw_align(seqs[gi], gpy))
+            out.append(convex_align(seqs[gi], gpy, align_type=align_type))
             continue
         n = int(cnt[gi])
         rk = ai[gi, :n][::-1]

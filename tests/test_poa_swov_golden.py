@@ -39,6 +39,33 @@ def test_swov_alignments_match_reference(golden, align_type):
             f"case {ci} {align_type} consensus mismatch")
 
 
+@pytest.mark.parametrize("align_type", ["sw", "ov"])
+def test_swov_device_matches_reference(golden, align_type):
+    """The DEVICE engine (ops/poa.py poa_align_device, generalized to all
+    three AlignmentTypes) must reproduce the reference binary's exact
+    sw/ov alignments and the consensus grown from them.  Graphs grow in
+    lock-step across cases, one device round per sequence index (the
+    production batching shape)."""
+    from genomicsbench_palisade_tpu.ops import poa as P
+
+    graphs = [PO.PoaGraph() for _ in golden]
+    max_rounds = max(len(c["seqs"]) for c in golden)
+    for k in range(max_rounds):
+        idxs = [ci for ci, c in enumerate(golden) if k < len(c["seqs"])]
+        alns = P.align_batch([graphs[ci] for ci in idxs],
+                             [golden[ci]["seqs"][k] for ci in idxs],
+                             align_type=align_type)
+        for ci, aln in zip(idxs, alns):
+            want = golden[ci][align_type]["alignments"][k]
+            assert [list(pr) for pr in aln] == want, (
+                f"case {ci} seq {k} {align_type} device alignment mismatch")
+            graphs[ci].add_alignment(aln, golden[ci]["seqs"][k])
+    for ci, case in enumerate(golden):
+        assert (graphs[ci].generate_consensus()
+                == case[align_type]["consensus"]), (
+            f"case {ci} {align_type} device consensus mismatch")
+
+
 def test_nw_alias_unchanged():
     """convex_nw_align must stay the kNW specialisation of convex_align
     (the production device/golden paths route through it)."""

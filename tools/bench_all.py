@@ -32,14 +32,37 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def _timeit(fn, fetch, iters=10):
+def _timeit(fn, fetch, iters=10, repeats=3):
+    """Best-of-N chained-execution timing.  Relay-attached wall times
+    swing +-20% (sometimes more) run to run on this shared VM; a single
+    sample cannot distinguish regression from noise (VERDICT r3 weak #4:
+    abea's 404->327 drift was exactly this).  Every kernel gets the same
+    best-of-3 treatment bench.py always gave phmm."""
     fetch(fn())  # warmup/compile
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    fetch(out)
-    return (time.perf_counter() - t0) / iters
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        fetch(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _timeit_host(fn, iters=1, repeats=3):
+    """Best-of-N for host-side (non-device) paths; fn's return must be
+    fully materialized by the call itself."""
+    fn()  # warm
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def bench_phmm():
@@ -270,10 +293,7 @@ def bench_pileup():
             f"r{i}", 0, 0, int(rng.integers(0, 50000)), 60, [("M", ln)],
             rng.integers(1, 16, ln).astype(np.uint8),
             rng.integers(10, 40, ln).astype(np.uint8), {}))
-    calculate_pileup(recs, 0, 0, 60000)  # warm
-    t0 = time.perf_counter()
-    out = calculate_pileup(recs, 0, 0, 60000)
-    dt = time.perf_counter() - t0
+    dt, out = _timeit_host(lambda: calculate_pileup(recs, 0, 0, 60000))
     assert out["n_cols"] > 0
     return {"kernel": "pileup", "value": round(2000 * 300 / dt / 1e6, 2),
             "unit": "Mbases/s", "reads": 2000, "len": 300}
@@ -299,14 +319,14 @@ def bench_dbg():
                 seq[pos] = "ACGT"[rng.integers(0, 4)]
             reads.append(("".join(seq), np.full(r_len, 35, np.uint8), 0))
         wins.append((ref, reads))
-    for ref, reads in wins[:2]:  # warm
-        dbg_window_native(ref, 0, reads, 15, 20, 2)
-    t0 = time.perf_counter()
-    n_bub = 0
-    for ref, reads in wins:
-        _n_nodes, paths = dbg_window_native(ref, 0, reads, 15, 20, 2)
-        n_bub += len(paths)
-    dt = time.perf_counter() - t0
+    def run():
+        n_bub = 0
+        for ref, reads in wins:
+            _n_nodes, paths = dbg_window_native(ref, 0, reads, 15, 20, 2)
+            n_bub += len(paths)
+        return n_bub
+
+    dt, n_bub = _timeit_host(run)
     return {"kernel": "dbg", "value": round(n_win * w_len / dt / 1e6, 3),
             "unit": "Mb-ref/s", "windows": n_win, "reads_per_window": n_reads}
 
@@ -327,10 +347,7 @@ def bench_poa():
 
     w_n, s_n, length = 32, 6, 200
     batches = [mk_window(length, s_n) for _ in range(w_n)]
-    msa_consensus_batch(batches)  # warm
-    t0 = time.perf_counter()
-    out = msa_consensus_batch(batches)
-    dt = time.perf_counter() - t0
+    dt, out = _timeit_host(lambda: msa_consensus_batch(batches))
     assert all(out)
     return {"kernel": "poa", "value": round(w_n * s_n / dt, 1),
             "unit": "seqs/s", "windows": w_n, "seqs": s_n, "len": length}
@@ -359,12 +376,9 @@ def bench_abea():
         evs.append(np.array(raw, np.float32))
     ones = [1.0] * b
     zeros = [0.0] * b
-    align_events_batch_pallas(seqs, evs, model, ones, zeros)  # warm
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        res = align_events_batch_pallas(seqs, evs, model, ones, zeros)
-    dt = (time.perf_counter() - t0) / iters
+    dt, res = _timeit_host(
+        lambda: align_events_batch_pallas(seqs, evs, model, ones, zeros),
+        iters=3)
     assert all(res), "QC-dropped synthetic reads"
     return {"kernel": "abea", "value": round(b / dt, 1), "unit": "reads/s",
             "b": b, "seq_len": 500}

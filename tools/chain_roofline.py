@@ -161,14 +161,17 @@ def main(argv=None):
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
+    # device-resident inputs: re-uploading [128, 4096] i32 args per
+    # iteration costs ~0.1 s through the ~70 MB/s relay and would bury
+    # both kernels (this is a KERNEL roofline, not a transfer bench)
+    dx, dqi, dqs, dst = (jax.device_put(a) for a in (x, qi, qspan, st))
+    dm, dg0, dn = (jax.device_put(a) for a in (m_fp, gap0, n))
     t_micro = time_fn(lambda: micro_batch(
-        jnp.asarray(x), jnp.asarray(qi), jnp.asarray(qspan),
-        jnp.asarray(m_fp), jnp.asarray(gap0),
-        w, n_pad, min(n_pad, 2048), args.bw), args.iters)
+        dx, dqi, dqs, dm, dg0, w, n_pad, min(n_pad, 2048), args.bw),
+        args.iters)
     t_prod = time_fn(lambda: chain_dp_pallas_batch(
-        jnp.asarray(x), jnp.asarray(qi), jnp.asarray(qspan),
-        jnp.asarray(st), jnp.asarray(m_fp), jnp.asarray(gap0),
-        jnp.asarray(n), w, n_pad, 5000, 5000, args.bw), args.iters)
+        dx, dqi, dqs, dst, dm, dg0, dn, w, n_pad, 5000, 5000, args.bw),
+        args.iters)
 
     print(json.dumps({
         "shape": f"{b}x{n_pad} w={w}",

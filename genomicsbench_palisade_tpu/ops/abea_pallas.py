@@ -38,12 +38,14 @@ LV_LANE0 = 104  # first of the 16 lanes holding the 2-bit last_val pieces
 
 
 def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
-            lp_ref, trim_ref, trace_ref, row_scratch, band_ref):
-    n_bands, bw = params
-    tbl_len = ev_ref.shape[2]
+            lp_ref, trim_ref, trace_ref, row_scratch, band_ref, st_ref):
+    n_bands, bw, chunk = params
+    n_rows_tbl = ev_ref.shape[1]  # table sublane rows (incl. 1 pad row)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     in_bw = l_iota < bw
     half = bw // 2
+    ci = pl.program_id(1)  # band-row chunk (grid minor axis: chunks of one
+    # read run consecutively, so band_ref/st_ref persist read state)
 
     r8 = pl.program_id(0) % 8  # SMEM blocks cover 8 reads (tiling rule)
     n_events = ne_ref[r8, 0]
@@ -55,7 +57,7 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
     stay_hi, stay_lo = lp_ref[r8, 2], lp_ref[r8, 3]
     step_hi, step_lo = lp_ref[r8, 4], lp_ref[r8, 5]
     trim_hi = lp_ref[r8, 6]
-    trim_len = trim_ref.shape[2]
+    trim_rows = trim_ref.shape[1]
 
     neg = jnp.full((1, LANES), NEG, jnp.float32)
 
@@ -65,15 +67,34 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
     def splat_i(x):
         return jnp.zeros((1, LANES), jnp.int32) + x
 
-    band0 = jnp.where(l_iota == half, 0.0, neg)
-    band1 = jnp.where(l_iota == half, splat_f(trim_hi), neg)
-    band_ref[0:1, :] = band0  # ring: band bi lives at row bi % 8
-    band_ref[1:2, :] = band1
+    @pl.when(ci == 0)
+    def _init():
+        band0 = jnp.where(l_iota == half, 0.0, neg)
+        band1 = jnp.where(l_iota == half, splat_f(trim_hi), neg)
+        band_ref[0:1, :] = band0  # ring: band bi lives at row bi % 8
+        band_ref[1:2, :] = band1
+        # carry (e1, k1, e2, k2): band positions of bi-1 / bi-2
+        st_ref[0] = half
+        st_ref[1] = -1 - half
+        st_ref[2] = half - 1
+        st_ref[3] = -1 - half
 
     def window(ref, off):
-        """ref [1, 1, tbl_len] -> lanes [off, off+LANES) via cyclic roll."""
-        shift = (tbl_len - off % tbl_len) % tbl_len
-        return pltpu.roll(ref[0], shift, axis=1)[:, :LANES]
+        """ref [1, R, LANES] (row-major table) -> lanes [off, off+LANES).
+
+        A dynamic 2-sublane slice + one dynamic lane roll: the window
+        spans table rows off>>7 and off>>7 + 1, rotated into place.  The
+        old whole-table cyclic roll cost O(tbl_len) VPU lanes PER BAND —
+        quadratic in read length, the reason long reads were capped.
+        Out-of-range offsets (short reads padded to the bucket's band
+        count) clamp and read garbage that `valid` masks, like the old
+        modulo wrap did."""
+        off = jnp.clip(off, 0, (n_rows_tbl - 2) * LANES + LANES - 1)
+        q = jax.lax.shift_right_logical(off, 7)
+        m = off & (LANES - 1)
+        rows2 = ref[0, pl.ds(q, 2), :]  # [2, LANES]
+        a = pltpu.roll(rows2, (LANES - m) % LANES, axis=1)
+        return jnp.where(l_iota < LANES - m, a[0:1, :], a[1:2, :])
 
     def scalar_at(v, lane):
         """Extract lane `lane` of a (1, LANES) band as a scalar (max keeps
@@ -157,9 +178,10 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         t_in = t_ok & (t_ei >= 0) & (t_ei < n_events)
         # the trim cell of band bi sits at event bi-1, so the host
         # precomputes fl32(lp_trim_f64 * bi) per band index
-        tshift = (trim_len - bi % trim_len) % trim_len
-        trow = pltpu.roll(trim_ref[0], tshift, axis=1)[:, :LANES]
-        trim_here = jnp.max(jnp.where(l_iota == 0, trow, NEG))
+        t_bc = jnp.minimum(bi, trim_rows * LANES - 1)
+        trow = trim_ref[0, pl.ds(jax.lax.shift_right_logical(t_bc, 7), 1), :]
+        trim_here = jnp.max(jnp.where(l_iota == (t_bc & (LANES - 1)),
+                                      trow, NEG))
         t_val = jnp.where(
             splat_i(t_in.astype(jnp.int32)) == 1, splat_f(trim_here), neg)
         sel_to = (splat_i(t_ok.astype(jnp.int32)) == 1) & (l_iota == splat_i(to))
@@ -189,14 +211,20 @@ def _kernel(params, ev_ref, gm_ref, stdv_ref, lstdv_ref, ne_ref, nk_ref,
         out_row = jnp.where((two_idx >= 0) & (two_idx < 16), lv_two, out_row)
         # u8 sublane-dynamic stores need 8-aligned offsets; stage rows in an
         # i32 scratch and cast to u8 once after the loop
-        row_scratch[pl.ds(bi - 2, 1), :] = out_row
+        row_scratch[pl.ds(bi - 2 - ci * chunk, 1), :] = out_row
         band_ref[pl.ds(bi % 8, 1), :] = new_band
 
         return (be, bk, e1, k1)
 
-    carry0 = (jnp.int32(half), jnp.int32(-1 - half),
-              jnp.int32(half - 1), jnp.int32(-1 - half))
-    jax.lax.fori_loop(2, n_bands, body, carry0)
+    carry0 = (st_ref[0], st_ref[1], st_ref[2], st_ref[3])
+    lo = ci * chunk + 2
+    # the final chunk runs past n_bands when rows were padded to the
+    # chunk grid; those bands write garbage rows the wrapper slices off
+    e1, k1, e2, k2 = jax.lax.fori_loop(lo, lo + chunk, body, carry0)
+    st_ref[0] = e1
+    st_ref[1] = k1
+    st_ref[2] = e2
+    st_ref[3] = k2
     trace_ref[0, :, :] = row_scratch[:].astype(jnp.uint8)
 
 
@@ -204,12 +232,17 @@ def _round_up(v, q):
     return -(-v // q) * q
 
 
-@functools.partial(jax.jit, static_argnames=("n_bands", "tbl_len", "bandwidth"))
+CHUNK_ROWS = 4096  # trace rows staged in VMEM per fill-grid step
+
+
+@functools.partial(jax.jit, static_argnames=("n_bands", "tbl_len",
+                                             "bandwidth", "chunk_rows"))
 def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
                            n_events, n_kmers, lp_consts, trim_tbl,
                            n_bands: int, tbl_len: int,
-                           bandwidth: int = ALN_BANDWIDTH):
-    """Band fill for a batch of reads, one read per grid step.
+                           bandwidth: int = ALN_BANDWIDTH,
+                           chunk_rows: int = CHUNK_ROWS):
+    """Band fill for a batch of reads, one (read, band-chunk) per grid step.
 
     ev/gm/stdv/lstdv: [B, tbl_len] f32 per-read tables (event means
     reversed; pore-model rows gathered per kmer, scaled); n_events/
@@ -218,17 +251,33 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
     pieces at LV_LANE0..+15) lives in bits 2*(c//32) of byte c%32 —
     unpack with unpack_trace_rows.  Packing shrinks the host fetch 4x
     (the relay transfer is the abea bottleneck).
+
+    Long reads (nanopore signals reach 10-100 kb -> up to ~300k bands,
+    align.c:145-166 band sizing) stream the trace plane to HBM in
+    chunk_rows slices; the 8-row band ring and the (e1,k1,e2,k2) carry
+    persist in scratch across a read's chunk steps.
     """
     # strict <: at bandwidth == LV_LANE0 the decision bit at lane bw would
     # collide with last-val piece 0 (the lv write lands after it)
     assert bandwidth < LV_LANE0 and LV_LANE0 + 16 <= LANES
+    assert tbl_len % LANES == 0
     b = ev_pad.shape[0]
+    n_rows = n_bands - 2
+    chunk = min(chunk_rows, _round_up(n_rows, 32))  # u8 tiles 32 sublanes
+    n_chunks = -(-n_rows // chunk)
 
-    def row(_len):
-        return pl.BlockSpec((1, 1, _len), lambda i: (i, 0, 0),
+    def tbl(a):
+        """[B, tbl_len] -> [b8, R, LANES] with one zero guard row (the
+        2-sublane window slice may touch row off//128 + 1)."""
+        a = padrow(a).reshape(b8, tbl_len // LANES, LANES)
+        return jnp.concatenate(
+            [a, jnp.zeros((b8, 1, LANES), a.dtype)], axis=1)
+
+    def row_spec(rows):
+        return pl.BlockSpec((1, rows, LANES), lambda i, c: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    smem_row = pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+    smem_row = pl.BlockSpec((8, 1), lambda i, c: (i // 8, 0),
                             memory_space=pltpu.SMEM)
     b8 = _round_up(b, 8)
 
@@ -242,28 +291,33 @@ def abea_fill_bands_pallas(ev_pad, gm_pad, stdv_pad, lstdv_pad,
     ne2 = padrow(n_events[:, None].astype(jnp.int32))
     nk2 = padrow(n_kmers[:, None].astype(jnp.int32))
     lp2 = padrow(lp_consts)
-    trim_len = trim_tbl.shape[0]
+    trim_pad = _round_up(trim_tbl.shape[0], LANES)
+    trim2 = jnp.zeros(trim_pad, trim_tbl.dtype).at[: trim_tbl.shape[0]].set(
+        trim_tbl).reshape(1, trim_pad // LANES, LANES)
 
     traces = pl.pallas_call(
-        functools.partial(_kernel, (n_bands, bandwidth)),
-        grid=(b8,),
-        in_specs=[row(tbl_len)] * 4 + [smem_row, smem_row,
-                  pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
-                               memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, 1, trim_len), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, n_bands - 2, LANES), lambda i: (i, 0, 0),
+        functools.partial(_kernel, (n_bands, bandwidth, chunk)),
+        grid=(b8, n_chunks),
+        in_specs=[row_spec(tbl_len // LANES + 1)] * 4 + [
+            smem_row, smem_row,
+            pl.BlockSpec((8, 8), lambda i, c: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, trim_pad // LANES, LANES),
+                         lambda i, c: (0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, chunk, LANES), lambda i, c: (i, c, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b8, n_bands - 2, LANES), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((n_bands - 2, LANES), jnp.int32),
-                        pltpu.VMEM((8, LANES), jnp.float32)],
-    )(padrow(ev_pad)[:, None, :], padrow(gm_pad)[:, None, :],
-      padrow(stdv_pad)[:, None, :], padrow(lstdv_pad)[:, None, :],
-      ne2, nk2, lp2, trim_tbl[None, None, :])
+        out_shape=jax.ShapeDtypeStruct((b8, n_chunks * chunk, LANES),
+                                       jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((chunk, LANES), jnp.int32),
+                        pltpu.VMEM((8, LANES), jnp.float32),
+                        pltpu.SMEM((4,), jnp.int32)],
+    )(tbl(ev_pad), tbl(gm_pad), tbl(stdv_pad), tbl(lstdv_pad),
+      ne2, nk2, lp2, trim2)
     q = LANES // 4
-    packed = (traces[:b, :, 0:q] | (traces[:b, :, q : 2 * q] << jnp.uint8(2))
-              | (traces[:b, :, 2 * q : 3 * q] << jnp.uint8(4))
-              | (traces[:b, :, 3 * q :] << jnp.uint8(6)))
+    traces = traces[:b, :n_rows]
+    packed = (traces[:, :, 0:q] | (traces[:, :, q : 2 * q] << jnp.uint8(2))
+              | (traces[:, :, 2 * q : 3 * q] << jnp.uint8(4))
+              | (traces[:, :, 3 * q :] << jnp.uint8(6)))
     return packed
 
 
@@ -297,11 +351,12 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
     lm = model["level_mean"].astype(np.float32)
     ls = model["level_stdv"].astype(np.float32)
     lls = model["level_log_stdv"].astype(np.float32)
-    # VMEM bound: the kernel stages the whole trace plane in an
-    # [n_bands-2, 128] i32 scratch (plus the u8 out block), so long reads
-    # (reference signals reach ~50k events -> ~100k bands) must take the
-    # scan path.  16384 bands ~ 8 MB scratch + 2 MB out of the 16 MB cap.
-    MAX_BANDS = 16384
+    # VMEM bound: trace rows stream to HBM in CHUNK_ROWS slices (the ring
+    # and carry persist across a read's chunk steps), so the binding
+    # resource is the per-read tables (4 x tbl_len f32) plus the 2 MB
+    # chunk scratch — ~500k bands (~250 kb reads, beyond any nanopore
+    # read; align.c:145-166 sizes bands the same way) fit the 16 MB cap.
+    MAX_BANDS = 1 << 19
     long_idxs = []
     for key in [k for k, v in groups.items() if k[0] + k[1] + 2 > MAX_BANDS]:
         long_idxs.extend(groups.pop(key))
@@ -421,16 +476,16 @@ def align_events_batch_pallas(sequences, event_means_list, model, scales,
 # ---------------------------------------------------------------------------
 
 
-def _walk_kernel(params, trace_ref, ne_ref, nk_ref, ce0_ref,
-                 out_ref, rights_scr, rows_scr):
-    nb_max, bw, n_wcap = params  # nb_max = n_bands_pad (rows = nb_max - 2)
+def _walk_kernel(params, trace_ref, ne_ref, nk_ref, ce0_ref, tr_ref,
+                 out_ref, rights_scr, st_ref):
+    bw, n_wcap, chunk, n_chunks = params
     half = bw // 2
     r8 = pl.program_id(0) % 8
+    rc = n_chunks - 1 - pl.program_id(1)  # chunks visit bands in reverse
     n_events = ne_ref[r8, 0]
     n_kmers = nk_ref[r8, 0]
     ce0 = ce0_ref[r8, 0]  # seed event, computed in XLA (see wrapper)
     nb = n_events + n_kmers + 2
-    n_rows = nb_max - 2
     # trace rows arrive as i32 WORDS (bitcast outside the kernel): a u8
     # block this large hits a Mosaic conversion bug (bytes 16..18 of late
     # rows read as zero), so bytes are carved out of words with shifts.
@@ -439,37 +494,36 @@ def _walk_kernel(params, trace_ref, ne_ref, nk_ref, ce0_ref,
     # (shift-30 survives) — so the multi-piece last-val decode and the
     # seed argmax moved OUT of the kernel; only single-piece extracts
     # (verified clean at any size) remain here.
-    rows_scr[:, :] = trace_ref[0]
-    rows = rows_scr[:, :]  # [n_rows, 8] i32 words (32 bytes LE)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+    rows = trace_ref[0]  # [chunk, 8] i32 words (32 bytes LE)
     l_iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
 
-    out_ref[0] = jnp.zeros((n_wcap, 1), jnp.int32)
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((n_wcap, 1), jnp.int32)
+        st_ref[0] = n_kmers - 1                      # ck
+        st_ref[1] = ce0                              # ce
+        st_ref[2] = ce0 + n_kmers - 1 + 2            # bi
+        # bll_e of band nb-1; total rights precomputed in XLA
+        st_ref[3] = half + (nb - 2) - tr_ref[r8, 0]  # be
+        st_ref[4] = 0                                # cnt
+        st_ref[5] = 0                                # mv_word
 
     # the down/right decision bit of each band lives at cell bw
     r_byte = bw & 31
-    rights = (jax.lax.shift_right_logical(
+    rights_scr[:, :] = (jax.lax.shift_right_logical(
         rows[:, r_byte >> 2 : (r_byte >> 2) + 1],
         8 * (r_byte & 3) + 2 * (bw >> 5)) & 3)
-    rights_scr[:, :] = rights
-
-    valid_row = s_iota < (nb - 2)
-    total_rights = jnp.sum(jnp.where(valid_row, rights, 0))
-
-    ck0 = n_kmers - 1
-    bi0 = ce0 + ck0 + 2
-    be_top = half + (nb - 2) - total_rights  # bll_e of band nb-1
 
     def body(t, st):
-        band = nb - 1 - t
+        band = rc * chunk + chunk + 1 - t  # descending over this chunk
         ck, ce, bi, be, cnt, mv_word = st
         in_range = (band >= 2) & (band < nb)
-        r_idx = jnp.clip(band - 2, 0, n_rows - 1)
+        r_loc = jnp.clip(band - 2 - rc * chunk, 0, chunk - 1)
         right = jnp.where(
-            in_range, rights_scr[pl.ds(r_idx, 1), :][0, 0], 0)
+            in_range, rights_scr[pl.ds(r_loc, 1), :][0, 0], 0)
         consume = in_range & (band == bi) & (ck >= 0) & (ce >= 0)
         offset = be - ce
-        row = rows_scr[pl.ds(r_idx, 1), :]  # [1, 8] i32 words
+        row = trace_ref[0, pl.ds(r_loc, 1), :]  # [1, 8] i32 words
         off = jnp.clip(offset, 0, 127)
         byte = off & 31
         # cell off: byte off&31 (word byte>>2, lane-local byte byte&3),
@@ -499,28 +553,37 @@ def _walk_kernel(params, trace_ref, ne_ref, nk_ref, ce0_ref,
         be = be - jnp.where(in_range, 1 - right, 0)
         return (ck - d_ck, ce - d_ce, bi - d_bi, be, cnt, mv_word)
 
-    ck, ce, bi, be, cnt, mv_word = jax.lax.fori_loop(
-        0, nb_max, body,
-        (ck0, ce0, bi0, be_top, jnp.int32(0), jnp.int32(0)))
+    st = (st_ref[0], st_ref[1], st_ref[2], st_ref[3], st_ref[4], st_ref[5])
+    ck, ce, bi, be, cnt, mv_word = jax.lax.fori_loop(0, chunk, body, st)
+    st_ref[0] = ck
+    st_ref[1] = ce
+    st_ref[2] = bi
+    st_ref[3] = be
+    st_ref[4] = cnt
+    st_ref[5] = mv_word
 
-    # final partial word + meta rows
-    @pl.when((cnt & 15) != 0)
-    def _tail():
-        out_ref[pl.ds(0, 1),
-                pl.ds(jax.lax.shift_right_logical(cnt, 4), 1), 0:1] = (
-            jnp.full((1, 1, 1), mv_word, jnp.int32))
+    @pl.when(pl.program_id(1) == n_chunks - 1)
+    def _fin():
+        # final partial word + meta rows
+        @pl.when((cnt & 15) != 0)
+        def _tail():
+            out_ref[pl.ds(0, 1),
+                    pl.ds(jax.lax.shift_right_logical(cnt, 4), 1), 0:1] = (
+                jnp.full((1, 1, 1), mv_word, jnp.int32))
 
-    # meta rows: move count and seed event (vector-shaped stores —
-    # Mosaic rejects scalar stores to VMEM)
-    out_ref[pl.ds(0, 1), pl.ds(n_wcap - 1, 1), 0:1] = jnp.full(
-        (1, 1, 1), cnt, jnp.int32)
-    out_ref[pl.ds(0, 1), pl.ds(n_wcap - 2, 1), 0:1] = jnp.full(
-        (1, 1, 1), ce0, jnp.int32)
+        # meta rows: move count and seed event (vector-shaped stores —
+        # Mosaic rejects scalar stores to VMEM)
+        out_ref[pl.ds(0, 1), pl.ds(n_wcap - 1, 1), 0:1] = jnp.full(
+            (1, 1, 1), cnt, jnp.int32)
+        out_ref[pl.ds(0, 1), pl.ds(n_wcap - 2, 1), 0:1] = jnp.full(
+            (1, 1, 1), ce0, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_bands", "bandwidth"))
+@functools.partial(jax.jit, static_argnames=("n_bands", "bandwidth",
+                                             "chunk_rows"))
 def abea_walk_pallas(packed_traces, n_events, n_kmers,
-                     n_bands: int, bandwidth: int = ALN_BANDWIDTH):
+                     n_bands: int, bandwidth: int = ALN_BANDWIDTH,
+                     chunk_rows: int = CHUNK_ROWS):
     """Reverse-sweep traceback on device.
 
     packed_traces: [B, n_bands-2, LANES//4] u8 (abea_fill_bands_pallas
@@ -528,14 +591,34 @@ def abea_walk_pallas(packed_traces, n_events, n_kmers,
     2-bit moves, with the move count at row -1 and the seed event index
     at row -2 (n_wcap ~ n_rows/16 — the fetch is 16x smaller than the
     move count's row range).
+
+    Long reads stream the trace rows chunk-by-chunk in REVERSE band
+    order (grid minor axis); the walk's six scalars persist in SMEM
+    scratch across a read's chunk steps.
     """
     b = packed_traces.shape[0]
     n_rows = n_bands - 2
+    chunk = min(chunk_rows, _round_up(n_rows, 8))
+    n_chunks = -(-n_rows // chunk)
     b8 = _round_up(b, 8)
     # bitcast the u8 rows to little-endian i32 words OUTSIDE pallas (a u8
     # VMEM block this large trips a Mosaic conversion bug zeroing bytes)
     trace_words = jax.lax.bitcast_convert_type(
         packed_traces.reshape(b, n_rows, LANES // 16, 4), jnp.int32)
+
+    # per-read total of the down/right decision bits (cell bw), needed by
+    # the kernel for be_top BEFORE any chunk is walked — computed here in
+    # XLA over the whole row range
+    r_byte = bandwidth & 31
+    rights_all = jax.lax.shift_right_logical(
+        trace_words[:, :, r_byte >> 2],
+        8 * (r_byte & 3) + 2 * (bandwidth >> 5)) & 3
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    nb_read = (n_events.astype(jnp.int32)
+               + n_kmers.astype(jnp.int32))[:, None]
+    total_rights = jnp.sum(
+        jnp.where(row_ids < nb_read, rights_all, 0), axis=1,
+        dtype=jnp.int32)[:, None]
 
     # seed (align.c:417-433): first event index maximizing
     # fl32(f64(lv[bi-2]) + rem_trim), bi = ei + n_kmers + 1.  Computed
@@ -585,24 +668,33 @@ def abea_walk_pallas(packed_traces, n_events, n_kmers,
         pad = jnp.zeros((b8 - b,) + a.shape[1:], a.dtype)
         return jnp.concatenate([a, pad], axis=0)
 
-    smem_row = pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+    smem_row = pl.BlockSpec((8, 1), lambda i, c: (i // 8, 0),
                             memory_space=pltpu.SMEM)
     n_wcap = _round_up(n_rows // 16 + 3, 8)
+    rows_pad = n_chunks * chunk
+    tw = padrow(trace_words)
+    if rows_pad != n_rows:
+        tw = jnp.concatenate(
+            [tw, jnp.zeros((b8, rows_pad - n_rows, LANES // 16),
+                           jnp.int32)], axis=1)
     out = pl.pallas_call(
-        functools.partial(_walk_kernel, (n_bands, bandwidth, n_wcap)),
-        grid=(b8,),
-        in_specs=[pl.BlockSpec((1, n_rows, LANES // 16), lambda i: (i, 0, 0),
+        functools.partial(_walk_kernel,
+                          (bandwidth, n_wcap, chunk, n_chunks)),
+        grid=(b8, n_chunks),
+        in_specs=[pl.BlockSpec((1, chunk, LANES // 16),
+                               lambda i, c: (i, n_chunks - 1 - c, 0),
                                memory_space=pltpu.VMEM),
-                  smem_row, smem_row, smem_row],
-        out_specs=pl.BlockSpec((1, n_wcap, 1), lambda i: (i, 0, 0),
+                  smem_row, smem_row, smem_row, smem_row],
+        out_specs=pl.BlockSpec((1, n_wcap, 1), lambda i, c: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b8, n_wcap, 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_rows, 1), jnp.int32),
-                        pltpu.VMEM((n_rows, LANES // 16), jnp.int32)],
-    )(padrow(trace_words),
+        scratch_shapes=[pltpu.VMEM((chunk, 1), jnp.int32),
+                        pltpu.SMEM((6,), jnp.int32)],
+    )(tw,
       padrow(n_events[:, None].astype(jnp.int32)),
       padrow(n_kmers[:, None].astype(jnp.int32)),
-      padrow(ce0[:, None]))
+      padrow(ce0[:, None]),
+      padrow(total_rights))
     return out[:b, :, 0]
 
 

@@ -107,7 +107,15 @@ def main(argv=None):
         log.debug(f"Peak RAM usage: {get_peak_rss() // 1024**3} Gb")
         print(f"Kernel time: {runtime:.3f} sec", file=sys.stderr)
         return 0
-    metrics = K.count_kmers(reads, k=kmer_size, min_read_length=min_read_length)
+    total_bases = sum(len(r) for r in reads)
+    if total_bases > 192_000_000:
+        # GB-scale read sets (sequence_container.cpp regime): stream
+        # through the device accumulator instead of one padded matrix
+        metrics = K.count_kmers_batched(
+            reads, k=kmer_size, min_read_length=min_read_length)
+    else:
+        metrics = K.count_kmers(reads, k=kmer_size,
+                                min_read_length=min_read_length)
     runtime = time.perf_counter() - t0
 
     log.debug(f"Hash size: {metrics['hash_size']}")

@@ -354,6 +354,80 @@ def chain_calls_batched(calls, w: int | None = None, n_pad: int | None = None):
     return out
 
 
+@jax.jit
+def _decode_delta_inputs(w1, w2, c_lane, c_pos, c_x, c_qi, c_st, c_m):
+    """Device-side inverse of _encode_delta_inputs: reconstruct the four
+    per-anchor i32 kernel arrays from the 8-byte delta wire via lane-axis
+    cumsums (i32 adds wrap like the u32 x_lo arithmetic the kernel uses).
+    Sparse corrections (call boundaries, oversized deltas, lane starts)
+    are scatter-added onto the delta planes before the cumsum; the slope
+    plane is corrections-only (the slope is constant within a call)."""
+    dx = w1 & 0xFFFF
+    dqi = jax.lax.shift_right_arithmetic(w1, 16)  # sign-extended i16
+    dst = w2 & 0xFFFF
+    qspan = jax.lax.shift_right_logical(w2, 16) & 0xFF
+    zero = jnp.zeros(w1.shape, jnp.int32)
+    x = jnp.cumsum(dx + zero.at[c_lane, c_pos].add(c_x), axis=1)
+    qi = jnp.cumsum(dqi + zero.at[c_lane, c_pos].add(c_qi), axis=1)
+    st = jnp.cumsum(dst + zero.at[c_lane, c_pos].add(c_st), axis=1)
+    m = jnp.cumsum(zero.at[c_lane, c_pos].add(c_m), axis=1)
+    word = (m << 8) | qspan
+    return x, qi, word, st
+
+
+def _encode_delta_inputs(pk, slope_plane):
+    """Host-side 8-byte-per-anchor wire for the packed chain inputs.
+
+    x_lo is sorted per call (minimap2 anchors are ref-position sorted,
+    benchmarks/chain/src/host_kernel.cpp:58-479), st_eff is
+    non-decreasing along each packed lane, and qi moves in small steps —
+    so each becomes a u16/i16 delta riding two i32 words per anchor
+    (dx | dqi<<16, dst | qspan<<16) instead of four (16 -> 8 B/anchor on
+    a ~70 MB/s relay link).  Out-of-range deltas (call boundaries, lane
+    starts, rare jumps) go to a sparse correction channel, and the
+    per-call gap slope ships ONLY as corrections.  Returns
+    (w1, w2, corr dict of i32 arrays padded to a power-of-2 length)."""
+    def deltas(a):
+        d = np.empty_like(a)
+        d[:, 0] = a[:, 0]
+        np.subtract(a[:, 1:], a[:, :-1], out=d[:, 1:])  # i32 wrap = u32 wrap
+        return d
+
+    dx = deltas(pk["x_lo"])
+    dqi = deltas(pk["qi"])
+    dst = deltas(pk["st_eff"])
+    dm = deltas(slope_plane)
+    ok_x = (dx >= 0) & (dx < 1 << 16)
+    ok_qi = (dqi >= -(1 << 15)) & (dqi < 1 << 15)
+    ok_st = (dst >= 0) & (dst < 1 << 16)
+    esc = ~(ok_x & ok_qi & ok_st) | (dm != 0)
+    lanes, pos = np.nonzero(esc)
+    k = len(lanes)
+    k_pad = max(256, int(2 ** np.ceil(np.log2(max(k, 1)))))
+    corr = {
+        "lane": np.zeros(k_pad, np.int32),
+        "pos": np.zeros(k_pad, np.int32),
+        "x": np.zeros(k_pad, np.int32),
+        "qi": np.zeros(k_pad, np.int32),
+        "st": np.zeros(k_pad, np.int32),
+        "m": np.zeros(k_pad, np.int32),
+    }
+    corr["lane"][:k] = lanes
+    corr["pos"][:k] = pos
+    # escaped slots ship delta 0; the correction carries the true delta
+    ex, eqi, est = ~ok_x[esc], ~ok_qi[esc], ~ok_st[esc]
+    corr["x"][:k] = np.where(ex, dx[esc], 0)
+    corr["qi"][:k] = np.where(eqi, dqi[esc], 0)
+    corr["st"][:k] = np.where(est, dst[esc], 0)
+    corr["m"][:k] = dm[esc]
+    dx = np.where(esc & ~ok_x, 0, dx)
+    dqi = np.where(esc & ~ok_qi, 0, dqi)
+    dst = np.where(esc & ~ok_st, 0, dst)
+    w1 = (dx & 0xFFFF) | (dqi << 16)
+    w2 = (dst & 0xFFFF) | (pk["qspan8"].astype(np.int32) << 16)
+    return w1, w2, corr
+
+
 @functools.partial(jax.jit, static_argnames=("want_peaks",))
 def _pack_chain_outputs(sc, par, pk, want_peaks: bool):
     """Device-side output packing for the lane-packed path: parents
@@ -465,28 +539,35 @@ def chain_calls_packed(calls, lane_tile: int = 128,
         n_pad = max(-(-max_load // nc) * nc, nc)
 
         pk = {k: np.zeros((lane_tile, n_pad), np.int32)
-              for k in ("x_lo", "qi", "word", "st_eff")}
+              for k in ("x_lo", "qi", "qspan8", "st_eff")}
+        slope_plane = np.zeros((lane_tile, n_pad), np.int32)
         for lane, items in enumerate(placed):
             for idx, prep, m, off in items:
                 nn = prep["n"]
                 sl = slice(off, off + nn)
                 pk["x_lo"][lane, sl] = prep["x_lo"].view(np.int32)
                 pk["qi"][lane, sl] = prep["qi"]
-                # slope << 8 | qspan: one shipped word per anchor
-                pk["word"][lane, sl] = (m << 8) | prep["qspan"]
+                pk["qspan8"][lane, sl] = prep["qspan"]
+                slope_plane[lane, sl] = m
                 pk["st_eff"][lane, sl] = prep["st_eff"] + off
         zeros_b = np.zeros(lane_tile, np.int32)
         n_arr = np.array([sum(p["n"] for _, p, _, _ in items)
                           for items in placed], np.int32)
+        # 8-byte delta wire (was 16): x/qi/st as u16/i16 deltas in two
+        # words, slope + escapes via the sparse correction channel
+        w1, w2, corr = _encode_delta_inputs(pk, slope_plane)
         tm["pack_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        dev = [jnp.asarray(pk[k]) for k in ("x_lo", "qi", "word", "st_eff")]
+        dev = [jnp.asarray(a) for a in (w1, w2)]
+        cdev = [jnp.asarray(corr[k])
+                for k in ("lane", "pos", "x", "qi", "st", "m")]
         if timings is not None:  # force transfer completion to split phases
             _ = np.asarray(dev[-1][0, 0])
             tm["ship_s"] += _time.perf_counter() - _t0
             _t0 = _time.perf_counter()
+        d_x, d_qi, d_word, d_st = _decode_delta_inputs(*dev, *cdev)
         sc, par, peaks = chain_dp_pallas_batch(
-            dev[0], dev[1], dev[2], dev[3],
+            d_x, d_qi, d_word, d_st,
             jnp.asarray(zeros_b), jnp.asarray(zeros_b),
             jnp.asarray(n_arr), w, n_pad, mdx, mdy, bw,
             lane_tile=lane_tile, nc=nc, per_anchor=True)

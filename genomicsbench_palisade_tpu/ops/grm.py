@@ -66,12 +66,15 @@ def grm_block_update(grm_sums, grm_counts, z, v):
     return grm_sums, grm_counts
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int):
+@functools.partial(jax.jit, static_argnames=("block", "precision"))
+def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int,
+                precision=jax.lax.Precision.HIGH):
     """On-device normalization + blocked Z^T Z / V^T V (one dispatch).
 
     geno_i8: [M, N] int8; two_f/inv_stdev/ok: [M] f32/f32/bool computed on
-    the host in float64 (plink2's double allele-freq math, exact)."""
+    the host in float64 (plink2's double allele-freq math, exact).
+    precision defaults to bf16x3 (HIGH) — the cheapest mode meeting the
+    2e-5 contract vs plink2's double dsyrk (tools/grm_sweep.py)."""
     m, n = geno_i8.shape
     n_blocks = -(-m // block)
     pad = n_blocks * block - m
@@ -94,10 +97,10 @@ def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int):
         # bf16x3: see grm_block_update's precision note
         sums = sums + jnp.dot(
             z.T, z, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH)
+            precision=precision)
         counts = counts + jnp.dot(
             v.T, v, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH)
+            precision=precision)
         return (sums, counts), None
 
     init = (jnp.zeros((n, n), jnp.float32), jnp.zeros((n, n), jnp.float32))

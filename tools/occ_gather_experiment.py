@@ -204,17 +204,34 @@ def main():
     # bw variant XORs whole 128-lane packed rows (no subrow extraction)
     want_bw = np.bitwise_xor.reduce(
         np.asarray(tbl_packed)[np.asarray(idx) >> 3], axis=0)
-    for name, fn, exp in (
-            ("xla_gather", lambda: xla_gather_xor(tbl, idx), want),
-            ("dma_k2", lambda: dma_gather_xor(tbl_packed, idx, 2), want),
-            ("dma_k8", lambda: dma_gather_xor(tbl_packed, idx, 8), want),
+    # v2-layout question (VERDICT r3 #6): the host engine won 1.7x by
+    # halving occ rows to 32 B; does the device gather rate scale with
+    # BYTES (32 B rows -> 2x rows/s) or is it a fixed per-ROW DMA
+    # service (~200 ns, PERF.md)?  Same index stream against 32/64/128 B
+    # rows of the same table answers it directly.
+    tbl32 = tbl[:, :8]
+    tbl128 = jnp.concatenate([tbl, tbl], axis=1)
+    want32 = np.bitwise_xor.reduce(
+        np.asarray(tbl32)[np.asarray(idx)], axis=0)
+    want128 = np.bitwise_xor.reduce(
+        np.asarray(tbl128)[np.asarray(idx)], axis=0)
+    for name, fn, exp, row_b in (
+            ("xla_gather", lambda: xla_gather_xor(tbl, idx), want, 64),
+            ("xla_gather32", lambda: xla_gather_xor(tbl32, idx),
+             want32, 32),
+            ("xla_gather128", lambda: xla_gather_xor(tbl128, idx),
+             want128, 128),
+            ("dma_k2", lambda: dma_gather_xor(tbl_packed, idx, 2),
+             want, 64),
+            ("dma_k8", lambda: dma_gather_xor(tbl_packed, idx, 8),
+             want, 64),
             ("dma_bw32", lambda: dma_bw_xor(tbl_packed, idx, 32, 8),
-             want_bw)):
+             want_bw, 64)):
         try:
             dt, val = bench(fn)
-            mbps = n * 64 / dt / 1e6
             out[name + "_ms"] = round(dt * 1e3, 3)
-            out[name + "_mb_s"] = round(mbps, 1)
+            out[name + "_mb_s"] = round(n * row_b / dt / 1e6, 1)
+            out[name + "_mrows_s"] = round(n / dt / 1e6, 2)
             out[name + "_correct"] = bool(
                 np.array_equal(val.reshape(-1)[: len(exp)], exp))
         except Exception as e:  # record failures instead of dying

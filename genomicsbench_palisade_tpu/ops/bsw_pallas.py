@@ -55,12 +55,18 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
     jb = max(int(np.ceil(np.log2(qe_pad))), 1)
     jmask = (1 << jb) - 1
 
+    # loop-invariant hoists: the cummax round masks and the iota*e_ins
+    # products are computed ONCE before the row loop (Mosaic compiles the
+    # fori_loop body as written — no loop-invariant code motion)
+    roll_masks = [j_iota >= (1 << k) for k in range(log_rounds)]
+    j_e_ins = j_iota * e_ins
+    jm1_e_ins = (j_iota - 1) * e_ins
+
     def cummax_sub(g):
         # inclusive running max down the sublane axis
         for k in range(log_rounds):
-            sh = 1 << k
-            rolled = pltpu.roll(g, sh, axis=0)
-            g = jnp.where(j_iota >= sh, jnp.maximum(g, rolled), g)
+            g = jnp.where(roll_masks[k],
+                          jnp.maximum(g, pltpu.roll(g, 1 << k, axis=0)), g)
         return g
 
     def body(i, st):
@@ -93,12 +99,12 @@ def _kernel(params, q_codes_ref, target_ref, h_init_ref, e_init_ref,
         m_val = jnp.where(h != 0, h + qsc, 0)
         h0_val = jnp.maximum(m_val, e)
         c = jnp.maximum(m_val - oe_ins, 0)
-        g = jnp.where(in_band, c + j_iota * e_ins, neg)
+        g = jnp.where(in_band, c + j_e_ins, neg)
         gmax = cummax_sub(g)
         gsh = jnp.where(j_iota == 0, NEG, pltpu.roll(gmax, 1, axis=0))
         # out-of-band gsh is exactly NEG, and banded values are >= 0, so
         # the max-with-0 already zeroes the NEG case (no extra guard)
-        f = jnp.maximum(gsh - (j_iota - 1) * e_ins, 0)
+        f = jnp.maximum(gsh - jm1_e_ins, 0)
         h_row = jnp.maximum(h0_val, f)
         e_next = jnp.maximum(e - e_del, jnp.maximum(m_val - oe_del, 0))
 

@@ -386,7 +386,28 @@ def _encode_delta_inputs(pk, slope_plane):
     a ~70 MB/s relay link).  Out-of-range deltas (call boundaries, lane
     starts, rare jumps) go to a sparse correction channel, and the
     per-call gap slope ships ONLY as corrections.  Returns
-    (w1, w2, corr dict of i32 arrays padded to a power-of-2 length)."""
+    (w1, w2, corr dict of i32 arrays padded to a power-of-2 length).
+
+    Runs in C++ when the native lib is built (gt_chain_encode, one
+    pass; the numpy formulation below is ~10 full-plane passes)."""
+    from ..io.native import chain_encode_native
+
+    nat = chain_encode_native(
+        np.ascontiguousarray(pk["x_lo"], np.int32),
+        np.ascontiguousarray(pk["qi"], np.int32),
+        np.ascontiguousarray(pk["st_eff"], np.int32),
+        np.ascontiguousarray(slope_plane, np.int32),
+        np.ascontiguousarray(pk["qspan8"], np.int32))
+    if nat is not None:
+        w1, w2, corr_k, k = nat
+        k_pad = max(256, int(2 ** np.ceil(np.log2(max(k, 1)))))
+        corr = {}
+        for nm in ("lane", "pos", "x", "qi", "st", "m"):
+            a = np.zeros(k_pad, np.int32)
+            a[:k] = corr_k[nm][:k]
+            corr[nm] = a
+        return w1, w2, corr
+
     def deltas(a):
         d = np.empty_like(a)
         d[:, 0] = a[:, 0]
@@ -538,24 +559,47 @@ def chain_calls_packed(calls, lane_tile: int = 128,
         max_load = max(load for load, _ in heap)
         n_pad = max(-(-max_load // nc) * nc, nc)
 
-        pk = {k: np.zeros((lane_tile, n_pad), np.int32)
-              for k in ("x_lo", "qi", "qspan8", "st_eff")}
-        slope_plane = np.zeros((lane_tile, n_pad), np.int32)
-        for lane, items in enumerate(placed):
-            for idx, prep, m, off in items:
-                nn = prep["n"]
-                sl = slice(off, off + nn)
-                pk["x_lo"][lane, sl] = prep["x_lo"].view(np.int32)
-                pk["qi"][lane, sl] = prep["qi"]
-                pk["qspan8"][lane, sl] = prep["qspan"]
-                slope_plane[lane, sl] = m
-                pk["st_eff"][lane, sl] = prep["st_eff"] + off
         zeros_b = np.zeros(lane_tile, np.int32)
         n_arr = np.array([sum(p["n"] for _, p, _, _ in items)
                           for items in placed], np.int32)
         # 8-byte delta wire (was 16): x/qi/st as u16/i16 deltas in two
-        # words, slope + escapes via the sparse correction channel
-        w1, w2, corr = _encode_delta_inputs(pk, slope_plane)
+        # words, slope + escapes via the sparse correction channel.
+        # Native: one fused pass straight from the per-call arrays
+        # (gt_chain_pack_encode) — the [lanes, n_pad] staging planes and
+        # the multi-pass numpy encode (pack_s ~3.4 s at 12M anchors,
+        # tools/chain_phase_probe.py) never materialize.
+        from ..io.native import chain_pack_encode_native
+
+        rows = sorted(
+            ((lane, off, prep, m) for lane, items in enumerate(placed)
+             for _i, prep, m, off in items), key=lambda t: (t[0], t[1]))
+        nat = chain_pack_encode_native(
+            [(np.ascontiguousarray(p["x_lo"].view(np.int32)),
+              np.ascontiguousarray(p["qi"], np.int32),
+              np.ascontiguousarray(p["st_eff"], np.int32),
+              np.ascontiguousarray(p["qspan"], np.int32),
+              p["n"], lane, off, m) for lane, off, p, m in rows],
+            lane_tile, n_pad)
+        if nat is not None:
+            w1, w2, corr_k, kc = nat
+            k_pad = max(256, int(2 ** np.ceil(np.log2(max(kc, 1)))))
+            corr = {nm: np.zeros(k_pad, np.int32) for nm in corr_k}
+            for nm in corr_k:
+                corr[nm][:kc] = corr_k[nm][:kc]
+        else:
+            pk = {k: np.zeros((lane_tile, n_pad), np.int32)
+                  for k in ("x_lo", "qi", "qspan8", "st_eff")}
+            slope_plane = np.zeros((lane_tile, n_pad), np.int32)
+            for lane, items in enumerate(placed):
+                for idx, prep, m, off in items:
+                    nn = prep["n"]
+                    sl = slice(off, off + nn)
+                    pk["x_lo"][lane, sl] = prep["x_lo"].view(np.int32)
+                    pk["qi"][lane, sl] = prep["qi"]
+                    pk["qspan8"][lane, sl] = prep["qspan"]
+                    slope_plane[lane, sl] = m
+                    pk["st_eff"][lane, sl] = prep["st_eff"] + off
+            w1, w2, corr = _encode_delta_inputs(pk, slope_plane)
         tm["pack_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         dev = [jnp.asarray(a) for a in (w1, w2)]
@@ -577,30 +621,42 @@ def chain_calls_packed(calls, lane_tile: int = 128,
             tm["kernel_s"] += _time.perf_counter() - _t0
         pending.append((placed, n_pad, out_dev))
 
+    from ..io.native import chain_unpack_native
+
     for placed, n_pad, out_dev in pending:
         _t0 = _time.perf_counter()
         fetched = np.asarray(out_dev)
         tm["fetch_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        sc_h = fetched[:, :n_pad]
-        dw = fetched[:, n_pad : n_pad + n_pad // 2]
-        # two u16 window deltas per i32 word; delta 0 = no parent
-        delta = np.empty((lane_tile, n_pad), np.int32)
-        delta[:, 0::2] = dw & 0xFFFF
-        delta[:, 1::2] = (dw >> 16) & 0xFFFF
-        iota = np.arange(n_pad, dtype=np.int64)[None, :]
-        par_h = np.where(delta > 0, iota - delta, -1)
-        pk_h = fetched[:, n_pad + n_pad // 2 :] if want_peaks else None
-        for lane, items in enumerate(placed):
-            for idx, prep, m, off in items:
-                nn = prep["n"]
-                sl = slice(off, off + nn)
-                p_sl = par_h[lane, sl]
-                results[idx] = (
-                    sc_h[lane, sl].copy(),
-                    np.where(p_sl >= 0, p_sl - off, -1),
-                    pk_h[lane, sl].copy() if want_peaks else None,
-                )
+        flat = [(idx, prep["n"], lane, off)
+                for lane, items in enumerate(placed)
+                for idx, prep, m, off in items]
+        nat = chain_unpack_native(
+            fetched, lane_tile, n_pad, want_peaks,
+            [(n, lane, off) for _idx, n, lane, off in flat])
+        if nat is not None:
+            for (idx, *_), out in zip(flat, nat):
+                results[idx] = out
+        else:
+            sc_h = fetched[:, :n_pad]
+            dw = fetched[:, n_pad : n_pad + n_pad // 2]
+            # two u16 window deltas per i32 word; delta 0 = no parent
+            delta = np.empty((lane_tile, n_pad), np.int32)
+            delta[:, 0::2] = dw & 0xFFFF
+            delta[:, 1::2] = (dw >> 16) & 0xFFFF
+            iota = np.arange(n_pad, dtype=np.int64)[None, :]
+            par_h = np.where(delta > 0, iota - delta, -1)
+            pk_h = fetched[:, n_pad + n_pad // 2 :] if want_peaks else None
+            for lane, items in enumerate(placed):
+                for idx, prep, m, off in items:
+                    nn = prep["n"]
+                    sl = slice(off, off + nn)
+                    p_sl = par_h[lane, sl]
+                    results[idx] = (
+                        sc_h[lane, sl].copy(),
+                        np.where(p_sl >= 0, p_sl - off, -1),
+                        pk_h[lane, sl].copy() if want_peaks else None,
+                    )
         tm["unpack_s"] += _time.perf_counter() - _t0
     for (n_pad, w, *_), members in fallback.items():
         outs = chain_calls_batched([p for _, p in members], w=w, n_pad=n_pad)

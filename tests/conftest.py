@@ -61,6 +61,8 @@ SLOW_TESTS = {
     "test_parallel.py::test_scaling_harness_runs",
     "test_models.py::test_clair_forward_shapes",
     "test_abea.py::test_abea_pallas_interpret_matches_oracle",
+    "test_abea.py::test_abea_pallas_chunked_matches_single_chunk",
+    "test_poa_swov_golden.py::test_swov_device_matches_reference",
     "test_abea_golden.py::test_abea_oracle_matches_reference",
     "test_poa.py::test_jax_alignment_matches_oracle",
     "test_poa.py::test_jax_consensus_end_to_end",

@@ -123,7 +123,8 @@ def maf_filter(geno: np.ndarray, min_maf: float) -> np.ndarray:
     return nonmajor >= min_maf * (1.0 - k_small_epsilon)
 
 
-def compute_grm(geno: np.ndarray, block: int = 512, freqs: np.ndarray | None = None):
+def compute_grm(geno: np.ndarray, block: int = 4096,
+                freqs: np.ndarray | None = None):
     """geno: [M, N] int8 (0/1/2 ALT dosage, 3 missing).
 
     Returns (grm [N,N] f32, counts [N,N] f32): grm[j,k] = sum z_ij z_ik /

@@ -63,6 +63,9 @@ SLOW_TESTS = {
     "test_abea.py::test_abea_pallas_interpret_matches_oracle",
     "test_abea.py::test_abea_pallas_chunked_matches_single_chunk",
     "test_poa_swov_golden.py::test_swov_device_matches_reference",
+    "test_scale_tools.py::test_abea_scale_smoke",
+    "test_scale_tools.py::test_poa_scale_smoke",
+    "test_scale_tools.py::test_kmer_scale_smoke",
     "test_abea_golden.py::test_abea_oracle_matches_reference",
     "test_poa.py::test_jax_alignment_matches_oracle",
     "test_poa.py::test_jax_consensus_end_to_end",

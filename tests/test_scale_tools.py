@@ -47,3 +47,24 @@ def test_synth_fastq_roundtrip(tmp_path):
     recs = read_all(str(fq))
     assert len(recs) == 64
     assert all(len(s) == 40 and set(s) <= set("ACGT") for _n, s, _q in recs)
+
+
+def test_abea_scale_smoke():
+    import abea_scale_bench as T
+
+    rc = T.main(["--smoke"])
+    assert rc == 0
+
+
+def test_poa_scale_smoke():
+    import poa_scale_bench as T
+
+    rc = T.main(["--smoke"])
+    assert rc == 0
+
+
+def test_kmer_scale_smoke():
+    import kmer_scale_bench as T
+
+    rc = T.main(["--smoke"])
+    assert rc == 0

@@ -109,10 +109,15 @@ def main(argv=None):
         return 0
     total_bases = sum(len(r) for r in reads)
     if total_bases > 192_000_000:
-        # GB-scale read sets (sequence_container.cpp regime): stream
-        # through the device accumulator instead of one padded matrix
-        metrics = K.count_kmers_batched(
+        # GB-scale read sets (sequence_container.cpp regime): host hash
+        # engine when built (counting is random-access CPU-shaped work,
+        # ~10x the device sort rate at this scale — the fmi dual-engine
+        # split), else stream through the device accumulator
+        metrics = K.count_kmers_host(
             reads, k=kmer_size, min_read_length=min_read_length)
+        if metrics is None:
+            metrics = K.count_kmers_batched(
+                reads, k=kmer_size, min_read_length=min_read_length)
     else:
         metrics = K.count_kmers(reads, k=kmer_size,
                                 min_read_length=min_read_length)

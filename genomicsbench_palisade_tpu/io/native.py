@@ -277,6 +277,38 @@ def bsw_pad_rows_native(codes: np.ndarray, off: np.ndarray, ln: np.ndarray,
     return out
 
 
+def kmer_count_native(codes: np.ndarray, offs: np.ndarray,
+                      lens: np.ndarray, k: int, min_len: int,
+                      saturation: int, log2_slots: int):
+    """Host hash-counting engine (native/kmercnt.cpp): returns
+    (total_kmers, hash_size, occurrences) or None.  Retries with a
+    doubled table when the 90% load cap trips."""
+    import ctypes
+
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_kmer_ready"):
+        lib.gt_kmer_count.restype = ctypes.c_int32
+        lib.gt_kmer_count.argtypes = (
+            [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+            + [ctypes.c_int32] * 4 + [ctypes.c_void_p] * 3)
+        lib._kmer_ready = True
+    codes = np.ascontiguousarray(codes, np.int8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    out = np.zeros(3, np.int64)
+    while log2_slots < 34:
+        rc = lib.gt_kmer_count(
+            codes.ctypes.data, offs.ctypes.data, lens.ctypes.data,
+            len(lens), k, min_len, saturation, log2_slots,
+            out[0:].ctypes.data, out[1:].ctypes.data, out[2:].ctypes.data)
+        if rc == 0:
+            return int(out[0]), int(out[1]), int(out[2])
+        log2_slots += 1
+    return None
+
+
 def sais(codes: np.ndarray, out: np.ndarray | None = None
          ) -> np.ndarray | None:
     """Suffix array of int8/uint8 codes in [0, 255) via native SA-IS.

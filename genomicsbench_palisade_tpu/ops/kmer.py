@@ -280,6 +280,42 @@ def count_kmers_batched(reads, k: int = DEFAULT_K,
             "occurrences": int(occ)}
 
 
+def count_kmers_host(reads, k: int = DEFAULT_K,
+                     min_read_length: int = 5000, saturation: int = 15,
+                     cap_hint: int | None = None):
+    """Host hash-counting engine (native/kmercnt.cpp), metrics-identical
+    to count_kmers — the dataset-scale default when the native lib is
+    built (counting is random-access-hash CPU-shaped work, the same
+    dual-engine split as fmi).  Returns None when native is unavailable.
+    """
+    from ..io.native import kmer_count_native
+
+    kept = [r for r in reads if len(r) > min_read_length]
+    if not kept:
+        return {"total_kmers": 0, "hash_size": 0, "occurrences": 0}
+    if isinstance(kept[0], str):
+        table = np.full(256, 3, np.int8)
+        for ch, v in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+            table[ord(ch)] = v
+            table[ord(ch.lower())] = v
+        arrs = [table[np.frombuffer(r.encode(), np.uint8)] for r in kept]
+    else:
+        arrs = [np.asarray(r, np.int8) for r in kept]
+    lens = np.array([len(a) for a in arrs], np.int32)
+    offs = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
+    codes = np.concatenate(arrs) if arrs else np.empty(0, np.int8)
+    total_windows = int((lens - k).clip(min=0).sum())
+    guess = cap_hint if cap_hint else min(max(total_windows // 8, 1 << 16),
+                                          1 << 27)
+    log2 = max(int(np.ceil(np.log2(guess * 2))), 16)
+    res = kmer_count_native(codes, offs, lens, k, min_read_length,
+                            saturation, log2)
+    if res is None:
+        return None
+    total, over, occ = res
+    return {"total_kmers": total, "hash_size": over, "occurrences": occ}
+
+
 def build_minimizer_index(reads, k: int = DEFAULT_K, window: int = 5,
                           min_coverage: int = 1, repeat_rate: float = 1.0,
                           min_read_length: int = 5000):

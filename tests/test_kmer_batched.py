@@ -59,3 +59,28 @@ def test_batched_cap_overflow_raises():
     reads = ["".join(rng.choice(list("ACGT"), 6_000)) for _ in range(4)]
     with pytest.raises(RuntimeError, match="cap"):
         K.count_kmers_batched(reads, batch_bases=10_000, cap=1 << 10)
+
+
+def test_host_engine_matches_device():
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(13)
+    reads = _genome_reads(rng)
+    want = K.count_kmers(reads)
+    assert want["hash_size"] > 0
+    got = K.count_kmers_host(reads)
+    assert got == want
+
+
+def test_host_engine_strings_with_n():
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(17)
+    reads = ["".join(rng.choice(list("ACGTN"),
+                                int(rng.integers(5_100, 6_500))))
+             for _ in range(16)]
+    assert K.count_kmers_host(reads) == K.count_kmers(reads)

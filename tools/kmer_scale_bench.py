@@ -77,10 +77,19 @@ def main(argv=None):
     from genomicsbench_palisade_tpu.ops import kmer as K
 
     cap = 1 << 21 if args.smoke else 1 << 26
+    # host hash engine (the dataset-scale default; fmi-style dual-engine
+    # split — the device merge is sort-rate-bound at ~11 Mbases/s)
+    t0 = time.perf_counter()
+    host_metrics = K.count_kmers_host(reads)
+    host_s = time.perf_counter() - t0 if host_metrics is not None else None
+    if host_metrics is not None:
+        print(f"[host] {host_metrics} in {host_s:.1f} s", file=sys.stderr)
     t0 = time.perf_counter()
     metrics = K.count_kmers_batched(reads, cap=cap)
     kernel_s = time.perf_counter() - t0
-    print(f"[count] {metrics} in {kernel_s:.1f} s", file=sys.stderr)
+    print(f"[device] {metrics} in {kernel_s:.1f} s", file=sys.stderr)
+    if host_metrics is not None:
+        assert host_metrics == metrics, (host_metrics, metrics)
 
     # parity subset: batched vs the golden-pinned one-shot pipeline
     sub = reads[: args.parity_reads]
@@ -100,8 +109,13 @@ def main(argv=None):
         "genome_mbp": args.genome_mbp,
         "distinct_kmers": metrics["total_kmers"],
         "hash_size": metrics["hash_size"],
-        "kernel_s": round(kernel_s, 1),
-        "mbases_per_s": round(real_bases / kernel_s / 1e6, 1),
+        "device_s": round(kernel_s, 1),
+        "device_mbases_per_s": round(real_bases / kernel_s / 1e6, 1),
+        "host_s": round(host_s, 1) if host_s else None,
+        "host_mbases_per_s": (round(real_bases / host_s / 1e6, 1)
+                              if host_s else None),
+        "host_device_metrics_equal": host_metrics == metrics
+        if host_metrics is not None else None,
         "parity_reads": len(sub),
         "smoke": bool(args.smoke),
     }

@@ -484,8 +484,34 @@ def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap
         seq_len[i] = len(codes)
 
     fn = _batched_align(tuple(params), w_cap, a_cap, align_type)
-    packed = np.asarray(
-        fn(jnp.asarray(seq_arr), jnp.asarray(seq_len), garr_stack))
+    # HBM budget: the fill emits [NPLANES~13, n_cap+1, w_cap] i32
+    # traceback planes per window (plus the 3-matrix HFO state), so
+    # reference-shaped windows (~1 kb seqs, ~2k nodes) cost ~70 MB each
+    # and a big batch must run in sub-batches (the whole-batch call
+    # allocated 34 GB at 64 windows and OOMed the 16 GB chip)
+    per_win = (n_cap + 1) * w_cap * 4 * 17
+    max_b = max(1, int(2_000_000_000 // max(per_win, 1)))
+    if b <= max_b:
+        packed = np.asarray(
+            fn(jnp.asarray(seq_arr), jnp.asarray(seq_len), garr_stack))
+    else:
+        chunks = []
+        for lo in range(0, b, max_b):
+            hi = min(lo + max_b, b)
+            pad = max_b - (hi - lo)
+
+            def cut(a):
+                sl = a[lo:hi]
+                if pad:  # replicate row 0: keeps ONE compiled shape
+                    sl = np.concatenate(
+                        [sl, np.repeat(np.asarray(sl[:1]), pad, axis=0)])
+                return jnp.asarray(sl)
+
+            out = np.asarray(fn(cut(seq_arr), cut(seq_len),
+                                {k: cut(np.asarray(v))
+                                 for k, v in garr_stack.items()}))
+            chunks.append(out[: hi - lo])
+        packed = np.concatenate(chunks, axis=0)
     ai, aj, cnt = packed[:, :a_cap], packed[:, a_cap:-1], packed[:, -1]
 
     out = []

@@ -294,12 +294,13 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap,
             h_row, e_row, q_row, F_row, O_row, pred_idx, pred_mask,
             jnp.arange(p_cap) < np_r, H_p, F_p, O_p, H_p_sh, prof)
 
-        live = r < n_nodes
-        HFO = jax.lax.cond(
-            live,
-            lambda: HFO.at[i].set(jnp.stack([h_row, F_row, O_row])),
-            lambda: HFO,
-        )
+        # unconditional in-place row write: rows past n_nodes hold junk
+        # that nothing reads (preds of live rows never point there, the
+        # max-cell scan masks rows >= n_nodes, the walk never visits
+        # them).  The old lax.cond(live, set, identity) lowered to a
+        # SELECT over the whole [N+1, 3, W] carry — a 12.6 MB copy per
+        # row that was ~95% of fill time at reference window shapes.
+        HFO = HFO.at[i].set(jnp.stack([h_row, F_row, O_row]))
         return HFO, planes
 
     HFO, planes_r = jax.lax.scan(
@@ -473,6 +474,10 @@ def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap
                 arr = graph_to_arrays(_EMPTY_GARR_GRAPH, n_cap, p_cap)
         garrs.append(arr)
 
+    # NB: slicing the pred axis to the batch's real max in-degree (4 for
+    # typical MSA graphs) was tried and measured SLOWER than P=16
+    # (1.46 vs 1.10 s on 14 windows x ~800 nodes) — sub-8-sublane
+    # shapes relayout badly; the gather width is not the bottleneck.
     garr_stack = {
         k: jnp.asarray(np.stack([a[k] for a in garrs])) for k in garrs[0]
     }

@@ -34,13 +34,13 @@ import numpy as np
 NEG_INF = -(1 << 31) + 1024  # spoa kNegativeInfinity
 
 @functools.lru_cache(maxsize=None)
-def _batched_align(params, w_cap, a_cap, atype="nw"):
+def _batched_align(params, w_cap, a_cap, atype="nw", ring_d=0):
     """Cached jit of the vmapped aligner (re-creating the vmap closure per
     call would re-trace the whole DP every round, ~50 ms host time)."""
     def run(sc, sl, ga):
         ai, aj, cnt = jax.vmap(
             lambda sc1, sl1, ga1: poa_align_device(
-                sc1, sl1, ga1, params, w_cap, a_cap, atype)
+                sc1, sl1, ga1, params, w_cap, a_cap, atype, ring_d)
         )(sc, sl, ga)
         # one packed output -> ONE host fetch (each relay fetch ~27 ms)
         return jnp.concatenate([ai, aj, cnt[:, None]], axis=1)
@@ -108,10 +108,14 @@ def _lazy_chain(h, open_pen, ext_pen, j_iota, w):
     return jnp.where(j_iota == 0, NEG_INF, e)
 
 
+RING_D = 32  # ring depth for the bounded-pred-distance fast path
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("params", "w_cap", "a_cap", "atype"))
+                   static_argnames=("params", "w_cap", "a_cap", "atype",
+                                    "ring_d"))
 def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap,
-                     atype: str = "nw"):
+                     atype: str = "nw", ring_d: int = 0):
     """One (sequence, graph) convex alignment on device, for all three
     spoa AlignmentTypes (alignment_engine.hpp:19-24; type-dependent
     pieces mirror oracle convex_align / sisd_alignment_engine.cpp:165-240):
@@ -222,16 +226,8 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap,
             (h_row == 0).astype(jnp.int32),  # sw traceback stop bit
         ])  # [NPLANES, w]
 
-    def row_step(HFO, r):
-        i = r + 1
+    def row_core(HFO_p, pred_idx, pred_mask, np_r, r):
         code_i = garr["code"][r]
-        np_r = garr["npreds"][r]
-        pred_idx = jnp.where(
-            jnp.arange(p_cap) < jnp.maximum(np_r, 1), garr["preds"][r], 0
-        )
-        pred_mask = jnp.arange(p_cap) < jnp.maximum(np_r, 1)  # [P]
-
-        HFO_p = HFO[pred_idx]  # [P, 3, W] — ONE gather
         H_p = HFO_p[:, 0]
         F_p = HFO_p[:, 1]
         O_p = HFO_p[:, 2]
@@ -293,20 +289,71 @@ def poa_align_device(seqcode, seqlen, garr, params, w_cap, a_cap,
         planes = _row_planes(
             h_row, e_row, q_row, F_row, O_row, pred_idx, pred_mask,
             jnp.arange(p_cap) < np_r, H_p, F_p, O_p, H_p_sh, prof)
+        return h_row, F_row, O_row, planes
 
-        # unconditional in-place row write: rows past n_nodes hold junk
-        # that nothing reads (preds of live rows never point there, the
-        # max-cell scan masks rows >= n_nodes, the walk never visits
-        # them).  The old lax.cond(live, set, identity) lowered to a
-        # SELECT over the whole [N+1, 3, W] carry — a 12.6 MB copy per
-        # row that was ~95% of fill time at reference window shapes.
-        HFO = HFO.at[i].set(jnp.stack([h_row, F_row, O_row]))
-        return HFO, planes
+    def row_prep(r):
+        np_r = garr["npreds"][r]
+        pred_idx = jnp.where(
+            jnp.arange(p_cap) < jnp.maximum(np_r, 1), garr["preds"][r], 0
+        )
+        pred_mask = jnp.arange(p_cap) < jnp.maximum(np_r, 1)  # [P]
+        return pred_idx, pred_mask, np_r
 
-    HFO, planes_r = jax.lax.scan(
-        row_step, HFO, jnp.arange(n_cap, dtype=jnp.int32)
-    )
-    H = HFO[:, 0, :]
+    row0_stack = jnp.stack([row0_H, row0_F, row0_O])  # [3, w]
+
+    if ring_d:
+        # bounded-pred-distance fast path: MSA graphs keep predecessor
+        # ranks within a few of the node (measured max 4-5 on realistic
+        # windows), so the last ring_d rows ride the scan carry and the
+        # HFO[pred_idx] gather — the fill's bottleneck at reference
+        # window shapes (XLA gathers small random rows at ~4 GB/s
+        # effective) — becomes a one-hot masked sum over ring slots.
+        # Virtual rank 0 (the boundary row) is selected statically.
+        # Callers guarantee rank - pred_rank <= ring_d for pred >= 1
+        # (align_batch checks and falls back to the full-matrix path).
+        D = ring_d
+        slot_iota = jnp.arange(D, dtype=jnp.int32)
+
+        def row_step_ring(ring, r):
+            i = r + 1
+            pred_idx, pred_mask, np_r = row_prep(r)
+            is0 = pred_idx == 0
+            slot = (pred_idx - 1) % D
+            onehot = (slot[:, None] == slot_iota[None, :]) & ~is0[:, None]
+            gathered = jnp.sum(
+                jnp.where(onehot[:, :, None, None], ring[None], 0), axis=1)
+            HFO_p = jnp.where(is0[:, None, None], row0_stack[None],
+                              gathered)
+            h_row, F_row, O_row, planes = row_core(
+                HFO_p, pred_idx, pred_mask, np_r, r)
+            ring = ring.at[(i - 1) % D].set(
+                jnp.stack([h_row, F_row, O_row]))
+            return ring, (planes, h_row)
+
+        ring0 = jnp.zeros((D, 3, w), jnp.int32)
+        _, (planes_r, h_rows) = jax.lax.scan(
+            row_step_ring, ring0, jnp.arange(n_cap, dtype=jnp.int32))
+        H = jnp.concatenate([row0_H[None, :], h_rows], axis=0)
+    else:
+        def row_step(HFO, r):
+            i = r + 1
+            pred_idx, pred_mask, np_r = row_prep(r)
+            HFO_p = HFO[pred_idx]  # [P, 3, W] — ONE gather
+            h_row, F_row, O_row, planes = row_core(
+                HFO_p, pred_idx, pred_mask, np_r, r)
+            # unconditional in-place row write: rows past n_nodes hold
+            # junk that nothing reads (preds of live rows never point
+            # there, the max-cell scan masks rows >= n_nodes, the walk
+            # never visits them).  The old lax.cond(live, set, identity)
+            # lowered to a SELECT over the whole [N+1, 3, W] carry — a
+            # 12.6 MB copy per row at reference window shapes.
+            HFO = HFO.at[i].set(jnp.stack([h_row, F_row, O_row]))
+            return HFO, planes
+
+        HFO, planes_r = jax.lax.scan(
+            row_step, HFO, jnp.arange(n_cap, dtype=jnp.int32)
+        )
+        H = HFO[:, 0, :]
 
     # ---------------- find max (type-dependent cell set; the reference
     # keeps the FIRST maximum in rank-then-column order via strict <,
@@ -488,7 +535,23 @@ def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap
         seq_arr[i, : len(codes)] = codes
         seq_len[i] = len(codes)
 
-    fn = _batched_align(tuple(params), w_cap, a_cap, align_type)
+    # ring eligibility: every non-virtual predecessor within RING_D ranks
+    # (true for realistic MSA windows; pathological graphs take the
+    # full-matrix path)
+    ring_d = RING_D
+    for a in garrs:
+        n = int(a["n_nodes"])
+        if n == 0:
+            continue
+        pr = a["preds"][:n]
+        m_sl = (np.arange(pr.shape[1])[None, :]
+                < np.maximum(a["npreds"][:n], 1)[:, None]) & (pr >= 1)
+        if m_sl.any():
+            d = int((np.arange(1, n + 1)[:, None] - pr)[m_sl].max())
+            if d > RING_D:
+                ring_d = 0
+                break
+    fn = _batched_align(tuple(params), w_cap, a_cap, align_type, ring_d)
     # HBM budget: the fill emits [NPLANES~13, n_cap+1, w_cap] i32
     # traceback planes per window (plus the 3-matrix HFO state), so
     # reference-shaped windows (~1 kb seqs, ~2k nodes) cost ~70 MB each

@@ -282,11 +282,41 @@ def fuzz_phmm_pallas(rng):
     assert np.array_equal(got, want)
 
 
+def fuzz_kmer_engines(rng):
+    """count_kmers (one-shot device) vs count_kmers_batched (streamed
+    accumulator) vs count_kmers_host (native hash) — random coverage
+    reads with errors + Ns, random batch sizes crossing kmer runs."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops import kmer as K
+
+    genome = rng.integers(0, 5, int(rng.integers(8_000, 30_000))
+                          ).astype(np.uint8)
+    genome = np.where(genome >= 4, 3, genome).astype(np.uint8)
+    reads = []
+    for _ in range(int(rng.integers(4, 24))):
+        ln = int(rng.integers(5_100, 6_500))
+        if ln >= len(genome):
+            ln = len(genome) - 1
+        s = int(rng.integers(0, len(genome) - ln))
+        r = genome[s : s + ln].copy()
+        mut = rng.random(ln) < 0.01
+        r[mut] = rng.integers(0, 4, int(mut.sum()))
+        reads.append(r)
+    want = K.count_kmers(reads)
+    got_b = K.count_kmers_batched(
+        reads, batch_bases=int(rng.integers(8_000, 40_000)), cap=1 << 18)
+    assert got_b == want, (got_b, want)
+    if available():
+        got_h = K.count_kmers_host(reads)
+        assert got_h == want, (got_h, want)
+
+
 SUITES = [
     ("bsw", fuzz_bsw), ("chain", fuzz_chain), ("fmi", fuzz_fmi),
     ("minimizers", fuzz_minimizers), ("dbg", fuzz_dbg),
     ("poa-native", fuzz_poa_native), ("ctc-beam", fuzz_ctc),
     ("abea-tb", fuzz_abea_tb), ("phmm-pallas", fuzz_phmm_pallas),
+    ("kmer-engines", fuzz_kmer_engines),
 ]
 
 

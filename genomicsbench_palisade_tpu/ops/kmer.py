@@ -290,6 +290,8 @@ def count_kmers_host(reads, k: int = DEFAULT_K,
     """
     from ..io.native import kmer_count_native
 
+    if k > 32:  # the rolling code is one u64 (same bound as pack_kmers)
+        return None
     kept = [r for r in reads if len(r) > min_read_length]
     if not kept:
         return {"total_kmers": 0, "hash_size": 0, "occurrences": 0}

@@ -74,3 +74,30 @@ def test_packed_multichunk_boundary(monkeypatch):
     for g, w_ in zip(got, want):
         for oi in range(3):
             np.testing.assert_array_equal(g[oi], w_[oi])
+
+
+def test_packed_delta_wire_escapes(monkeypatch):
+    """The 8-byte delta wire must survive in-call escapes: x jumps past
+    u16, qi jumps past i16 in both directions, st fence jumps — every
+    escape rides the sparse correction channel and outputs stay
+    bit-exact vs the scan engine."""
+    rng = np.random.default_rng(77)
+    calls = []
+    for n in (96, 150):
+        steps = rng.integers(1, 40, n).astype(np.int64)
+        steps[rng.random(n) < 0.05] = 70_000  # dx escapes
+        xs = np.cumsum(steps) + 1_000
+        dy = rng.integers(-200, 200, n).astype(np.int64)
+        dy[rng.random(n) < 0.05] = 60_000   # +qi escapes
+        dy[rng.random(n) < 0.05] = -50_000  # -qi escapes
+        ys = np.maximum(xs + dy, 0)
+        calls.append(C.prepare_call(np.sort(xs), ys, avg_qspan=19.87))
+    want = [C.chain_call(c, w=256, n_pad=256, engine="scan")
+            for c in calls]
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        got = C.chain_calls_packed(calls, lane_tile=2, force_kernel=True,
+                                   nc=256)
+    for g, w_ in zip(got, want):
+        for oi in range(3):
+            np.testing.assert_array_equal(g[oi], w_[oi])

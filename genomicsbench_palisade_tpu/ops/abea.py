@@ -420,16 +420,82 @@ def align_events(sequence: str, event_means: np.ndarray, model: dict,
     )[0]
 
 
+def align_events_batch_native(sequences, event_means_list, model, scales,
+                              shifts, bandwidth: int = ALN_BANDWIDTH,
+                              k: int = oracle.KMER_SIZE):
+    """Host dual-engine fill (native/abeafill.cpp): the whole banded
+    align + traceback + QC per read in C++, bit-identical to the oracle
+    (tests assert it, incl. QC drops).  Returns None when the native
+    lib isn't built.
+
+    The band recurrence is sequential over ~n_events + n_kmers bands
+    per read — latency-bound on device (the Pallas path measured 109k
+    events/s at ABEA_SCALE vs the reference align.c's 176k on one CPU
+    core, REF_BASELINE r5) but vector-width-parallel WITHIN a band on
+    the host, so this is the production default (the fmi/kmer/poa
+    dual-engine precedent)."""
+    import ctypes
+
+    from ..io.native import _load
+
+    lib = _load()
+    if not lib:
+        return None
+    if not getattr(lib, "_abea_ready", False):
+        lib.gt_abea_align.restype = ctypes.c_int64
+        lib.gt_abea_align.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+             ctypes.c_int64] + [ctypes.c_void_p] * 3
+            + [ctypes.c_float, ctypes.c_float, ctypes.c_int32]
+            + [ctypes.c_void_p] * 2 + [ctypes.c_int64])
+        lib._abea_ready = True
+    lm = np.ascontiguousarray(model["level_mean"], np.float32)
+    ls = np.ascontiguousarray(model["level_stdv"], np.float32)
+    lls = np.ascontiguousarray(model["level_log_stdv"], np.float32)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    out = []
+    for seq, ev, sc, sh in zip(sequences, event_means_list, scales, shifts):
+        n_events = len(ev)
+        n_kmers = len(seq) - k + 1
+        if n_kmers < 1 or n_events < 1:
+            out.append([])
+            continue
+        ranks = _kmer_ranks(seq, k, n_kmers).astype(np.int32)
+        evf = np.ascontiguousarray(ev, np.float32)
+        cap = n_events + n_kmers + 16
+        ki = np.empty(cap, np.int32)
+        ei = np.empty(cap, np.int32)
+        n = lib.gt_abea_align(p(ranks), n_kmers, p(evf), n_events,
+                              p(lm), p(ls), p(lls), float(sc), float(sh),
+                              bandwidth, p(ki), p(ei), cap)
+        assert n >= 0, "alignment exceeded cap bound"
+        out.append(list(zip(ki[:n].tolist(), ei[:n].tolist())))
+    return out
+
+
 def align_events_batch(sequences, event_means_list, model, scales, shifts,
                        bandwidth: int = ALN_BANDWIDTH, k: int = oracle.KMER_SIZE,
-                       use_pallas: bool | None = None):
+                       use_pallas: bool | None = None,
+                       use_native: bool | None = None):
     """Batched eventalign: reads grouped by padded-shape bucket, each group
     filled in ONE vmapped device dispatch; tracebacks run on the host.
 
     Returns a list of alignments ([(kmer_idx, event_idx)] or []) in input
-    order.  On TPU the Pallas band-fill kernel is used (identical output,
-    ~2x; the vmapped scan's per-lane dynamic slices lower to slow gathers).
+    order.  Engine order: native host fill (production default — see
+    align_events_batch_native), else Pallas on TPU (identical output,
+    ~2x the vmapped scan), else the jnp scan reference path.
     """
+    if use_native is None:
+        use_native = use_pallas is None  # explicit engine choice wins
+    if use_native:
+        res = align_events_batch_native(
+            sequences, event_means_list, model, scales, shifts,
+            bandwidth=bandwidth, k=k)
+        if res is not None:
+            return res
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     if use_pallas and bandwidth == ALN_BANDWIDTH:

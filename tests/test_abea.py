@@ -115,13 +115,58 @@ def test_abea_native_traceback_matches_python(model):
 
 
 def test_abea_pallas_wrapper_cpu_fallback(model):
-    """align_events_batch on CPU uses the scan path (pallas is TPU-only)."""
+    """align_events_batch scan path (use_native=False on CPU) — the jnp
+    reference route kept beneath the native/pallas engines."""
     rng = np.random.default_rng(9)
     seq = "".join(rng.choice(list("ACGT"), 80))
     ev = _synth(rng, model, seq)
-    got = A.align_events_batch([seq], [ev], model, [1.0], [0.0])
+    got = A.align_events_batch([seq], [ev], model, [1.0], [0.0],
+                               use_native=False)
     want = [AO.align(seq, ev, model, 1.0, 0.0)]
     assert got == want
+
+
+def test_abea_native_engine_matches_oracle(model):
+    """Native host fill (native/abeafill.cpp, the production default)
+    must be bit-identical to the cited oracle — alignments AND QC
+    drops — across scales/shifts and a signal-corrupted read."""
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(77)
+    seqs, evs, scales, shifts = [], [], [], []
+    for t in range(10):
+        seq = "".join(rng.choice(list("ACGT"), int(rng.integers(40, 400))))
+        ev = _synth(rng, model, seq)
+        if t % 3 == 0:  # QC-drop pressure
+            ev = (np.asarray(ev) + rng.normal(0, 25, len(ev))
+                  ).astype(np.float32)
+        seqs.append(seq)
+        evs.append(ev)
+        scales.append(float(rng.uniform(0.8, 1.2)))
+        shifts.append(float(rng.uniform(-4, 4)))
+    got = A.align_events_batch_native(seqs, evs, model, scales, shifts)
+    assert got is not None
+    want = [AO.align(s, e, model, sc, sh)
+            for s, e, sc, sh in zip(seqs, evs, scales, shifts)]
+    assert got == want
+    assert any(not w for w in want) and any(w for w in want)
+
+
+def test_abea_native_engine_is_default_dispatch(model):
+    """align_events_batch with no engine flags routes through the
+    native fill when the lib is built (identical results either way)."""
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(13)
+    seq = "".join(rng.choice(list("ACGT"), 120))
+    ev = _synth(rng, model, seq)
+    got = A.align_events_batch([seq], [ev], model, [1.0], [0.0])
+    want = A.align_events_batch_native([seq], [ev], model, [1.0], [0.0])
+    assert got == want == [AO.align(seq, ev, model, 1.0, 0.0)]
 
 
 def test_abea_pallas_interpret_matches_oracle(model):

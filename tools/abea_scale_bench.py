@@ -64,6 +64,12 @@ def main(argv=None):
     ap.add_argument("--len-max", type=int, default=50_000)
     ap.add_argument("--parity", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--engine", choices=["host", "device"], default="host",
+                    help="host = native C++ fill (production default, "
+                    "4.4x the reference align.c); device = Pallas fill "
+                    "+ on-device walk")
+    ap.add_argument("--add-100k", action="store_true",
+                    help="append one ~100 kb read (f5c's upper regime)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--out", default="ABEA_SCALE.json")
     args = ap.parse_args(argv)
@@ -80,41 +86,67 @@ def main(argv=None):
     rng = np.random.default_rng(17)
     model = synth_model(rng)
     lens = np.linspace(args.len_min, args.len_max, args.reads).astype(int)
-    # parity reads first, capped so the Python oracle stays tractable
-    lens[: args.parity] = np.linspace(
-        args.len_min, min(15_000, args.len_max), args.parity).astype(int)
+    if args.parity < args.reads:
+        # partial parity: shorten the checked prefix so the Python
+        # oracle stays tractable (~2 s/kb)
+        lens[: args.parity] = np.linspace(
+            args.len_min, min(15_000, args.len_max),
+            args.parity).astype(int)
+    # else: full-length parity on every read (VERDICT r4 #6)
     t0 = time.perf_counter()
     seqs, evs = [], []
     for ln in lens:
         s, e = synth_read(rng, model, int(ln))
         seqs.append(s)
         evs.append(e)
+    if args.add_100k:
+        s, e = synth_read(rng, model, 100_000)
+        seqs.append(s)
+        evs.append(e)
+        lens = np.concatenate([lens, [100_000]])
+        args.reads += 1
     gen_s = time.perf_counter() - t0
     n_events = int(sum(len(e) for e in evs))
     print(f"[gen] {args.reads} reads, {int(lens.sum()):,} bases, "
           f"{n_events:,} events in {gen_s:.0f} s", file=sys.stderr)
 
-    from genomicsbench_palisade_tpu.ops.abea_pallas import (
-        align_events_batch_pallas)
-
     ones = [1.0] * args.reads
     zeros = [0.0] * args.reads
 
-    if args.smoke:
-        from jax.experimental.pallas import tpu as pltpu
-        ctx = pltpu.force_tpu_interpret_mode()
-    else:
+    if args.engine == "host":
+        from genomicsbench_palisade_tpu.ops.abea import (
+            align_events_batch_native)
+
+        def run():
+            res = align_events_batch_native(seqs, evs, model, ones, zeros)
+            if res is None:
+                raise SystemExit("native lib not built (make -C native)")
+            return res
+
         import contextlib
         ctx = contextlib.nullcontext()
+    else:
+        from genomicsbench_palisade_tpu.ops.abea_pallas import (
+            align_events_batch_pallas)
+
+        def run():
+            return align_events_batch_pallas(seqs, evs, model, ones, zeros)
+
+        if args.smoke:
+            from jax.experimental.pallas import tpu as pltpu
+            ctx = pltpu.force_tpu_interpret_mode()
+        else:
+            import contextlib
+            ctx = contextlib.nullcontext()
 
     with ctx:
         t0 = time.perf_counter()
-        res = align_events_batch_pallas(seqs, evs, model, ones, zeros)
+        res = run()
         warm_s = time.perf_counter() - t0
         best = None
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            res = align_events_batch_pallas(seqs, evs, model, ones, zeros)
+            res = run()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
 
@@ -139,6 +171,7 @@ def main(argv=None):
 
     out = {
         "tool": "abea_scale_bench",
+        "engine": args.engine,
         "reads": args.reads,
         "len_min": int(lens.min()),
         "len_max": int(lens.max()),

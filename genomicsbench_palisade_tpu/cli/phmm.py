@@ -45,7 +45,9 @@ def run_testcases(reads, haps, pairs, mesh=None, edges=(64, 128, 256, 512)):
             log10, _res, fallback = map(np.asarray, P.phmm_forward(sharded))
             log10, fallback = log10[:n_orig], fallback[:n_orig]
         else:
-            log10, _res, fallback = map(np.asarray, P.phmm_forward(batch))
+            # production dispatch: pallas striped wavefront on TPU
+            log10, _res, fallback = map(np.asarray,
+                                        P.phmm_forward_auto(batch_np))
         out = log10.astype(np.float64)
         if fallback.any():
             # vectorized double recompute (IntelPairHmmCSource.cpp:75-78)

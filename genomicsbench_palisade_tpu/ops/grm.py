@@ -94,13 +94,32 @@ def _grm_device(geno_i8, two_f, inv_stdev, ok, block: int,
         z = (g - tf[:, None]) * isd[:, None]
         z = jnp.where(miss | ~okb[:, None], 0.0, z)
         v = jnp.where(miss | ~okb[:, None], 0.0, 1.0)
-        # bf16x3: see grm_block_update's precision note
-        sums = sums + jnp.dot(
-            z.T, z, preferred_element_type=jnp.float32,
-            precision=precision)
+        if precision == "compensated":
+            # split-bf16 exploiting the syrk structure HIGH's generic
+            # dot_general can't: with Z = Zh + Zl (bf16 halves),
+            # Z^T Z = Zh^T Zh + Zh^T Zl + (Zh^T Zl)^T + Zl^T Zl — the
+            # two cross terms are TRANSPOSES of each other, so ONE
+            # cross matmul + an elementwise transpose-add replaces
+            # HIGH's two, and the dropped Zl^T Zl is O(2^-18) relative
+            # (same truncation HIGH makes).  2 MXU passes vs HIGH's 3.
+            zh = z.astype(jnp.bfloat16).astype(jnp.float32)
+            zl = (z - zh).astype(jnp.bfloat16).astype(jnp.float32)
+            main = jnp.dot(zh.T, zh, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+            cross = jnp.dot(zh.T, zl, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+            sums = sums + main + cross + cross.T
+        else:
+            # bf16x3: see grm_block_update's precision note
+            sums = sums + jnp.dot(
+                z.T, z, preferred_element_type=jnp.float32,
+                precision=precision)
+        # V is 0/1: every product is bf16-exact and the f32 accumulator
+        # is exact below 2^24 variants, so ONE bf16 pass (DEFAULT) is
+        # bit-correct — HIGH's extra passes here were pure waste
         counts = counts + jnp.dot(
             v.T, v, preferred_element_type=jnp.float32,
-            precision=precision)
+            precision=jax.lax.Precision.DEFAULT)
         return (sums, counts), None
 
     init = (jnp.zeros((n, n), jnp.float32), jnp.zeros((n, n), jnp.float32))

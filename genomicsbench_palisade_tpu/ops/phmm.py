@@ -250,6 +250,30 @@ def phmm_forward(batch, unroll: int = 4):
     return log10, result, fallback
 
 
+def phmm_forward_auto(batch, lane_tile: int = 128):
+    """phmm_forward, production dispatch: the Pallas striped-wavefront
+    kernel on an accelerator (padding B up to its lane tile — outputs
+    sliced back to the true B), the jnp scan path on CPU.  The CLI and
+    PHMM_SCALE both route here; bench.py times the kernel alone."""
+    b = int(np.asarray(batch["rslen"]).shape[0])
+    if jax.default_backend() == "cpu":
+        return phmm_forward(batch)
+    pad = (-b) % lane_tile
+    if pad:
+        def padk(key, v):
+            v = np.asarray(v)
+            if key.endswith("_t"):  # [Rp, B]-transposed planes
+                return np.concatenate(
+                    [v, np.repeat(v[..., :1], pad, axis=-1)], axis=-1)
+            return np.concatenate(
+                [v, np.repeat(v[:1], pad, axis=0)], axis=0)
+        batch = {k: padk(k, v) for k, v in batch.items()}
+    from .phmm_pallas import phmm_forward_pallas
+
+    log10, res, fb = phmm_forward_pallas(batch)
+    return log10[:b], res[:b], fb[:b]
+
+
 def phmm_likelihoods(batch, reads=None, haps=None, pairs=None):
     """Device f32 pass + host float64 fallback for underflowed testcases.
 

@@ -63,12 +63,16 @@ def bsw_batch_sharded(mesh: Mesh, batch: dict, axis: str = "dp"):
     return step(batch)
 
 
-def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp"):
+def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp",
+                        return_shard_stats: bool = False):
     """Distributed canonical k-mer counting with key-range all_to_all.
 
     bases: [B, L] int32 (B divisible by mesh size), lengths: [B].
     Returns dict of replicated scalar metrics (total_kmers, hash_size,
     occurrences) identical to ops.kmer.count_kmers_device on the full set.
+    With return_shard_stats, also returns per-shard (occurrences,
+    distinct) AFTER the key-range all_to_all — the bucket-skew signal
+    (vertex_index.cpp:515-659's per-thread load analog).
     """
     ndev = mesh.devices.size
     bits = max((ndev - 1).bit_length(), 0)
@@ -78,7 +82,7 @@ def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P(axis), P(axis)),
         check_rep=False,
     )
     def step(b, ln):
@@ -87,20 +91,24 @@ def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp
         inv = (~valid).astype(jnp.uint32).ravel()
         chi, clo = chi.ravel(), clo.ravel()
         n_loc = chi.shape[0]
-        # owner shard = top `bits` bits of the code; invalid windows keep
-        # their current shard (owner irrelevant, they carry inv=1)
+        # owner shard = mixed hash of the canonical code mod ndev, a
+        # disjoint key-class partition.  NO plain bit range is uniform
+        # here: canonical = min(kmer, revcomp) biases the value low
+        # (top-bit bucketing measured 14:1 occupancy skew at scale) AND
+        # biases the last base away from T (low-bit bucketing still
+        # 10:1) — so avalanche the code first (murmur3 fmix32 halves).
+        # Invalid windows keep their current shard (owner irrelevant,
+        # they carry inv=1).
         if bits == 0:
             owner = jnp.zeros(n_loc, jnp.uint32)
-        elif code_bits > 32:
-            hi_bits = code_bits - 32
-            shift = code_bits - bits
-            if shift >= 32:
-                owner = chi >> (shift - 32)
-            else:
-                owner = (chi << (bits - hi_bits)) | (clo >> shift)
         else:
-            owner = clo >> (code_bits - bits)
-        owner = jnp.minimum(owner, ndev - 1)
+            x = chi * jnp.uint32(0x85EBCA6B) ^ clo
+            x ^= x >> 16
+            x = x * jnp.uint32(0x85EBCA6B)
+            x ^= x >> 13
+            x = x * jnp.uint32(0xC2B2AE35)
+            x ^= x >> 16
+            owner = x % jnp.uint32(ndev)
         # sort locally by owner so each destination's k-mers are contiguous
         owner_s, inv_s, hi_s, lo_s = jax.lax.sort(
             (owner, inv, chi, clo), num_keys=1, is_stable=False
@@ -138,14 +146,19 @@ def count_kmers_sharded(mesh: Mesh, bases, lengths, k: int = 17, axis: str = "dp
         total = jnp.sum(jnp.where(new_run & valid_r, 1, 0))
         over = jnp.sum(jnp.where(is_end & valid_r & (run_len > 15), 1, 0))
         occ = jnp.sum(valid_r.astype(jnp.int32))
+        shard_occ = occ[None]
+        shard_distinct = total[None]
         # scalar psum merges across disjoint key ranges
         total = jax.lax.psum(total, axis)
         over = jax.lax.psum(over, axis)
         occ = jax.lax.psum(occ, axis)
-        return total, over, occ
+        return total, over, occ, shard_occ, shard_distinct
 
-    total, over, occ = step(bases, lengths)
-    return {"total_kmers": total, "hash_size": over, "occurrences": occ}
+    total, over, occ, shard_occ, shard_distinct = step(bases, lengths)
+    metrics = {"total_kmers": total, "hash_size": over, "occurrences": occ}
+    if return_shard_stats:
+        return metrics, {"occ": shard_occ, "distinct": shard_distinct}
+    return metrics
 
 
 def fmi_backward_search_sharded(mesh: Mesh, index: dict, enc, lengths,

@@ -6,8 +6,14 @@
 // ships a host engine beside the TPU one.  The device sort-reduce
 // pipeline (ops/kmer.py) stays the bench/multi-chip path; its
 // accumulator merge is bound by the chip's ~27M elements/s sort rate
-// (~11 Mbases/s at GB scale), while this single pass with a rolling
-// canonical code and an open-addressing table does ~30+ Mbases/s/core.
+// (~11 Mbases/s at GB scale).  This single pass with a rolling
+// canonical code and an open-addressing table measures 27.7 Mbases/s
+// while the table fits cache (12 Mbp regime, REF_BASELINE kmer row —
+// 132x the reference's Flye counter on the same reads) and
+// 8.7-16 Mbases/s at GB scale where the 38M-distinct-kmer table blows
+// LLC and every probe is a DRAM round-trip (KMER_SCALE.json;
+// prefetch-blocked probing below is what keeps even that regime
+// memory-level-parallel).
 //
 // Semantics are IDENTICAL to ops/kmer.count_kmers (tests pin equality):
 // 2-bit codes with the N->3 quirk, len-k windows per read (the

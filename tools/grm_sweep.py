@@ -67,6 +67,7 @@ def main(argv=None):
 
     results = []
     for prec_name, prec in (("DEFAULT", jax.lax.Precision.DEFAULT),
+                            ("COMPENSATED", "compensated"),
                             ("HIGH", jax.lax.Precision.HIGH),
                             ("HIGHEST", jax.lax.Precision.HIGHEST)):
         for block in (1024, 2048, 4096, 8192):

@@ -119,6 +119,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     batches = parse_testfile(tf)
     parse_s = time.perf_counter() - t0
+    print(f"[parse] {parse_s:.1f} s", file=sys.stderr, flush=True)
 
     # global pool: flat read/hap lists + cross-product pairs
     reads, haps, pairs, owner = [], [], [], []
@@ -132,7 +133,7 @@ def main(argv=None):
     n_pairs = len(pairs)
     cells = sum((len(reads[r]["bases"])) * len(haps[h]) for r, h in pairs)
     print(f"[pool] {len(batches)} batches, {n_pairs} testcases, "
-          f"{cells/1e9:.2f} Gcells", file=sys.stderr)
+          f"{cells/1e9:.2f} Gcells", file=sys.stderr, flush=True)
 
     results = np.zeros(n_pairs, np.float64)
     t0 = time.perf_counter()
@@ -146,14 +147,21 @@ def main(argv=None):
         batch = P.prepare_batch(reads, haps, sub_pairs,
                                 r_pad=r_pad, h_pad=h_pad)
         prepped.append((idxs, {k: np.asarray(v) for k, v in batch.items()}))
+        print(f"[prep] bucket ({r_pad},{h_pad}): {len(members)} pairs "
+              f"(t={time.perf_counter()-t0:.0f} s)", file=sys.stderr,
+              flush=True)
     prep_s = time.perf_counter() - t0
 
     kernel_s = fallback_s = 0.0
     n_fallback = 0
     for idxs, batch_np in prepped:
         t0 = time.perf_counter()
-        log10, _res, fb = map(np.asarray, P.phmm_forward(batch_np))
-        kernel_s += time.perf_counter() - t0
+        log10, _res, fb = map(np.asarray, P.phmm_forward_auto(batch_np))
+        dt = time.perf_counter() - t0
+        kernel_s += dt
+        print(f"[kernel] bucket {batch_np['rs_row'].shape} "
+              f"x h{batch_np['hap'].shape[1]}: {dt:.1f} s",
+              file=sys.stderr, flush=True)
         out = log10.astype(np.float64)
         t0 = time.perf_counter()
         if fb.any():

@@ -414,8 +414,88 @@ def bench_abea() -> None:
     })
 
 
+# ---------------------------------------------------------------- dbg ----
+def bench_dbg() -> None:
+    """Platypus window assembly (graph build + the pinned per-seed
+    variant-path DFS) vs our native window engine on identical windows
+    — the bench_all.py dbg workload (24 x 1.5 kb, 60 x 80 bp reads)."""
+    from generate_fixtures import _ensure_htslib, make_farm
+
+    from genomicsbench_palisade_tpu.io.native import dbg_window_native
+
+    BUILD.mkdir(exist_ok=True)
+    exe = BUILD / "dbg_bench"
+    if not exe.exists():
+        hts = _ensure_htslib()
+        with tempfile.TemporaryDirectory() as td:
+            tmp = pathlib.Path(td)
+            farm = make_farm(tmp, ["benchmarks/dbg"],
+                             stub_local=["benchmarks/dbg"])
+            src = farm / "benchmarks/dbg"
+            _run(["g++", "-O2", "-w", "-fopenmp", f"-I{src}", f"-I{hts}",
+                  "-include",
+                  str(GOLDEN / "stub" / "golden_preinclude.h"),
+                  f"-I{GOLDEN / 'stub'}",
+                  str(GOLDEN / "dbg_bench_harness.cpp"),
+                  str(src / "common.cpp"), str(hts / "libhts.a"),
+                  "-lz", "-lm", "-lpthread", "-o", str(exe)])
+
+    # the bench_all.py dbg workload, exactly (seed 12)
+    rng = np.random.default_rng(12)
+    n_win, w_len, n_reads, r_len = 24, 1500, 60, 80
+    wins = []
+    for _ in range(n_win):
+        ref = "".join(rng.choice(list("ACGT"), w_len))
+        reads = []
+        for _ in range(n_reads):
+            s = int(rng.integers(0, w_len - r_len))
+            seq = list(ref[s:s + r_len])
+            for pos in np.nonzero(rng.random(r_len) < 0.01)[0]:
+                seq[pos] = "ACGT"[rng.integers(0, 4)]
+            reads.append(("".join(seq), np.full(r_len, 35, np.uint8), 0))
+        wins.append((ref, reads))
+    cases = BUILD / "dbg_windows.txt"
+    with open(cases, "w") as f:
+        f.write(f"{n_win}\n")
+        for ref, reads in wins:
+            f.write(f"0 20 15\n{ref}\n{len(reads)}\n")
+            for seq, quals, _pos in reads:
+                f.write(seq + "\n")
+                f.write(" ".join(str(int(q)) for q in quals) + "\n")
+    out = _run([str(exe), str(cases), "3"]).stdout
+    ref_rate = float(re.search(r"mbref_per_s=([\d.]+)", out).group(1))
+    ref_paths = int(re.search(r"paths=(\d+)", out).group(1))
+
+    best, n_paths = 1e30, 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_paths = 0
+        for ref, reads in wins:
+            _n, paths = dbg_window_native(ref, 0, reads, 15, 20, 2)
+            n_paths += len(paths)
+        best = min(best, time.perf_counter() - t0)
+    assert n_paths == ref_paths, (n_paths, ref_paths)
+    ours = n_win * w_len / best / 1e6
+    _upsert({
+        "kernel": "dbg", "variant": "platypus_windows",
+        "shape": "24 windows x 1.5 kb ref, 60 x 80 bp reads "
+                 "(the bench_all dbg workload, seed 12)",
+        "ref_binary": "Platypus debruijn.cpp graph build + pinned "
+                      "per-seed variant-path DFS "
+                      "(assembleReadsAndDetectVariants body :1389-1433 "
+                      "+ getVariantPathsThroughGraphFromNode :1147; "
+                      "-O2, 1 thread; path counts asserted identical)",
+        "ref_value": round(ref_rate, 3), "unit": "Mb-ref/s", "reps": 3,
+        "ours_value": round(ours, 3),
+        "ours_engine": "native window engine (native/dbg.cpp), same "
+                       "windows back-to-back this run",
+        "verdict": _verdict(ours, ref_rate),
+    })
+
+
 KERNELS = {"poa": bench_poa, "bsw": bench_bsw, "chain": bench_chain,
-           "kmer": bench_kmer, "phmm": bench_phmm, "abea": bench_abea}
+           "kmer": bench_kmer, "phmm": bench_phmm, "abea": bench_abea,
+           "dbg": bench_dbg}
 
 
 def main(argv=None):

@@ -349,8 +349,16 @@ def bench_poa():
     batches = [mk_window(length, s_n) for _ in range(w_n)]
     dt, out = _timeit_host(lambda: msa_consensus_batch(batches))
     assert all(out)
-    return {"kernel": "poa", "value": round(w_n * s_n / dt, 1),
-            "unit": "seqs/s", "windows": w_n, "seqs": s_n, "len": length}
+    res = {"kernel": "poa", "value": round(w_n * s_n / dt, 1),
+           "unit": "seqs/s", "windows": w_n, "seqs": s_n, "len": length}
+    # production host engine (native/poaalign.cpp) on the same windows
+    from genomicsbench_palisade_tpu.ops.poa import msa_consensus_host
+
+    dt_h, out_h = _timeit_host(lambda: msa_consensus_host(batches))
+    if out_h is not None:
+        assert out_h == out
+        res["host_seqs_per_s"] = round(w_n * s_n / dt_h, 1)
+    return res
 
 
 def bench_abea():
@@ -380,8 +388,18 @@ def bench_abea():
         lambda: align_events_batch_pallas(seqs, evs, model, ones, zeros),
         iters=3)
     assert all(res), "QC-dropped synthetic reads"
-    return {"kernel": "abea", "value": round(b / dt, 1), "unit": "reads/s",
-            "b": b, "seq_len": 500}
+    out = {"kernel": "abea", "value": round(b / dt, 1), "unit": "reads/s",
+           "b": b, "seq_len": 500}
+    # production host engine (native/abeafill.cpp) on the same reads
+    from genomicsbench_palisade_tpu.ops.abea import align_events_batch_native
+
+    dt_h, res_h = _timeit_host(
+        lambda: align_events_batch_native(seqs, evs, model, ones, zeros),
+        iters=3)
+    if res_h is not None:
+        assert res_h == res
+        out["host_reads_per_s"] = round(b / dt_h, 1)
+    return out
 
 
 def bench_grm():

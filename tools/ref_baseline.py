@@ -369,15 +369,23 @@ def bench_abea() -> None:
             shutil.copy2(built, exe)
 
     ours_entry = json.loads((REPO / "ABEA_SCALE.json").read_text())[-1]
-    # regenerate the exact ABEA_SCALE workload (same seed/sequence)
+    # regenerate the exact ABEA_SCALE workload (same seed/sequence):
+    # 16 reads linspace 10-50 kb, plus the --add-100k read when the
+    # committed entry carries 17
     rng = np.random.default_rng(17)
     model = synth_model(rng)
     n_reads = int(ours_entry["reads"])
-    lens = np.linspace(ours_entry["len_min"], ours_entry["len_max"],
-                       n_reads).astype(int)
-    lens[:8] = np.linspace(ours_entry["len_min"],
-                           min(15_000, ours_entry["len_max"]), 8).astype(int)
-    cases = BUILD / "abea_scale_cases.txt"
+    base_reads = 16 if n_reads == 17 else n_reads
+    lens = np.linspace(ours_entry["len_min"],
+                       min(50_000, ours_entry["len_max"]),
+                       base_reads).astype(int)
+    if ours_entry.get("oracle_parity_reads", 0) < base_reads:
+        lens[:8] = np.linspace(ours_entry["len_min"],
+                               min(15_000, ours_entry["len_max"]),
+                               8).astype(int)
+    if n_reads == 17:
+        lens = np.concatenate([lens, [100_000]])
+    cases = BUILD / f"abea_scale_cases_{n_reads}.txt"
     mtsv = BUILD / "abea_model.tsv"
     if not cases.exists():
         with open(mtsv, "w") as f:
@@ -408,8 +416,9 @@ def bench_abea() -> None:
                       "both sides)",
         "ref_value": round(ref_rate, 1), "unit": "events/s", "reps": 3,
         "ours_value": round(ours, 1),
-        "ours_engine": "pallas fill + on-device walk, chunk-streamed "
-                       "(ABEA_SCALE.json)",
+        "ours_engine": f"{ours_entry.get('engine', 'device')} engine "
+                       "(ABEA_SCALE.json; host = native/abeafill.cpp, "
+                       "device = pallas fill + on-device walk)",
         "verdict": _verdict(ours, ref_rate),
     })
 

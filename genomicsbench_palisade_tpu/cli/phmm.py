@@ -37,7 +37,8 @@ def run_testcases(reads, haps, pairs, mesh=None, edges=(64, 128, 256, 512)):
     for (r_pad, h_pad), members in groups.items():
         idxs = [i for i, _ in members]
         sub_pairs = [p for _, p in members]
-        batch = P.prepare_batch(reads, haps, sub_pairs, r_pad=r_pad, h_pad=h_pad)
+        batch = P.prepare_batch(reads, haps, sub_pairs, r_pad=r_pad,
+                                h_pad=h_pad, transposed=False)
         batch_np = {k: np.asarray(v) for k, v in batch.items()}
         if mesh is not None and mesh.devices.size > 1:
             sharded, n_orig = shard_batch(batch, mesh)

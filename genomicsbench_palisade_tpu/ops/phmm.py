@@ -45,7 +45,8 @@ def _tables_f32():
     )
 
 
-def prepare_batch(reads, haps, pairs, r_pad: int | None = None, h_pad: int | None = None):
+def prepare_batch(reads, haps, pairs, r_pad: int | None = None,
+                  h_pad: int | None = None, transposed: bool = True):
     """Host-side packing of testcases into fixed-shape device arrays.
 
     reads: list of dicts with keys bases (int codes), q, i, d, c (normalized
@@ -92,7 +93,11 @@ def prepare_batch(reads, haps, pairs, r_pad: int | None = None, h_pad: int | Non
         "rslen": rslen,
         "haplen": haplen,
     }
-    batch.update(_host_row_probs_t(batch))
+    if transposed:
+        # pre-transposed f32 planes: the device-resident bench path
+        # (zero XLA prep); end-to-end callers pass transposed=False and
+        # ship the compact int8 batch instead (phmm_forward_auto)
+        batch.update(_host_row_probs_t(batch))
     return batch
 
 
@@ -140,11 +145,16 @@ def _host_row_probs_t(batch):
 
 
 def _row_probs(batch, ph2pr, m2m):
-    """Per-row transition probabilities [B, Rp] (initializeVectors)."""
-    iq = batch["i"] & 127
-    dq = batch["d"] & 127
-    cq = batch["c"] & 127
-    qq = batch["q"] & 127
+    """Per-row transition probabilities [B, Rp] (initializeVectors).
+
+    Widens to int32 first: the compact end-to-end wire ships quals as
+    int8 (8x fewer bytes than the precomputed f32 planes through the
+    ~70 MB/s relay) and the m2m index max_q*(max_q+1)/2 overflows
+    int8."""
+    iq = (batch["i"] & 127).astype(jnp.int32)
+    dq = (batch["d"] & 127).astype(jnp.int32)
+    cq = (batch["c"] & 127).astype(jnp.int32)
+    qq = (batch["q"] & 127).astype(jnp.int32)
     min_q = jnp.minimum(iq, dq)
     max_q = jnp.maximum(iq, dq)
     p_mm = m2m[((max_q * (max_q + 1)) >> 1) + min_q]
@@ -252,25 +262,44 @@ def phmm_forward(batch, unroll: int = 4):
 
 def phmm_forward_auto(batch, lane_tile: int = 128):
     """phmm_forward, production dispatch: the Pallas striped-wavefront
-    kernel on an accelerator (padding B up to its lane tile — outputs
-    sliced back to the true B), the jnp scan path on CPU.  The CLI and
-    PHMM_SCALE both route here; bench.py times the kernel alone."""
+    kernel on an accelerator, the jnp scan path on CPU.  The CLI and
+    PHMM_SCALE both route here; bench.py times the kernel alone.
+
+    End-to-end shaping (learned the hard way at 550-batch scale):
+      * COMPACT wire — the precomputed f32 "*_t" planes are 32 B/cell
+        and shipped one large bucket at ~1.3 GB through the ~70 MB/s
+        relay; instead ship rs_row/q/i/d/c/hap as int8 (4 B/cell) and
+        let the device run the 5 small-table gathers (~3 s at scale vs
+        ~20 s of wire per bucket).
+      * SHAPE QUANTA — the kernel specializes on B, and per-bucket
+        unique Bs forced a fresh 1-15 min remote compile each; B pads
+        up to 8192 (small) or a 16384 multiple, so a handful of shapes
+        recur across buckets, runs, and the persistent compile cache.
+    Outputs are sliced back to the true B; pad rows replicate row 0
+    and are discarded.
+    """
     b = int(np.asarray(batch["rslen"]).shape[0])
     if jax.default_backend() == "cpu":
         return phmm_forward(batch)
-    pad = (-b) % lane_tile
-    if pad:
-        def padk(key, v):
-            v = np.asarray(v)
-            if key.endswith("_t"):  # [Rp, B]-transposed planes
-                return np.concatenate(
-                    [v, np.repeat(v[..., :1], pad, axis=-1)], axis=-1)
-            return np.concatenate(
-                [v, np.repeat(v[:1], pad, axis=0)], axis=0)
-        batch = {k: padk(k, v) for k, v in batch.items()}
+    if b <= 8192:
+        b_pad = max(lane_tile, int(2 ** np.ceil(np.log2(max(b, 1)))))
+    else:
+        b_pad = -(-b // 16384) * 16384
+    pad = b_pad - b
+
+    def prep(key, v):
+        v = np.asarray(v)
+        if key in ("rs_row", "q", "i", "d", "c", "hap"):
+            v = v.astype(np.int8)  # codes <= 5, quals <= 93: exact
+        if pad:
+            v = np.concatenate([v, np.repeat(v[:1], pad, axis=0)], axis=0)
+        return v
+
+    compact = {k: prep(k, v) for k, v in batch.items()
+               if not k.endswith("_t")}
     from .phmm_pallas import phmm_forward_pallas
 
-    log10, res, fb = phmm_forward_pallas(batch)
+    log10, res, fb = phmm_forward_pallas(compact)
     return log10[:b], res[:b], fb[:b]
 
 

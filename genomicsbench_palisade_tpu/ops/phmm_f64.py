@@ -136,8 +136,19 @@ def phmm_fallback_log10(batch, mask):
     idx = np.nonzero(mask)[0]
     if idx.size == 0:
         return np.zeros(0), idx
-    sub = {k: np.asarray(v)[idx] for k, v in batch.items()
-           if not k.endswith("_t")}
-    raw = phmm_forward_f64(sub)
     ctx = oracle.get_ctx(np.float64)
-    return np.log10(raw) - ctx.log10_initial_constant, idx
+    # chunk the lanes: the diagonal sweep makes ~20 [B, Rp] f64
+    # temporaries per step, and at PHMM_SCALE fallback sizes (1e5 lanes)
+    # each is ~50 MB — numpy mmap/munmaps blocks that big every step,
+    # and the measured result was a page-fault storm (60% system time,
+    # ~0.6 TB of allocation churn).  2048-lane chunks keep temps ~2 MB
+    # (heap-recycled, cache-resident); results are per-lane independent
+    # so chunking is value-exact.
+    chunk = 2048
+    out = np.empty(idx.size, np.float64)
+    for lo in range(0, idx.size, chunk):
+        sel = idx[lo:lo + chunk]
+        sub = {k: np.asarray(v)[sel] for k, v in batch.items()
+               if not k.endswith("_t")}
+        out[lo:lo + len(sel)] = phmm_forward_f64(sub)
+    return np.log10(out) - ctx.log10_initial_constant, idx

@@ -200,3 +200,39 @@ def test_phmm_fallback_slices_only_testcase_axis():
         ctx = O.get_ctx(np.float64)
         want = np.log10(raw) - ctx.log10_initial_constant
         np.testing.assert_array_equal(v, want)
+
+
+def test_phmm_pallas_compact_int8_batch():
+    """The end-to-end wire ships rs_row/q/i/d/c/hap as int8 with NO
+    pre-transposed planes (phmm_forward_auto's compact path); the
+    pallas kernel must produce results identical to the full-precision
+    planes path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genomicsbench_palisade_tpu.ops import phmm_pallas as PP
+
+    rng = np.random.default_rng(47)
+    reads, haps, pairs = [], [], []
+    for k in range(128):
+        rl = int(rng.integers(8, 40))
+        reads.append({
+            "bases": rng.integers(0, 4, rl),
+            "q": rng.integers(6, 60, rl),
+            "i": rng.integers(25, 46, rl),
+            "d": rng.integers(25, 46, rl),
+            "c": np.full(rl, 10),
+        })
+        haps.append(rng.integers(0, 4, int(rng.integers(16, 64))))
+        pairs.append((k, k))
+    full = P.prepare_batch(reads, haps, pairs)  # with planes
+    compact = {k: (np.asarray(v).astype(np.int8)
+                   if k in ("rs_row", "q", "i", "d", "c", "hap")
+                   else np.asarray(v))
+               for k, v in full.items() if not k.endswith("_t")}
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(PP.phmm_forward_pallas(
+            {k: jax.device_put(v) for k, v in full.items()})[1])
+        got = np.asarray(PP.phmm_forward_pallas(
+            {k: jax.device_put(v) for k, v in compact.items()})[1])
+    np.testing.assert_array_equal(got, want)

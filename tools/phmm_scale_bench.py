@@ -145,7 +145,7 @@ def main(argv=None):
         idxs = np.array([i for i, _ in members])
         sub_pairs = [p for _, p in members]
         batch = P.prepare_batch(reads, haps, sub_pairs,
-                                r_pad=r_pad, h_pad=h_pad)
+                                r_pad=r_pad, h_pad=h_pad, transposed=False)
         prepped.append((idxs, {k: np.asarray(v) for k, v in batch.items()}))
         print(f"[prep] bucket ({r_pad},{h_pad}): {len(members)} pairs "
               f"(t={time.perf_counter()-t0:.0f} s)", file=sys.stderr,

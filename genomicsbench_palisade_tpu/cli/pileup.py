@@ -71,6 +71,14 @@ def main(argv=None):
     if end is None:
         end = refs[chrom_id][1]
 
+    # fully-fused native region path (decode -> layout -> fill in C, no
+    # Python record objects; 1.25x medaka_counts+htslib, REF_BASELINE):
+    # eligible when indexed, non-weibull, single-dtype
+    use_fused = (fetch_chunk is not None and not args.weibull
+                 and not args.dtypes)
+    if use_fused:
+        from ..ops.pileup import calculate_pileup_region
+
     t0 = time.perf_counter()
     for cs in range(start, end, CHUNK_LEN):
         ce = min(cs + CHUNK_LEN, end)
@@ -79,11 +87,17 @@ def main(argv=None):
         # (medaka_counts.c:545-555 vs :313-318), shifting every chunk's
         # start down one position — mirror that quirk exactly
         cs = max(cs - 1, 0)
-        chunk_records = fetch_chunk(cs, ce) if fetch_chunk else records
-        res = calculate_pileup(chunk_records, chrom_id, cs, ce,
-                               num_homop=args.num_homop,
-                               weibull_summation=args.weibull,
-                               dtypes=args.dtypes or None)
+        res = None
+        if use_fused:
+            res = calculate_pileup_region(
+                args.bam, chrom, cs, ce, index=bai,
+                num_homop=args.num_homop, refs=refs)
+        if res is None:
+            chunk_records = fetch_chunk(cs, ce) if fetch_chunk else records
+            res = calculate_pileup(chunk_records, chrom_id, cs, ce,
+                                   num_homop=args.num_homop,
+                                   weibull_summation=args.weibull,
+                                   dtypes=args.dtypes or None)
         print_pileup(res, num_homop=args.num_homop)
     print(f"Kernel time: {time.perf_counter() - t0:.3f} sec", file=sys.stderr)
     return 0

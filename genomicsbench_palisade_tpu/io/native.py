@@ -408,6 +408,78 @@ def read_bam_native(path: str):
     return refs, cols
 
 
+def read_bam_region_native(path: str, voff_lo: int, voff_hi: int,
+                           ref_id: int, beg: int, end: int,
+                           filter_flags: int = 0, min_mapq: int = 0):
+    """Native .bai-bounded region decode into columnar arrays, or None.
+
+    voff_lo/voff_hi: the virtual-offset window from the .bai (the same
+    bounds io/bam.py read_bam_region computes); records overlapping
+    [beg, end) on ref_id only, optionally flag/mapq pre-filtered.
+    Returns cols like read_bam_native plus 'span' (i32[N] reference
+    span per record).  The streaming BGZF inflate keeps memory
+    region-sized."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_bam_region_ready"):
+        lib.gt_bam_open_region.restype = ctypes.c_void_p
+        lib.gt_bam_open_region.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.gt_bam_copy_span.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib._bam_region_ready = True
+    if not hasattr(lib, "_bam_ready"):
+        # bind the shared getters without opening the whole file
+        lib.gt_bam_open.restype = ctypes.c_void_p
+        lib.gt_bam_open.argtypes = [ctypes.c_char_p]
+        for fn in ("gt_bam_n_records", "gt_bam_n_refs",
+                   "gt_bam_names_bytes", "gt_bam_cigar_words",
+                   "gt_bam_seq_bytes", "gt_bam_refnames_bytes"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.gt_bam_copy_refs.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 2
+        lib.gt_bam_copy_out.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
+        lib.gt_bam_free.argtypes = [ctypes.c_void_p]
+        lib._bam_ready = True
+    h = lib.gt_bam_open_region(os.fsencode(path), voff_lo, voff_hi,
+                               ref_id, beg, end, filter_flags, min_mapq)
+    if not h:
+        return None
+    try:
+        n = lib.gt_bam_n_records(h)
+        cols = {
+            "ref_id": np.empty(n, np.int32),
+            "pos": np.empty(n, np.int32),
+            "mapq": np.empty(n, np.int32),
+            "flag": np.empty(n, np.int32),
+            "name_off": np.empty(n + 1, np.int64),
+            "cigar_off": np.empty(n + 1, np.int64),
+            "seq_off": np.empty(n + 1, np.int64),
+            "cigar": np.empty(lib.gt_bam_cigar_words(h), np.uint32),
+            "seq_nt16": np.empty(lib.gt_bam_seq_bytes(h), np.uint8),
+            "qual": np.empty(lib.gt_bam_seq_bytes(h), np.uint8),
+            "span": np.empty(n, np.int32),
+        }
+        names_buf = ctypes.create_string_buffer(
+            int(lib.gt_bam_names_bytes(h)))
+        lib.gt_bam_copy_out(
+            h,
+            *(cols[k].ctypes.data_as(ctypes.c_void_p)
+              for k in ("ref_id", "pos", "mapq", "flag", "name_off")),
+            names_buf,
+            *(cols[k].ctypes.data_as(ctypes.c_void_p)
+              for k in ("cigar_off", "cigar", "seq_off", "seq_nt16",
+                        "qual")),
+        )
+        lib.gt_bam_copy_span(h, cols["span"].ctypes.data_as(ctypes.c_void_p))
+        cols["names"] = names_buf.raw
+    finally:
+        lib.gt_bam_free(h)
+    return cols
+
+
 SB_BLOCKS = 1 << 16  # v2 superblock stride (blocks); see fmsearch.cpp
 
 
@@ -832,18 +904,6 @@ def pileup_events_native(records, num2countbase, del_fwd, del_rev,
     lib = _load()
     if not lib:
         return None
-    if not hasattr(lib, "_pileup_ready"):
-        lib.gt_pileup_events.restype = ctypes.c_void_p
-        lib.gt_pileup_events.argtypes = (
-            [ctypes.c_void_p] * 7 + [ctypes.c_int64]
-            + [ctypes.c_void_p] + [ctypes.c_int64] * 3
-        )
-        for fn in ("gt_pileup_n_events", "gt_pileup_n_ins"):
-            getattr(lib, fn).restype = ctypes.c_int64
-            getattr(lib, fn).argtypes = [ctypes.c_void_p]
-        lib.gt_pileup_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
-        lib.gt_pileup_free.argtypes = [ctypes.c_void_p]
-        lib._pileup_ready = True
     from .bam import CIGAR_OPS
 
     op_idx = {c: i for i, c in enumerate(CIGAR_OPS)}
@@ -860,6 +920,39 @@ def pileup_events_native(records, num2countbase, del_fwd, del_rev,
         [[0], np.cumsum([len(c) for c in cig])]).astype(np.int64)
     rpos = np.array([r.pos for r in records], np.int64)
     rev = np.array([1 if r.is_reverse else 0 for r in records], np.uint8)
+    return pileup_events_cols_native(seq, qual, seq_off, cigar, cigar_off,
+                                     rpos, rev, num2countbase, del_fwd,
+                                     del_rev, num_homop)
+
+
+def pileup_events_cols_native(seq, qual, seq_off, cigar, cigar_off, rpos,
+                              rev, num2countbase, del_fwd, del_rev,
+                              num_homop: int):
+    """pileup_events_native on pre-columnar buffers — the layout
+    read_bam_region_native returns, so the fused BAM-region pileup path
+    never builds Python record objects."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_pileup_ready"):
+        lib.gt_pileup_events.restype = ctypes.c_void_p
+        lib.gt_pileup_events.argtypes = (
+            [ctypes.c_void_p] * 7 + [ctypes.c_int64]
+            + [ctypes.c_void_p] + [ctypes.c_int64] * 3
+        )
+        for fn in ("gt_pileup_n_events", "gt_pileup_n_ins"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.gt_pileup_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+        lib.gt_pileup_free.argtypes = [ctypes.c_void_p]
+        lib._pileup_ready = True
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    cigar = np.ascontiguousarray(cigar, np.uint32)
+    cigar_off = np.ascontiguousarray(cigar_off, np.int64)
+    rpos = np.ascontiguousarray(rpos, np.int64)
+    rev = np.ascontiguousarray(rev, np.uint8)
     tbl = np.asarray(num2countbase, np.int64)
 
     def p(a):
@@ -867,7 +960,7 @@ def pileup_events_native(records, num2countbase, del_fwd, del_rev,
 
     h = lib.gt_pileup_events(
         p(seq), p(qual), p(seq_off), p(cigar), p(cigar_off), p(rpos), p(rev),
-        len(records), p(tbl), del_fwd, del_rev, num_homop)
+        len(rpos), p(tbl), del_fwd, del_rev, num_homop)
     try:
         n = lib.gt_pileup_n_events(h)
         ni = lib.gt_pileup_n_ins(h)
@@ -883,6 +976,59 @@ def pileup_events_native(records, num2countbase, del_fwd, del_rev,
     finally:
         lib.gt_pileup_free(h)
     return pos, minor, feat, qstrat, rec_id, ins_pos, ins_len
+
+
+def pileup_matrix_native(cols, start: int, end: int, num2countbase,
+                         del_fwd, del_rev, num_homop: int, featlen: int):
+    """Fused native pileup: event extraction + coverage + insertion
+    widths + the (col, feature) histogram all in C on the columnar
+    region arrays (read_bam_region_native output) — events never cross
+    into numpy.  Returns (major, minor, matrix[n_cols, featlen*homop])
+    or None."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_pileup_mat_ready"):
+        lib.gt_pileup_layout.restype = ctypes.c_void_p
+        lib.gt_pileup_layout.argtypes = (
+            [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3)
+        lib.gt_pileup_layout_cols.restype = ctypes.c_int64
+        lib.gt_pileup_layout_cols.argtypes = [ctypes.c_void_p]
+        lib.gt_pileup_fill.argtypes = (
+            [ctypes.c_void_p] * 8 + [ctypes.c_int64]
+            + [ctypes.c_void_p] + [ctypes.c_int64] * 4
+            + [ctypes.c_void_p] * 3)
+        lib.gt_pileup_layout_free.argtypes = [ctypes.c_void_p]
+        lib._pileup_mat_ready = True
+    seq = np.ascontiguousarray(cols["seq_nt16"], np.uint8)
+    qual = np.ascontiguousarray(cols["qual"], np.uint8)
+    seq_off = np.ascontiguousarray(cols["seq_off"], np.int64)
+    cigar = np.ascontiguousarray(cols["cigar"], np.uint32)
+    cigar_off = np.ascontiguousarray(cols["cigar_off"], np.int64)
+    rpos = np.ascontiguousarray(cols["pos"], np.int64)
+    rev = np.ascontiguousarray(((cols["flag"] & 16) != 0), np.uint8)
+    span = np.ascontiguousarray(cols["span"], np.int32)
+    tbl = np.asarray(num2countbase, np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    L = lib.gt_pileup_layout(p(cigar), p(cigar_off), p(rpos), p(span),
+                             len(rpos), start, end)
+    try:
+        n_cols = lib.gt_pileup_layout_cols(L)
+        major = np.empty(n_cols, np.int64)
+        minor = np.empty(n_cols, np.int64)
+        # int32 counts (bounded by coverage depth): half the fresh-page
+        # fault churn of an int64 matrix per chunk
+        matrix = np.zeros((n_cols, featlen * num_homop), np.int32)
+        lib.gt_pileup_fill(L, p(seq), p(qual), p(seq_off), p(cigar),
+                           p(cigar_off), p(rpos), p(rev), len(rpos),
+                           p(tbl), del_fwd, del_rev, num_homop, featlen,
+                           p(major), p(minor), p(matrix))
+    finally:
+        lib.gt_pileup_layout_free(L)
+    return major, minor, matrix
 
 
 def eventalign_realign_native(ref_codes, ref_offset, segments, rc,

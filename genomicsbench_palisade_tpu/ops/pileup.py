@@ -308,6 +308,17 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
         # coverage: every ref position the read overlaps (incl. deletions)
         _mark_cover(rec)
 
+    return _assemble_pileup(all_pos, all_min, all_feat, all_q, all_dt,
+                            all_w, ins_map, cover, start, end, num_homop,
+                            num_dtypes, weibull_summation)
+
+
+def _assemble_pileup(all_pos, all_min, all_feat, all_q, all_dt, all_w,
+                     ins_map, cover, start, end, num_homop, num_dtypes,
+                     weibull_summation):
+    """Shared tail of calculate_pileup / calculate_pileup_region: event
+    streams + coverage + insertion widths -> (major, minor, matrix)."""
+
     def _cat(parts):
         return (np.concatenate(parts) if parts
                 else np.zeros(0, np.int64))
@@ -361,6 +372,106 @@ def calculate_pileup(records, chrom_id: int, start: int, end: int,
             matrix = np.bincount(flat, minlength=n_cols * w).reshape(
                 n_cols, w).astype(np.int64, copy=False)
     return {"major": major, "minor": minor, "matrix": matrix, "n_cols": n_cols}
+
+
+def calculate_pileup_region(bam_path: str, chrom: str, start: int,
+                            end: int, index=None, num_homop: int = 5,
+                            min_mapq: int = 1, dtypes=None,
+                            refs=None):
+    """Fused BAM-region pileup: native .bai-bounded decode straight into
+    the native event extractor — no Python record objects anywhere
+    (the record-object round-trip made the end-to-end path 4x slower
+    than medaka_counts+htslib, REF_BASELINE pileup row).  Identical
+    output to read_bam_region + calculate_pileup (tests assert it).
+    Returns None when the native lib isn't built; `refs`/`index` are
+    optional preloaded read_bam_header/read_bai results."""
+    from ..io import bam as B
+    from ..io.native import (pileup_events_cols_native,
+                             read_bam_region_native)
+
+    if index is None:
+        index = B.read_bai(bam_path + ".bai")
+    if refs is None:
+        with open(bam_path, "rb") as f:
+            refs = B.read_bam_header_stream(B.BgzfStream(f))
+    names = [r[0] for r in refs]
+    if chrom not in names:
+        return {"major": np.zeros(0, np.int64),
+                "minor": np.zeros(0, np.int64),
+                "matrix": np.zeros((0, FEATLEN * num_homop), np.int64),
+                "n_cols": 0}
+    ref_id = names.index(chrom)
+    bins, ioffsets = index[ref_id]
+    chunks = [c for b in B._reg2bins(start, end) for c in bins.get(b, [])]
+    if not chunks:
+        return {"major": np.zeros(0, np.int64),
+                "minor": np.zeros(0, np.int64),
+                "matrix": np.zeros((0, FEATLEN * num_homop), np.int64),
+                "n_cols": 0}
+    min_off = min(c[0] for c in chunks)
+    win = start >> 14
+    if win < len(ioffsets) and ioffsets[win] > 0:
+        min_off = max(min_off, int(ioffsets[win]))
+    max_off = max(c[1] for c in chunks)
+    cols = read_bam_region_native(bam_path, int(min_off), int(max_off),
+                                  ref_id, start, end,
+                                  filter_flags=FILTER_FLAGS,
+                                  min_mapq=min_mapq)
+    if cols is None:
+        return None
+    n = len(cols["pos"])
+    num_dtypes = len(dtypes) if dtypes else 1
+
+    if num_dtypes == 1:
+        # fully native: events + coverage + widths + histogram in C
+        from ..io.native import pileup_matrix_native
+
+        nat = pileup_matrix_native(cols, start, end, NUM2COUNTBASE,
+                                   FWD_DEL, REV_DEL, num_homop, FEATLEN)
+        if nat is not None:
+            major, minor, matrix = nat
+            return {"major": major, "minor": minor, "matrix": matrix,
+                    "n_cols": len(major)}
+
+    cover = np.zeros(end - start, dtype=bool)
+    if n:
+        s = np.clip(cols["pos"].astype(np.int64) - start, 0, end - start)
+        e = np.clip(cols["pos"].astype(np.int64)
+                    + np.maximum(cols["span"].astype(np.int64), 0) - start,
+                    0, end - start)
+        delta = np.zeros(end - start + 1, np.int64)
+        np.add.at(delta, s, 1)
+        np.add.at(delta, e, -1)
+        cover = np.cumsum(delta[:-1]) > 0
+
+    nat = pileup_events_cols_native(
+        cols["seq_nt16"], cols["qual"], cols["seq_off"], cols["cigar"],
+        cols["cigar_off"], cols["pos"].astype(np.int64),
+        ((cols["flag"] & 16) != 0).astype(np.uint8),
+        NUM2COUNTBASE, FWD_DEL, REV_DEL, num_homop)
+    if nat is None:
+        return None
+    npos, nmin, nfeat, nq, rec_id, nip, nil = nat
+    ins_map: dict[int, int] = {}
+    for a, b in zip(nip.tolist(), nil.tolist()):
+        if start <= a < end:
+            ins_map[a] = max(ins_map.get(a, 0), b)
+    all_dt = []
+    if num_dtypes > 1:
+        name_off = cols["name_off"]
+        names_blob = cols["names"]
+        per_rec_dt = np.empty(n, np.int64)
+        for ri in range(n):
+            nm = names_blob[name_off[ri]:name_off[ri + 1]].decode()
+            dt = next((i for i, pre in enumerate(dtypes)
+                       if nm.startswith(pre)), None)
+            if dt is None:
+                raise ValueError(f"Datatype not found for {nm}")
+            per_rec_dt[ri] = dt
+        all_dt.append(per_rec_dt[rec_id])
+    return _assemble_pileup([npos], [nmin], [nfeat], [nq], all_dt, [],
+                            ins_map, cover, start, end, num_homop,
+                            num_dtypes, False)
 
 
 def print_pileup(result, num_homop: int = 5, out=None):

@@ -502,9 +502,100 @@ def bench_dbg() -> None:
     })
 
 
+# ------------------------------------------------------------- pileup ----
+def bench_pileup() -> None:
+    """medaka_counts + htslib (the reference pileup binary, no
+    PRINT_OUTPUT) vs our region pileup (io/bam region reads +
+    ops.pileup.calculate_pileup — the cli.pileup body) on the SAME
+    indexed BAM: one 1 Mb contig, 20k x 300 bp reads, 100 kb chunks."""
+    from generate_fixtures import _build_bamidx, _ensure_htslib
+
+    from genomicsbench_palisade_tpu.io import bam as B
+    from genomicsbench_palisade_tpu.ops.pileup import calculate_pileup
+
+    BUILD.mkdir(exist_ok=True)
+    hts = _ensure_htslib()
+    exe = BUILD / "pileup_bench"
+    if not exe.exists():
+        # the fork added per-column/per-read printf debug lines INSIDE
+        # the timed loop (medaka_counts.c:363-379) — route printf to a
+        # no-op sink so the baseline measures medaka's pileup, not
+        # printf formatting; fprintf(stderr) timing is untouched
+        sink = BUILD / "printf_sink.c"
+        sink.write_text("int gt_printf_sink(const char* f, ...)"
+                        "{ (void)f; return 0; }\n")
+        _run(["gcc", "-O3", "-std=c99", "-fopenmp", "-w", f"-I{hts}",
+              "-Dprintf=gt_printf_sink",
+              f"{REF}/benchmarks/pileup/medaka_common.c",
+              f"{REF}/benchmarks/pileup/medaka_counts.c",
+              f"{REF}/benchmarks/pileup/medaka_bamiter.c",
+              str(sink),
+              str(hts / "libhts.a"), "-lz", "-lm", "-lpthread",
+              "-o", str(exe)])
+    bam = BUILD / "pileup_1mb.bam"
+    ref_len, n_reads, rl = 1_000_000, 20_000, 300
+    if not bam.exists():
+        rng = np.random.default_rng(20260827)
+        idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+        rows = []
+        positions = np.sort(rng.integers(0, ref_len - rl, n_reads))
+        for i, p in enumerate(positions):
+            seq = rng.integers(0, 4, rl)
+            rows.append(B.BamRecord(
+                name=f"r{i}", flag=16 if rng.random() < 0.5 else 0,
+                ref_id=0, pos=int(p), mapq=50, cigar=[("M", rl)],
+                seq_nt16=np.array([idx16["ACGT"[c]] for c in seq],
+                                  np.uint8),
+                qual=rng.integers(10, 40, rl).astype(np.uint8), tags={}))
+        B.write_bam(str(bam), [("tig1", ref_len)], rows)
+        with tempfile.TemporaryDirectory() as td:
+            bamidx = _build_bamidx(pathlib.Path(td), hts)
+            _run([str(bamidx), str(bam)])
+
+    region = f"tig1:1-{ref_len}"
+    best_ref = 1e30
+    for _ in range(3):
+        out = subprocess.run(
+            [str(exe), str(bam), region, "1"], check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True)
+        best_ref = min(best_ref, float(re.search(
+            r"Kernel runtime: ([\d.]+) s", out.stderr).group(1)))
+    ref_rate = n_reads / best_ref
+
+    # ours: the cli.pileup body (region reads via .bai + counts)
+    best = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        index = B.read_bai(str(bam) + ".bai")
+        cols = 0
+        for beg in range(0, ref_len, 100_000):
+            end_ = min(beg + 100_000, ref_len)
+            _refs, recs = B.read_bam_region(str(bam), "tig1", beg, end_,
+                                            index=index)
+            res = calculate_pileup(recs, 0, beg, end_)
+            cols += len(res["major"])
+        best = min(best, time.perf_counter() - t0)
+    ours = n_reads / best
+    _upsert({
+        "kernel": "pileup", "variant": "medaka_counts",
+        "shape": f"1 Mb contig, {n_reads} x {rl} bp reads, 100 kb "
+                 f"chunks (ours cols={cols})",
+        "ref_binary": "medaka_counts + htslib (benchmarks/pileup/"
+                      "medaka_counts.c calculate_pileup, -O3, 1 thread; "
+                      "its own Kernel-runtime bracket incl. htslib BAM "
+                      "iteration; the fork's in-loop debug printfs "
+                      "compiled out)",
+        "ref_value": round(ref_rate, 1), "unit": "records/s", "reps": 3,
+        "ours_value": round(ours, 1),
+        "ours_engine": "io/bam region reads + native pileup events, "
+                       "same BAM back-to-back this run",
+        "verdict": _verdict(ours, ref_rate),
+    })
+
+
 KERNELS = {"poa": bench_poa, "bsw": bench_bsw, "chain": bench_chain,
            "kmer": bench_kmer, "phmm": bench_phmm, "abea": bench_abea,
-           "dbg": bench_dbg}
+           "dbg": bench_dbg, "pileup": bench_pileup}
 
 
 def main(argv=None):

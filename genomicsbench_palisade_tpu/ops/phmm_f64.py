@@ -124,6 +124,47 @@ def phmm_forward_f64(batch):
     return res_m + res_x
 
 
+def phmm_forward_f64_native(batch):
+    """Native C double pass (native/phmmf64.cpp), bit-exact with
+    phmm_forward_f64 / the scalar oracle (tests assert equality).
+    Returns raw f64[B] or None when the lib isn't built."""
+    import ctypes
+
+    from ..io.native import _load
+
+    lib = _load()
+    if not lib:
+        return None
+    if not getattr(lib, "_phmm64_ready", False):
+        lib.gt_phmm_f64.argtypes = (
+            [ctypes.c_void_p] * 6 + [ctypes.c_void_p] * 2
+            + [ctypes.c_int64] * 3 + [ctypes.c_void_p] * 2
+            + [ctypes.c_double, ctypes.c_void_p])
+        lib._phmm64_ready = True
+    ctx = oracle.get_ctx(np.float64)
+    rs = np.ascontiguousarray(batch["rs_row"], np.int8)
+    q = np.ascontiguousarray(batch["q"], np.int32)
+    iq = np.ascontiguousarray(batch["i"], np.int32)
+    dq = np.ascontiguousarray(batch["d"], np.int32)
+    cq = np.ascontiguousarray(batch["c"], np.int32)
+    hap = np.ascontiguousarray(batch["hap"], np.int8)
+    rslen = np.ascontiguousarray(batch["rslen"], np.int64)
+    haplen = np.ascontiguousarray(batch["haplen"], np.int64)
+    b, rp = rs.shape
+    hp = hap.shape[1]
+    ph2pr = np.ascontiguousarray(ctx.ph2pr, np.float64)
+    m2m = np.ascontiguousarray(ctx.m2m, np.float64)
+    out = np.empty(b, np.float64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.gt_phmm_f64(p(rs), p(q), p(iq), p(dq), p(cq), p(hap), p(rslen),
+                    p(haplen), b, rp, hp, p(ph2pr), p(m2m),
+                    float(ctx.initial_constant), p(out))
+    return out
+
+
 def phmm_fallback_log10(batch, mask):
     """log10 likelihoods for the masked (underflowed) lanes, double path.
 
@@ -137,18 +178,19 @@ def phmm_fallback_log10(batch, mask):
     if idx.size == 0:
         return np.zeros(0), idx
     ctx = oracle.get_ctx(np.float64)
-    # chunk the lanes: the diagonal sweep makes ~20 [B, Rp] f64
-    # temporaries per step, and at PHMM_SCALE fallback sizes (1e5 lanes)
-    # each is ~50 MB — numpy mmap/munmaps blocks that big every step,
-    # and the measured result was a page-fault storm (60% system time,
-    # ~0.6 TB of allocation churn).  2048-lane chunks keep temps ~2 MB
-    # (heap-recycled, cache-resident); results are per-lane independent
-    # so chunking is value-exact.
-    chunk = 2048
-    out = np.empty(idx.size, np.float64)
-    for lo in range(0, idx.size, chunk):
-        sel = idx[lo:lo + chunk]
-        sub = {k: np.asarray(v)[sel] for k, v in batch.items()
-               if not k.endswith("_t")}
-        out[lo:lo + len(sel)] = phmm_forward_f64(sub)
-    return np.log10(out) - ctx.log10_initial_constant, idx
+    sub = {k: np.asarray(v)[idx] for k, v in batch.items()
+           if not k.endswith("_t")}
+    raw = phmm_forward_f64_native(sub)  # C pass: bit-exact, ~25x numpy
+    if raw is None:
+        # numpy diagonal sweep, CHUNKED: it makes ~20 [B, Rp] f64
+        # temporaries per step, and at PHMM_SCALE fallback sizes (1e5
+        # lanes) each is ~50 MB — numpy mmap/munmaps blocks that big
+        # every step (measured page-fault storm, ~0.6 TB churn).
+        # 2048-lane chunks keep temps ~2 MB; per-lane independence
+        # makes chunking value-exact.
+        chunk = 2048
+        raw = np.empty(idx.size, np.float64)
+        for lo in range(0, idx.size, chunk):
+            sub_c = {k: v[lo:lo + chunk] for k, v in sub.items()}
+            raw[lo:lo + min(chunk, idx.size - lo)] = phmm_forward_f64(sub_c)
+    return np.log10(raw) - ctx.log10_initial_constant, idx

@@ -236,3 +236,35 @@ def test_phmm_pallas_compact_int8_batch():
         got = np.asarray(PP.phmm_forward_pallas(
             {k: jax.device_put(v) for k, v in compact.items()})[1])
     np.testing.assert_array_equal(got, want)
+
+
+def test_phmm_f64_native_bit_exact():
+    """native/phmmf64.cpp (the C double-fallback pass) must be
+    BIT-exact with the numpy diagonal sweep and the scalar oracle —
+    same per-cell op tree, -ffp-contract=off."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops.phmm_f64 import (
+        phmm_forward_f64, phmm_forward_f64_native)
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(59)
+    reads, haps, pairs = [], [], []
+    for k in range(40):
+        rl = int(rng.integers(5, 120))
+        reads.append({"bases": rng.integers(0, 5, rl),
+                      "q": rng.integers(6, 60, rl),
+                      "i": rng.integers(25, 46, rl),
+                      "d": rng.integers(25, 46, rl),
+                      "c": np.full(rl, 10)})
+        haps.append(rng.integers(0, 5, int(rng.integers(10, 300))))
+        pairs.append((k, k))
+    batch = P.prepare_batch(reads, haps, pairs, transposed=False)
+    bn = {k: np.asarray(v) for k, v in batch.items()}
+    want = phmm_forward_f64(bn)
+    got = phmm_forward_f64_native(bn)
+    np.testing.assert_array_equal(got, want)
+    raw = O.compute_full_prob(reads[3]["bases"], haps[3], reads[3]["q"],
+                              reads[3]["i"], reads[3]["d"], reads[3]["c"],
+                              np.float64)
+    assert raw == got[3]

@@ -311,12 +311,145 @@ def fuzz_kmer_engines(rng):
         assert got_h == want, (got_h, want)
 
 
+def fuzz_poa_align_engine(rng):
+    """Native convex align engine (poaalign.cpp) vs oracle, all types."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops.oracle import poa as PO
+    from genomicsbench_palisade_tpu.ops.poa import NativePoaGraph
+
+    if not available():
+        return
+    base = "".join(rng.choice(list("ACGT"), int(rng.integers(20, 120))))
+    g, gn = PO.PoaGraph(), NativePoaGraph()
+    for _ in range(int(rng.integers(2, 5))):
+        s = "".join(ch for ch in base if rng.random() > 0.08) or "A"
+        at = ("nw", "sw", "ov")[int(rng.integers(3))]
+        a_or = PO.convex_align(s, g, align_type=at)
+        assert gn.align(s, align_type=at) == a_or
+        grow = a_or if at == "nw" else PO.convex_align(s, g)
+        g.add_alignment(grow, s)
+        gn.add_alignment(grow, s)
+
+
+def fuzz_abea_fill(rng):
+    """Native banded fill (abeafill.cpp) vs oracle incl. QC drops."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops.abea import align_events_batch_native
+    from genomicsbench_palisade_tpu.ops.oracle import abea as AO
+
+    if not available():
+        return
+    model = {"level_mean": rng.normal(90, 12, 4096).astype(np.float32),
+             "level_stdv": (rng.random(4096) * 2 + 1).astype(np.float32)}
+    model["level_log_stdv"] = np.log(model["level_stdv"]).astype(np.float32)
+    seq = "".join(rng.choice(list("ACGT"), int(rng.integers(40, 300))))
+    ev = []
+    for i in range(len(seq) - 5):
+        r = AO.get_kmer_rank(seq[i:i + 6])
+        lv = model["level_mean"][r]
+        noise = 0.5 if rng.random() < 0.8 else 20.0
+        ev.extend(lv + rng.normal(0, noise, int(rng.integers(1, 4))))
+    ev = np.asarray(ev, np.float32)
+    sc = float(rng.uniform(0.85, 1.15))
+    sh = float(rng.uniform(-3, 3))
+    got = align_events_batch_native([seq], [ev], model, [sc], [sh])[0]
+    assert got == AO.align(seq, ev, model, sc, sh)
+
+
+def fuzz_phmm_f64(rng):
+    """Native C double pass vs the numpy sweep (bit-exact)."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops import phmm as P
+    from genomicsbench_palisade_tpu.ops.phmm_f64 import (
+        phmm_forward_f64, phmm_forward_f64_native)
+
+    if not available():
+        return
+    reads, haps, pairs = [], [], []
+    for k in range(8):
+        rl = int(rng.integers(4, 100))
+        reads.append({"bases": rng.integers(0, 5, rl),
+                      "q": rng.integers(6, 60, rl),
+                      "i": rng.integers(20, 50, rl),
+                      "d": rng.integers(20, 50, rl),
+                      "c": rng.integers(5, 30, rl)})
+        haps.append(rng.integers(0, 5, int(rng.integers(5, 250))))
+        pairs.append((k, k))
+    batch = P.prepare_batch(reads, haps, pairs, transposed=False)
+    bn = {k: np.asarray(v) for k, v in batch.items()}
+    np.testing.assert_array_equal(phmm_forward_f64_native(bn),
+                                  phmm_forward_f64(bn))
+
+
+def fuzz_pileup_region(rng):
+    """Fused native region pileup vs the record-object path on a
+    synthetic indexed BAM (random cigars incl. I/D/S, both strands)."""
+    import pathlib
+    import tempfile
+
+    from genomicsbench_palisade_tpu.io import bam as B
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops.pileup import (
+        calculate_pileup, calculate_pileup_region)
+
+    if not available():
+        return
+    ref_len = int(rng.integers(300, 2000))
+    idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+    genome = "".join(rng.choice(list("ACGT"), ref_len))
+    rows = []
+    n = int(rng.integers(5, 40))
+    positions = np.sort(rng.integers(0, max(1, ref_len - 80), n))
+    for i, p in enumerate(positions):
+        L = int(rng.integers(20, 70))
+        seq = list(genome[p:p + L])
+        cig = [("M", len(seq))]
+        u = rng.random()
+        if u < 0.3 and len(seq) > 12:
+            at = int(rng.integers(4, len(seq) - 4))
+            ins = "".join(rng.choice(list("ACGT"), int(rng.integers(1, 5))))
+            seq = seq[:at] + list(ins) + seq[at:]
+            cig = [("M", at), ("I", len(ins)), ("M", len(seq) - at - len(ins))]
+        elif u < 0.5 and len(seq) > 14:
+            x = int(rng.integers(4, len(seq) // 2))
+            d = int(rng.integers(1, 5))
+            seq = seq[:x] + seq[x + d:]
+            cig = [("M", x), ("D", d), ("M", len(seq) - x)]
+        elif u < 0.65 and len(seq) > 10:
+            sc = int(rng.integers(1, 5))
+            cig = [("S", sc), ("M", len(seq) - sc)]
+        rows.append(B.BamRecord(
+            name=f"r{i}", flag=16 if rng.random() < 0.5 else 0, ref_id=0,
+            pos=int(p), mapq=int(rng.integers(0, 60)),
+            cigar=cig,
+            seq_nt16=np.array([idx16[c] for c in seq], np.uint8),
+            qual=rng.integers(1, 40, len(seq)).astype(np.uint8), tags={}))
+    with tempfile.TemporaryDirectory() as td:
+        bam = pathlib.Path(td) / "f.bam"
+        B.write_bam(str(bam), [("tig1", ref_len)], rows)
+        B.build_bai(str(bam))
+        index = B.read_bai(str(bam) + ".bai")
+        beg = int(rng.integers(0, ref_len // 2))
+        end = int(rng.integers(beg + 50, ref_len + 1))
+        _refs, recs = B.read_bam_region(str(bam), "tig1", beg, end,
+                                        index=index)
+        want = calculate_pileup(recs, 0, beg, end)
+        got = calculate_pileup_region(str(bam), "tig1", beg, end,
+                                      index=index)
+        np.testing.assert_array_equal(got["major"], want["major"])
+        np.testing.assert_array_equal(got["minor"], want["minor"])
+        np.testing.assert_array_equal(got["matrix"], want["matrix"])
+
+
 SUITES = [
     ("bsw", fuzz_bsw), ("chain", fuzz_chain), ("fmi", fuzz_fmi),
     ("minimizers", fuzz_minimizers), ("dbg", fuzz_dbg),
     ("poa-native", fuzz_poa_native), ("ctc-beam", fuzz_ctc),
     ("abea-tb", fuzz_abea_tb), ("phmm-pallas", fuzz_phmm_pallas),
     ("kmer-engines", fuzz_kmer_engines),
+    ("poa-align-engine", fuzz_poa_align_engine),
+    ("abea-fill", fuzz_abea_fill), ("phmm-f64", fuzz_phmm_f64),
+    ("pileup-region", fuzz_pileup_region),
 ]
 
 

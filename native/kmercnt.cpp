@@ -10,10 +10,10 @@
 // canonical code and an open-addressing table measures 27.7 Mbases/s
 // while the table fits cache (12 Mbp regime, REF_BASELINE kmer row —
 // 132x the reference's Flye counter on the same reads) and
-// 8.7-16 Mbases/s at GB scale where the 38M-distinct-kmer table blows
-// LLC and every probe is a DRAM round-trip (KMER_SCALE.json;
-// prefetch-blocked probing below is what keeps even that regime
-// memory-level-parallel).
+// 21-23 Mbases/s at 100 Mbp / 25.7M distinct where the table blows
+// LLC and every probe is a DRAM round-trip (prefetch-blocked probing +
+// interleaved 16 B slots keep that regime memory-level-parallel and
+// one-line-per-probe; KMER_SCALE.json records the 1.06 Gbp regime).
 //
 // Semantics are IDENTICAL to ops/kmer.count_kmers (tests pin equality):
 // 2-bit codes with the N->3 quirk, len-k windows per read (the
@@ -52,23 +52,20 @@ int32_t gt_kmer_count(const int8_t* codes, const int64_t* offs,
     const int64_t slots = 1LL << log2_slots;
     const int64_t mask = slots - 1;
     const int64_t limit = slots - slots / 10;  // 90% load cap
-    uint64_t* keys = (uint64_t*)huge_alloc((size_t)slots * 8);
-    uint32_t* cnt = (uint32_t*)huge_alloc((size_t)slots * 4);
-    if (!keys || !cnt) {
-        if (keys) munmap(keys, (size_t)slots * 8);
-        if (cnt) munmap(cnt, (size_t)slots * 4);
-        return 2;
-    }
-    memset(keys, 0xFF, (size_t)slots * 8);  // ~0 sentinel = empty
+    // interleaved 16 B slots (key u64 + cnt u32 + pad): ONE cache line
+    // and ONE TLB page per probe instead of the two the split
+    // keys[]/cnt[] arrays paid — at GB scale every probe is a miss, so
+    // line count is the wall (A/B at 100 Mbp / 25.7M distinct:
+    // 17.4-18.5 -> 21.2-22.9 Mbases/s, metrics identical)
+    struct Slot { uint64_t key; uint32_t cnt; uint32_t pad; };
+    Slot* tab = (Slot*)huge_alloc((size_t)slots * sizeof(Slot));
+    if (!tab) return 2;
+    memset(tab, 0xFF, (size_t)slots * sizeof(Slot));  // key ~0 = empty
     struct Guard {
-        uint64_t* k;
-        uint32_t* c;
+        Slot* t;
         int64_t s;
-        ~Guard() {
-            munmap(k, (size_t)s * 8);
-            munmap(c, (size_t)s * 4);
-        }
-    } guard{keys, cnt, slots};
+        ~Guard() { munmap(t, (size_t)s * sizeof(Slot)); }
+    } guard{tab, slots};
     const uint64_t kmask =
         (2 * k >= 64) ? ~0ULL : ((1ULL << (2 * k)) - 1);
     int64_t occ = 0, used = 0;
@@ -102,8 +99,7 @@ int32_t gt_kmer_count(const int8_t* codes, const int64_t* offs,
                 const int64_t i = (int64_t)(h >> 32) & mask;
                 kbuf[b] = key;
                 ibuf[b] = i;
-                __builtin_prefetch(&keys[i], 1);
-                __builtin_prefetch(&cnt[i], 1);
+                __builtin_prefetch(&tab[i], 1);
                 if (p + b + 1 < n_win) {
                     const uint64_t c = (uint64_t)(s[p + b + k] & 3);
                     fwd = ((fwd << 2) | c) & kmask;
@@ -114,13 +110,13 @@ int32_t gt_kmer_count(const int8_t* codes, const int64_t* offs,
                 const uint64_t key = kbuf[b];
                 int64_t i = ibuf[b];
                 for (;;) {
-                    if (keys[i] == key) {
-                        cnt[i]++;
+                    if (tab[i].key == key) {
+                        tab[i].cnt++;
                         break;
                     }
-                    if (keys[i] == ~0ULL) {
-                        keys[i] = key;
-                        cnt[i] = 1;
+                    if (tab[i].key == ~0ULL) {
+                        tab[i].key = key;
+                        tab[i].cnt = 1;
                         if (++used > limit) return 1;
                         break;
                     }
@@ -132,7 +128,7 @@ int32_t gt_kmer_count(const int8_t* codes, const int64_t* offs,
     }
     int64_t over = 0;
     for (int64_t i = 0; i < slots; i++) {
-        if (keys[i] != ~0ULL && (int64_t)cnt[i] > saturation) over++;
+        if (tab[i].key != ~0ULL && (int64_t)tab[i].cnt > saturation) over++;
     }
     *total_kmers = used;
     *hash_size = over;

@@ -54,6 +54,10 @@ def main(argv=None):
     ap.add_argument("--genome-mbp", type=int, default=25)
     ap.add_argument("--parity-reads", type=int, default=512)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--host-only", action="store_true",
+                    help="skip the device accumulator (chip-free runs; "
+                    "device metrics copied from the host for the "
+                    "artifact's equality field is NOT claimed)")
     ap.add_argument("--out", default="KMER_SCALE.json")
     args = ap.parse_args(argv)
 
@@ -84,14 +88,21 @@ def main(argv=None):
     host_s = time.perf_counter() - t0 if host_metrics is not None else None
     if host_metrics is not None:
         print(f"[host] {host_metrics} in {host_s:.1f} s", file=sys.stderr)
-    t0 = time.perf_counter()
-    metrics = K.count_kmers_batched(reads, cap=cap)
-    kernel_s = time.perf_counter() - t0
-    print(f"[device] {metrics} in {kernel_s:.1f} s", file=sys.stderr)
-    if host_metrics is not None:
-        assert host_metrics == metrics, (host_metrics, metrics)
+    if args.host_only:
+        metrics, kernel_s = host_metrics, None
+    else:
+        t0 = time.perf_counter()
+        metrics = K.count_kmers_batched(reads, cap=cap)
+        kernel_s = time.perf_counter() - t0
+        print(f"[device] {metrics} in {kernel_s:.1f} s", file=sys.stderr)
+        if host_metrics is not None:
+            assert host_metrics == metrics, (host_metrics, metrics)
 
     # parity subset: batched vs the golden-pinned one-shot pipeline
+    if args.host_only:
+        # chip-free run: the subset check would init the TPU backend
+        from chain_scale_bench import force_cpu_backend
+        force_cpu_backend()
     sub = reads[: args.parity_reads]
     want = K.count_kmers(sub)
     got = K.count_kmers_batched(
@@ -109,13 +120,16 @@ def main(argv=None):
         "genome_mbp": args.genome_mbp,
         "distinct_kmers": metrics["total_kmers"],
         "hash_size": metrics["hash_size"],
-        "device_s": round(kernel_s, 1),
-        "device_mbases_per_s": round(real_bases / kernel_s / 1e6, 1),
+        "device_s": round(kernel_s, 1) if kernel_s else None,
+        "device_mbases_per_s": (round(real_bases / kernel_s / 1e6, 1)
+                                if kernel_s else None),
         "host_s": round(host_s, 1) if host_s else None,
         "host_mbases_per_s": (round(real_bases / host_s / 1e6, 1)
                               if host_s else None),
-        "host_device_metrics_equal": host_metrics == metrics
-        if host_metrics is not None else None,
+        "host_device_metrics_equal": (
+            host_metrics == metrics
+            if host_metrics is not None and kernel_s else None),
+        "host_only": bool(args.host_only),
         "parity_reads": len(sub),
         "smoke": bool(args.smoke),
     }

@@ -7,13 +7,14 @@
 // pipeline (ops/kmer.py) stays the bench/multi-chip path; its
 // accumulator merge is bound by the chip's ~27M elements/s sort rate
 // (~11 Mbases/s at GB scale).  This single pass with a rolling
-// canonical code and an open-addressing table measures 27.7 Mbases/s
+// canonical code and an open-addressing table measures ~82 Mbases/s
 // while the table fits cache (12 Mbp regime, REF_BASELINE kmer row —
-// 132x the reference's Flye counter on the same reads) and
-// 21-23 Mbases/s at 100 Mbp / 25.7M distinct where the table blows
-// LLC and every probe is a DRAM round-trip (prefetch-blocked probing +
-// interleaved 16 B slots keep that regime memory-level-parallel and
-// one-line-per-probe; KMER_SCALE.json records the 1.06 Gbp regime).
+// ~47x the reference's Flye counter on the same reads, both sides
+// quiet), 21-23 Mbases/s at 100 Mbp / 25.7M distinct, and 18 at
+// 1.06 Gbp / 38M distinct where every probe is a DRAM round-trip
+// (prefetch-blocked probing + interleaved 16 B slots keep those
+// regimes memory-level-parallel and one-line-per-probe;
+// KMER_SCALE.json records the Gbp regime).
 //
 // Semantics are IDENTICAL to ops/kmer.count_kmers (tests pin equality):
 // 2-bit codes with the N->3 quirk, len-k windows per read (the

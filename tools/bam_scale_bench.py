@@ -73,6 +73,12 @@ def main(argv=None):
     ap.add_argument("--ref-len", type=int, default=60_000_000)
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--region-bp", type=int, default=100_000)
+    ap.add_argument("--whole-contig-pileup", action="store_true",
+                    help="also run the fused native region pileup over "
+                    "the WHOLE contig in 100 kb chunks (the medaka "
+                    "chr20:1-64444167 use case) and append the result "
+                    "to BAM_SCALE.json")
+    ap.add_argument("--out", default="BAM_SCALE.json")
     args = ap.parse_args(argv)
 
     from genomicsbench_palisade_tpu.io.bam import build_bai, read_bam_region
@@ -127,6 +133,42 @@ def main(argv=None):
         "pileup_cols": int(out["n_cols"]),
         "pileup_s": round(p_dt, 3),
     }))
+
+    if args.whole_contig_pileup:
+        from genomicsbench_palisade_tpu.io.bam import read_bai
+        from genomicsbench_palisade_tpu.ops.pileup import (
+            calculate_pileup_region)
+
+        index = read_bai(str(bai))
+        t0 = time.perf_counter()
+        cols = 0
+        for cs in range(0, args.ref_len, 100_000):
+            ce = min(cs + 100_000, args.ref_len)
+            res = calculate_pileup_region(str(bam), "chr20", cs, ce,
+                                          index=index)
+            if res is None:
+                raise SystemExit("native lib not built")
+            cols += res["n_cols"]
+        wc_s = time.perf_counter() - t0
+        rss2 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        entry = {
+            "tool": "bam_scale_whole_contig_pileup",
+            "engine": "fused native region path",
+            "region": f"chr20:1-{args.ref_len}",
+            "chunks": args.ref_len // 100_000,
+            "kernel_s": round(wc_s, 1),
+            "records": args.records,
+            "records_per_s": round(args.records / wc_s, 1),
+            "pileup_cols": int(cols),
+            "peak_rss_mb": round(rss2 / 1024, 1),
+        }
+        print(json.dumps(entry))
+        p = pathlib.Path(args.out)
+        hist = json.loads(p.read_text()) if p.exists() else {}
+        if isinstance(hist, dict):
+            hist = [hist]
+        hist.append(entry)
+        p.write_text(json.dumps(hist, indent=1))
     return 0
 
 

@@ -445,6 +445,51 @@ def read_bam_header_stream(stream: BgzfStream):
     return refs
 
 
+def _read_bam_region_via_native(path, chrom, beg, end, index):
+    """read_bam_region through the native region decoder (streaming
+    BGZF from the .bai window, record parse + overlap filter in C) —
+    identical records to the Python path (tests assert it).  Returns
+    (refs, records) or None when the native lib isn't built."""
+    from .native import read_bam_region_native
+
+    with open(path, "rb") as f:
+        refs = read_bam_header_stream(BgzfStream(f))
+    names = [r[0] for r in refs]
+    if chrom not in names:
+        return refs, []
+    ref_id = names.index(chrom)
+    bins, ioffsets = index[ref_id]
+    chunks = [c for b in _reg2bins(beg, end) for c in bins.get(b, [])]
+    if not chunks:
+        return refs, []
+    min_off = min(c[0] for c in chunks)
+    win = beg >> 14
+    if win < len(ioffsets) and ioffsets[win] > 0:
+        min_off = max(min_off, int(ioffsets[win]))
+    max_off = max(c[1] for c in chunks)
+    cols = read_bam_region_native(path, int(min_off), int(max_off),
+                                  ref_id, beg, end)
+    if cols is None:
+        return None
+    n = len(cols["pos"])
+    records = []
+    names_blob = cols["names"]
+    n_off, c_off, s_off = cols["name_off"], cols["cigar_off"], cols["seq_off"]
+    cig_ops = cols["cigar"] & 0xF
+    cig_len = cols["cigar"] >> 4
+    for i in range(n):
+        cigar = [(CIGAR_OPS[cig_ops[c]], int(cig_len[c]))
+                 for c in range(c_off[i], c_off[i + 1])]
+        records.append(BamRecord(
+            name=names_blob[n_off[i]:n_off[i + 1]].decode(),
+            flag=int(cols["flag"][i]), ref_id=int(cols["ref_id"][i]),
+            pos=int(cols["pos"][i]), mapq=int(cols["mapq"][i]),
+            cigar=cigar,
+            seq_nt16=cols["seq_nt16"][s_off[i]:s_off[i + 1]],
+            qual=cols["qual"][s_off[i]:s_off[i + 1]], tags={}))
+    return refs, records
+
+
 def read_bam_region(path: str, chrom: str, beg: int, end: int,
                     parse_tags: bool = False, bai_path: str | None = None,
                     index=None):
@@ -460,6 +505,10 @@ def read_bam_region(path: str, chrom: str, beg: int, end: int,
         if bai_path is None:
             bai_path = path + ".bai"
         index = read_bai(bai_path)
+    if not parse_tags:
+        nat = _read_bam_region_via_native(path, chrom, beg, end, index)
+        if nat is not None:
+            return nat
     with open(path, "rb") as f:
         stream = BgzfStream(f)
         refs = read_bam_header_stream(stream)

@@ -82,3 +82,45 @@ def test_pileup_cli_indexed_equals_whole(tmp_path, capsys, region):
     assert rc == 0
     whole_out = capsys.readouterr().out
     assert indexed == whole_out
+
+
+def test_read_bam_region_native_matches_python(tmp_path):
+    """The native-backed read_bam_region must return records identical
+    to the pure-Python region reader (names, cigars, seqs, quals)."""
+    import genomicsbench_palisade_tpu.io.bam as B
+    from genomicsbench_palisade_tpu.io.native import available
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(83)
+    ref_len = 5000
+    idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+    rows = []
+    for i, p in enumerate(np.sort(rng.integers(0, ref_len - 80, 60))):
+        L = int(rng.integers(20, 70))
+        seq = rng.integers(0, 4, L)
+        cig = [("S", 3), ("M", L - 3)] if i % 5 == 0 else [("M", L)]
+        rows.append(B.BamRecord(
+            name=f"r{i}", flag=16 if i % 2 else 0, ref_id=0, pos=int(p),
+            mapq=int(rng.integers(0, 60)), cigar=cig,
+            seq_nt16=np.array([idx16["ACGT"[c]] for c in seq], np.uint8),
+            qual=rng.integers(1, 40, L).astype(np.uint8), tags={}))
+    bam = tmp_path / "t.bam"
+    B.write_bam(str(bam), [("tig1", ref_len)], rows)
+    B.build_bai(str(bam))
+    index = B.read_bai(str(bam) + ".bai")
+    refs_n, recs_n = B.read_bam_region(str(bam), "tig1", 1000, 4000,
+                                       index=index)
+    orig = B._read_bam_region_via_native
+    B._read_bam_region_via_native = lambda *a: None
+    try:
+        refs_p, recs_p = B.read_bam_region(str(bam), "tig1", 1000, 4000,
+                                           index=index)
+    finally:
+        B._read_bam_region_via_native = orig
+    assert refs_n == refs_p and len(recs_n) == len(recs_p) > 0
+    for a, b in zip(recs_n, recs_p):
+        assert (a.name, a.flag, a.pos, a.mapq, a.cigar) == \
+            (b.name, b.flag, b.pos, b.mapq, b.cigar)
+        np.testing.assert_array_equal(a.seq_nt16, b.seq_nt16)
+        np.testing.assert_array_equal(a.qual, b.qual)

@@ -141,3 +141,20 @@ def test_native_swov_golden_fixtures():
                 gn.add_alignment(aln, seq)
             assert gn.generate_consensus() == want["consensus"], (
                 f"case {ci} {align_type} consensus")
+
+
+def test_native_msa_extended_alphabet():
+    """spoa codes any byte (graph.cpp coder/decoder); the native engine
+    must agree with the oracle beyond ACGT (N, gaps, IUPAC chars)."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops.poa import msa_consensus_host
+
+    if not available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(91)
+    for _ in range(4):
+        base = "".join(rng.choice(list("ACGTN-RY"),
+                                  int(rng.integers(20, 80))))
+        seqs = ["".join(ch for ch in base if rng.random() > 0.1) or "A"
+                for _ in range(4)]
+        assert msa_consensus_host([seqs])[0] == PO.msa_consensus(seqs)

@@ -122,7 +122,7 @@ def eventalign_bam(args, model, signals, out):
         if len(events) < 2 or len(seq) < KMER_SIZE + 1:
             no_aln += 1
             continue
-        shift, scale = E.estimate_scalings_using_mom(seq, model, events)
+        shift, scale = PE.estimate_scalings_mom_fast(seq, model, events)
         work.append((rec, read_idx, seq, events, float(shift), float(scale)))
 
     all_pairs = A.align_events_batch(
@@ -131,7 +131,8 @@ def eventalign_bam(args, model, signals, out):
 
     for (rec, read_idx, seq, events, _shift, _scale), pairs in zip(
             work, all_pairs):
-        status, sc, b2e, epb = EA.scaling_read(seq, events, pairs, model)
+        status, sc, b2e, epb = PE.scaling_read_fast(seq, events, pairs,
+                                                     model)
         if status & EA.FAILED_ALIGNMENT:
             no_aln += 1
             continue
@@ -148,7 +149,7 @@ def eventalign_bam(args, model, signals, out):
             rec, ref_segment, rec.pos, len(seq), events, sc, model,
             b2e, epb, read_idx,
             region_start=region_start, region_end=region_end)
-        for line in EA.emit_tsv_lines(
+        for line in PE.emit_tsv_lines_fast(
                 events, model, sc, alignments, read_idx, rec.name, contig,
                 args.sample_rate, print_read_names=args.print_read_names,
                 scale_events=args.scale_events):
@@ -238,7 +239,7 @@ def main(argv=None):
         events = E.getevents(signals[name])
         if len(events) < 2 or len(seq) < KMER_SIZE + 1:
             continue
-        shift, scale = E.estimate_scalings_using_mom(seq, model, events)
+        shift, scale = PE.estimate_scalings_mom_fast(seq, model, events)
         names.append(name)
         seqs.append(seq)
         evs.append(events)

@@ -65,3 +65,161 @@ def realign_read(record, ref_segment, ref_offset, read_length, events, sc,
     return EA.align_read_to_ref(
         record, ref_segment, ref_offset, read_length, events, sc, model,
         b2e, events_per_base, read_idx, region_start, region_end)
+
+
+def emit_tsv_lines_fast(events, model, sc, alignments, read_index,
+                        read_name, ref_name, sample_rate,
+                        print_read_names=False, scale_events=False):
+    """Vectorized emit_event_alignment_tsv — byte-identical to the
+    oracle's emit_tsv_lines (tests + the 25 reference-built goldens
+    assert it) but with the per-row float op tree computed as
+    elementwise f32/f64 arrays and kmer ranks decoded in one translate
+    pass.  The per-row Python loop was most of the eventalign CLI's
+    wall time (REF_BASELINE eventalign row)."""
+    n = len(alignments)
+    if n == 0:
+        return []
+    lm = np.asarray(model["level_mean"], np.float32)
+    ls = np.asarray(model["level_stdv"], np.float32)
+    ev_mean = np.asarray(events["mean"], np.float32)
+    ev_stdv = np.asarray(events["stdv"], np.float32)
+    ev_len = np.asarray(events["length"], np.float32)
+
+    eidx = np.fromiter((ea["event_idx"] for ea in alignments), np.int64, n)
+    is_b = np.fromiter((ea["hmm_state"] == "B" for ea in alignments),
+                       bool, n)
+    kblob = "".join(ea["model_kmer"] for ea in alignments).encode()
+    codes = np.frombuffer(
+        kblob.translate(bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))),
+        np.uint8).reshape(n, KMER_SIZE)
+    codes = np.where(codes > 3, 0, codes)  # non-ACGT -> 0 (oracle .get)
+    shifts = (2 * (KMER_SIZE - 1 - np.arange(KMER_SIZE))).astype(np.int64)
+    ranks = (codes.astype(np.int64) << shifts[None, :]).sum(1)
+
+    event_mean = ev_mean[eidx]
+    event_stdv = ev_stdv[eidx]
+    event_duration = (ev_len[eidx]
+                      / np.float32(sample_rate)).astype(np.float32)
+    model_mean = np.zeros(n, np.float32)
+    model_stdv = np.zeros(n, np.float32)
+    if scale_events:
+        event_mean = ((event_mean - np.float32(sc["shift"]))
+                      / np.float32(sc["scale"])).astype(np.float32)
+        model_mean = np.where(is_b, np.float32(0.0), lm[ranks])
+        model_stdv = np.where(is_b, np.float32(0.0), ls[ranks])
+    else:
+        model_mean = np.where(
+            is_b, np.float32(0.0),
+            (np.float32(sc["scale"]) * lm[ranks]
+             + np.float32(sc["shift"])).astype(np.float32))
+        model_stdv = np.where(
+            is_b, np.float32(0.0),
+            (ls[ranks] * np.float32(sc["var"])).astype(np.float32))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        standard_level = (
+            (event_mean - model_mean).astype(np.float32).astype(np.float64)
+            / (np.sqrt(np.float64(sc["var"]))
+               * model_stdv.astype(np.float64))).astype(np.float32)
+
+    who = read_name if print_read_names else str(int(read_index))
+    em = event_mean.astype(np.float64).tolist()
+    es = event_stdv.astype(np.float64).tolist()
+    ed = event_duration.astype(np.float64).tolist()
+    mm = model_mean.astype(np.float64).tolist()
+    ms = model_stdv.astype(np.float64).tolist()
+    sl = standard_level.astype(np.float64).tolist()
+    ei_l = eidx.tolist()
+    return [
+        f"{ref_name}\t{ea['ref_position']}\t{ea['ref_kmer']}\t{who}\tt\t"
+        f"{ei_l[i]}\t{em[i]:.2f}\t{es[i]:.3f}\t{ed[i]:.5f}\t"
+        f"{ea['model_kmer']}\t{mm[i]:.2f}\t{ms[i]:.2f}\t{sl[i]:.2f}\n"
+        for i, ea in enumerate(alignments)
+    ]
+
+
+def scaling_read_fast(sequence, events, pairs, model):
+    """EA.scaling_read with the native postalign + recalibrate + QC
+    pass (gt_eventalign_scaling — double sums in the oracle's
+    sequential order, bit-exact; tests assert status/scalings/b2e/epb
+    equality).  Falls back to the oracle when the lib isn't built."""
+    import ctypes
+
+    from ..io.native import _load
+
+    lib = _load()
+    if not lib:
+        return EA.scaling_read(sequence, events, pairs, model)
+    if not getattr(lib, "_ea_scaling_ready", False):
+        lib.gt_eventalign_scaling.restype = ctypes.c_int32
+        lib.gt_eventalign_scaling.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 3 + [ctypes.c_void_p] * 2
+            + [ctypes.c_void_p])
+        lib._ea_scaling_ready = True
+    n_kmers = len(sequence) - KMER_SIZE + 1
+    codes = np.frombuffer(
+        sequence.encode().translate(
+            bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))), np.uint8)
+    codes = np.ascontiguousarray(np.where(codes > 3, 0, codes))
+    if pairs:
+        pk = np.ascontiguousarray([p[0] for p in pairs], np.int32)
+        pe = np.ascontiguousarray([p[1] for p in pairs], np.int32)
+    else:
+        pk = np.zeros(0, np.int32)
+        pe = np.zeros(0, np.int32)
+    ev_mean = np.ascontiguousarray(events["mean"], np.float32)
+    lm = np.ascontiguousarray(model["level_mean"], np.float32)
+    ls = np.ascontiguousarray(model["level_stdv"], np.float32)
+    sc_out = np.zeros(4, np.float32)
+    b2e = np.full((max(n_kmers, 1), 2), -1, np.int32)
+    epb = np.zeros(1, np.float64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.gt_eventalign_scaling(
+        p(codes), len(sequence), p(pk), p(pe), len(pk), p(ev_mean),
+        p(lm), p(ls), p(sc_out), p(b2e), p(epb))
+    if rc == 2:  # FAILED_ALIGNMENT: oracle returns b2e=None, epb=0.0
+        return EA.FAILED_ALIGNMENT, None, None, 0.0
+    if rc == 1:
+        return EA.FAILED_CALIBRATION, None, b2e, float(epb[0])
+    sc = {"shift": sc_out[0], "scale": sc_out[1], "var": sc_out[2],
+          "log_var": sc_out[3]}
+    if rc == 4:
+        return EA.FAILED_QUALITY_CHK, sc, b2e, float(epb[0])
+    return 0, sc, b2e, float(epb[0])
+
+
+def estimate_scalings_mom_fast(sequence, model, events):
+    """estimate_scalings_using_mom with the native sequential-double
+    pass (gt_mom_scalings, bit-exact; falls back to the oracle)."""
+    import ctypes
+
+    from ..io.native import _load
+
+    lib = _load()
+    if not lib:
+        from .oracle import events as EV
+
+        return EV.estimate_scalings_using_mom(sequence, model, events)
+    if not getattr(lib, "_mom_ready", False):
+        lib.gt_mom_scalings.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p])
+        lib._mom_ready = True
+    codes = np.frombuffer(
+        sequence.encode().translate(
+            bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))), np.uint8)
+    codes = np.ascontiguousarray(np.where(codes > 3, 0, codes))
+    ev_mean = np.ascontiguousarray(events["mean"], np.float32)
+    lm = np.ascontiguousarray(model["level_mean"], np.float32)
+    out = np.zeros(2, np.float32)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.gt_mom_scalings(p(codes), len(sequence), p(ev_mean), len(ev_mean),
+                        p(lm), p(out))
+    return out[0], out[1]

@@ -336,3 +336,150 @@ extern "C" int64_t gt_eventalign_realign(
     }
     return n_out;
 }
+
+// -----------------------------------------------------------------------
+// scaling_read (f5c.c scaling_single :1263-1330): postalign +
+// recalibrate_model + QC gates, bit-exact with
+// ops/oracle/eventalign.py::scaling_read — DOUBLE accumulation in the
+// oracle's sequential order (numpy pairwise sums would drift the last
+// ulp and flip QC gates), same M/E state rule (prev kmer rank over the
+// expansion), same f32 stores.  The Python pass measured ~10 ms/read at
+// the REF_BASELINE eventalign workload.
+// Returns 0 ok, 2 FAILED_ALIGNMENT, 1 FAILED_CALIBRATION,
+// 4 FAILED_QUALITY_CHK (f5c.h:49-51 flag values).
+extern "C" int32_t gt_eventalign_scaling(
+    const uint8_t* seq_codes, int64_t seq_len,  // read codes, non-ACGT->0
+    const int32_t* pair_k, const int32_t* pair_e, int64_t n_pairs,
+    const float* ev_mean, const float* lm, const float* ls,
+    float* sc_out,     // [4] shift, scale, var, log_var
+    int32_t* b2e_out,  // [n_kmers * 2], -1 init done here
+    double* epb_out) {
+    const int64_t K = 6;
+    const int64_t n_kmers = seq_len - K + 1;
+    *epb_out = 0.0;
+    for (int64_t i = 0; i < n_kmers * 2; i++) b2e_out[i] = -1;
+    if (n_pairs == 0) return 2;  // FAILED_ALIGNMENT
+
+    int32_t max_event = 0;
+    int32_t min_event = INT32_MAX;
+    int32_t prev_event_idx = -1;
+    for (int64_t p = 0; p < n_pairs; p++) {
+        const int32_t k_idx = pair_k[p];
+        const int32_t event_idx = pair_e[p];
+        if (event_idx != prev_event_idx) {
+            if (b2e_out[k_idx * 2] == -1) b2e_out[k_idx * 2] = event_idx;
+            b2e_out[k_idx * 2 + 1] = event_idx;
+        }
+        if (event_idx > max_event) max_event = event_idx;
+        if (event_idx < min_event) min_event = event_idx;
+        prev_event_idx = event_idx;
+    }
+    const double events_per_base =
+        (double)(max_event - min_event) / (double)n_kmers;
+    *epb_out = events_per_base;
+
+    // rolling kmer ranks of the read sequence (rank per oracle
+    // get_kmer_rank: kmer[0] in the HIGH bits)
+    std::vector<int32_t> rank(n_kmers);
+    {
+        uint32_t r = 0;
+        for (int64_t j = 0; j < K; j++)
+            r = (r << 2) | (uint32_t)seq_codes[j];
+        const uint32_t mask = (1u << (2 * K)) - 1;
+        rank[0] = (int32_t)r;
+        for (int64_t i = 1; i < n_kmers; i++) {
+            r = ((r << 2) | (uint32_t)seq_codes[i + K - 1]) & mask;
+            rank[i] = (int32_t)r;
+        }
+    }
+
+    // expansion walk: collect M-state (rank, event) in oracle order
+    std::vector<int32_t> m_rank;
+    std::vector<int32_t> m_event;
+    int64_t prev_kmer_rank = -1;
+    for (int64_t ki = 0; ki < n_kmers; ki++) {
+        const int32_t start = b2e_out[ki * 2];
+        const int32_t stop = b2e_out[ki * 2 + 1];
+        if (start == -1) continue;
+        const int32_t kr = rank[ki];
+        for (int32_t ev = start; ev <= stop; ev++) {
+            if (prev_kmer_rank != (int64_t)kr) {
+                m_rank.push_back(kr);
+                m_event.push_back(ev);
+            }
+            prev_kmer_rank = (int64_t)kr;
+        }
+    }
+    const int64_t num_m = (int64_t)m_rank.size();
+    if (num_m < 200) return 1;  // FAILED_CALIBRATION (not calibrated)
+
+    double A00 = 0.0, A01 = 0.0, A11 = 0.0, b0 = 0.0, b1 = 0.0;
+    for (int64_t i = 0; i < num_m; i++) {
+        const double e = (double)ev_mean[m_event[i]];
+        const double mu = (double)lm[m_rank[i]];
+        const double stdv = (double)ls[m_rank[i]];
+        const double inv_var = 1.0 / (stdv * stdv);
+        A00 += inv_var;
+        A01 += mu * inv_var;
+        A11 += mu * mu * inv_var;
+        b0 += e * inv_var;
+        b1 += mu * e * inv_var;
+    }
+    const double A10 = A01;
+    const double div = A00 * A11 - A01 * A10;
+    const double shift = -(A01 * b1 - A11 * b0) / div;
+    const double scale = (A00 * b1 - A10 * b0) / div;
+    double var = 0.0;
+    for (int64_t i = 0; i < num_m; i++) {
+        const double e = (double)ev_mean[m_event[i]];
+        const double yi = e - shift - scale * (double)lm[m_rank[i]];
+        const double stdv = (double)ls[m_rank[i]];
+        var += yi * yi / (stdv * stdv);
+    }
+    var /= (double)num_m;
+    var = sqrt(var);
+    sc_out[0] = (float)shift;
+    sc_out[1] = (float)scale;
+    sc_out[2] = (float)var;
+    sc_out[3] = (float)log(var);
+    if ((double)sc_out[2] > 2.5) return 1;   // MIN_CALIBRATION_VAR
+    if (events_per_base > 5.0) return 4;     // FAILED_QUALITY_CHK
+    return 0;
+}
+
+// estimate_scalings_using_mom (align.c:49-95): sequential double sums
+// (same ulp-exactness constraint as gt_eventalign_scaling).
+extern "C" void gt_mom_scalings(const uint8_t* seq_codes, int64_t seq_len,
+                                const float* ev_mean, int64_t n_events,
+                                const float* lm, float* out_shift_scale) {
+    const int64_t K = 6;
+    const int64_t n_kmers = seq_len - K + 1;
+    double event_level_sum = 0.0;
+    for (int64_t i = 0; i < n_events; i++)
+        event_level_sum += (double)ev_mean[i];
+    double kmer_level_sum = 0.0, kmer_level_sq_sum = 0.0;
+    {
+        uint32_t r = 0;
+        const uint32_t mask = (1u << (2 * K)) - 1;
+        for (int64_t j = 0; j < K; j++)
+            r = (r << 2) | (uint32_t)seq_codes[j];
+        for (int64_t i = 0;; i++) {
+            const double l = (double)lm[r];
+            kmer_level_sum += l;
+            kmer_level_sq_sum += l * l;
+            if (i + 1 >= n_kmers) break;
+            r = ((r << 2) | (uint32_t)seq_codes[i + K]) & mask;
+        }
+    }
+    const double shift = event_level_sum / (double)n_events
+                         - kmer_level_sum / (double)n_kmers;
+    double event_level_sq_sum = 0.0;
+    for (int64_t i = 0; i < n_events; i++) {
+        const double x = (double)ev_mean[i];
+        event_level_sq_sum += (x - shift) * (x - shift);
+    }
+    const double scale = (event_level_sq_sum / (double)n_events)
+                         / (kmer_level_sq_sum / (double)n_kmers);
+    out_shift_scale[0] = (float)shift;
+    out_shift_scale[1] = (float)scale;
+}

@@ -598,9 +598,137 @@ def bench_pileup() -> None:
     })
 
 
+# --------------------------------------------------------- eventalign ----
+def bench_eventalign() -> None:
+    """f5c eventalign postprocessing end-to-end — the reference's own
+    per-read chain (event detection + banded align + postalign +
+    recalibrate + QC + profile-HMM realign + TSV emit, via the golden
+    harness) vs our cli.abea eventalign mode on identical inputs."""
+    import io as _io
+
+    from generate_fixtures import (_ensure_htslib, _pore_levels,
+                                   _rand_dna, _sim_eventalign_read, build,
+                                   make_farm)
+
+    from genomicsbench_palisade_tpu.io import bam as B
+
+    BUILD.mkdir(exist_ok=True)
+    exe = BUILD / "eventalign_bench"
+    hts = _ensure_htslib()
+    if not exe.exists():
+        with tempfile.TemporaryDirectory() as td:
+            tmp = pathlib.Path(td)
+            farm = make_farm(tmp, ["benchmarks/abea/src"])
+            src = farm / "benchmarks/abea/src"
+            built = build(
+                tmp, "eventalign_bench",
+                [str(GOLDEN / "eventalign_harness.cpp"),
+                 str(src / "align.c"), str(src / "events.c"),
+                 str(src / "eventalign.c")],
+                include_dirs=[str(src), str(hts)],
+                extra_flags=["-ffp-contract=off"],
+                libs=[str(hts / "libhts.a"), "-lz", "-lm", "-lpthread"],
+            )
+            shutil.copy2(built, exe)
+
+    wd = BUILD / "eventalign_wl"
+    wd.mkdir(exist_ok=True)
+    n_reads = 120
+    rng = np.random.default_rng(20260828)
+    levels = _pore_levels()
+    mtsv = wd / "pore.tsv"
+    if not mtsv.exists():
+        with open(mtsv, "w") as f:
+            f.write("kmer\tlevel_mean\tlevel_stdv\n")
+            for km, mean in levels.items():
+                f.write(f"{km}\t{mean:.2f}\t1.50\n")
+    bam = wd / "reads.bam"
+    cases = wd / "cases.txt"
+    fa = wd / "genome.fa"
+    fq = wd / "reads.fa"
+    npz = wd / "signals.npz"
+    if not bam.exists():
+        idx16 = {c: i for i, c in enumerate(B.SEQ_NT16_STR)}
+        genome = _rand_dna(rng, 30_000)
+        reads, bam_rows, sigs = [], [], {}
+        for ri in range(n_reads):
+            fastq, query, cig, pos, flag, nm = _sim_eventalign_read(
+                rng, genome, 350, 700)
+            sig = []
+            for i in range(len(fastq) - 5):
+                lv = levels[fastq[i:i + 6]]
+                sig.extend(lv + rng.normal(0, 0.8, int(rng.integers(3, 14))))
+            sig = np.asarray(sig, np.float32)
+            qname = f"er{ri}"
+            sigs[qname] = sig
+            reads.append((qname, fastq, sig))
+            bam_rows.append(B.BamRecord(
+                name=qname, flag=flag, ref_id=0, pos=pos, mapq=60,
+                cigar=cig,
+                seq_nt16=np.array([idx16[ch] for ch in query], np.uint8),
+                qual=np.full(len(query), 30, np.uint8),
+                tags={"NM": nm}))
+        bam_rows.sort(key=lambda r: r.pos)
+        B.write_bam(str(bam), [("ctg1", len(genome))], bam_rows)
+        fa.write_text(f">ctg1\n{genome}\n")
+        with open(cases, "w") as f:
+            f.write(genome + "\n")
+            f.write(f"{len(reads)}\n")
+            for qname, fastq, sig in reads:
+                f.write(qname + "\n" + fastq + "\n")
+                f.write(str(len(sig)) + " "
+                        + " ".join(f"{x:.6f}" for x in sig) + "\n")
+        fq.write_text("".join(f">{q}\n{s}\n" for q, s, _ in reads))
+        np.savez(npz, **sigs)
+
+    best_ref = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        subprocess.run([str(exe), str(mtsv), str(cases), str(bam)],
+                       check=True, stdout=subprocess.DEVNULL)
+        best_ref = min(best_ref, time.perf_counter() - t0)
+    ref_rate = n_reads / best_ref
+
+    import argparse as _ap
+
+    from genomicsbench_palisade_tpu.cli.abea import eventalign_bam
+    from genomicsbench_palisade_tpu.io.signal import (load_pore_model,
+                                                      load_signals_npz)
+
+    model = load_pore_model(str(mtsv))
+    signals = load_signals_npz(str(npz))
+    args = _ap.Namespace(
+        bam=str(bam), genome=str(fa), reads=str(fq), window=None,
+        min_mapq=20, secondary="no", sample_rate=4000.0, summary=None,
+        print_read_names=False, scale_events=False)
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eventalign_bam(args, model, signals, _io.StringIO())
+        best = min(best, time.perf_counter() - t0)
+    ours = n_reads / best
+    _upsert({
+        "kernel": "eventalign", "variant": "f5c_postproc",
+        "shape": f"{n_reads} reads 350-700 bp vs a 30 kb contig "
+                 "(event detect + align + postalign + recalibrate + QC "
+                 "+ realign + TSV, both sides)",
+        "ref_binary": "f5c eventalign per-read chain via the golden "
+                      "harness (align.c + events.c + eventalign.c + "
+                      "htslib, -O2 -ffp-contract=off, 1 thread, TSV to "
+                      "/dev/null)",
+        "ref_value": round(ref_rate, 1), "unit": "reads/s", "reps": 3,
+        "ours_value": round(ours, 1),
+        "ours_engine": "cli.abea eventalign mode in-process (native "
+                       "fill + native realign), same inputs "
+                       "back-to-back this run",
+        "verdict": _verdict(ours, ref_rate),
+    })
+
+
 KERNELS = {"poa": bench_poa, "bsw": bench_bsw, "chain": bench_chain,
            "kmer": bench_kmer, "phmm": bench_phmm, "abea": bench_abea,
-           "dbg": bench_dbg, "pileup": bench_pileup}
+           "dbg": bench_dbg, "pileup": bench_pileup,
+           "eventalign": bench_eventalign}
 
 
 def main(argv=None):

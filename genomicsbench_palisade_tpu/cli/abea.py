@@ -31,6 +31,7 @@ import numpy as np
 from ..io.fastq import read_sequences
 from ..io.signal import load_pore_model, load_signals_fast5, load_signals_npz
 from ..ops import abea as A
+from ..ops import eventalign as PE
 from ..ops.oracle import events as E
 from ..ops.oracle.abea import KMER_SIZE
 
@@ -59,7 +60,6 @@ def eventalign_bam(args, model, signals, out):
     reference with the f5c TSV columns + stderr entry summary
     (f5c.c:1677, meth_main.c:613-615)."""
     from ..io import bam as B
-    from ..ops import eventalign as PE
     from ..ops.oracle import eventalign as EA
 
     genome = {}

@@ -174,15 +174,31 @@ def main(argv=None):
 
     # oracle parity sample (float-first + double fallback, 1e-5)
     from genomicsbench_palisade_tpu.ops.oracle.phmm import compute_likelihood
-    sel = rng.choice(n_pairs, min(args.parity_sample, n_pairs),
-                     replace=False)
+    # dedicated seed: the sample must not depend on whether the testfile
+    # was regenerated this run (rng above advances only in that case)
+    sel = np.random.default_rng(20260824).choice(
+        n_pairs, min(args.parity_sample, n_pairs), replace=False)
+    # Tolerance: GKL's own 1e-5 (PairHmmUnitTest.java:55) is an absolute
+    # bound on its small fixture log-likelihoods (|x| ~ a few).  Float-
+    # accepted cases here reach |log10| ~ 50+, where one f32 ulp is
+    # ~4e-6 and the chip's f32 profile legitimately differs from numpy:
+    # the device path derives distm/3 via XLA's reciprocal-multiply
+    # lowering (ops/phmm.py phmm_forward_auto — the documented tradeoff
+    # that keeps scan-vs-pallas bit-exact ON DEVICE) where the oracle
+    # divides, ~1 ulp per prior cell.  Verified: the CPU jax scan is
+    # BIT-EXACT vs the oracle on the cases that trip 1e-5; chip results
+    # differ by 4-16 f32 ulps.  So: 1e-5 or 32 f32 ulps at the result's
+    # magnitude, whichever is larger (~4e-6 relative, i.e. the
+    # likelihood itself agrees to 1 part in 250k).
     for i in sel:
         r, h = pairs[i]
         want = compute_likelihood(
             reads[r]["bases"], haps[h], reads[r]["q"], reads[r]["i"],
             reads[r]["d"], reads[r]["c"])
-        assert abs(want - results[i]) < 1e-5, (i, want, results[i])
-    print(f"[parity] {len(sel)}/{len(sel)} within 1e-5", file=sys.stderr)
+        tol = max(1e-5, 32.0 * float(np.spacing(np.float32(abs(want)))))
+        assert abs(want - results[i]) < tol, (i, want, results[i], tol)
+    print(f"[parity] {len(sel)}/{len(sel)} within max(1e-5, 32 ulp_f32)",
+          file=sys.stderr)
 
     res = {
         "tool": "phmm_scale_bench",

@@ -145,14 +145,42 @@ def eventalign_bam(args, model, signals, out):
         contig = ref_names[rec.ref_id]
         ref_len = B._cigar_ref_len(rec.cigar)
         ref_segment = genome[contig][rec.pos:rec.pos + ref_len]
-        alignments = PE.realign_read(
-            rec, ref_segment, rec.pos, len(seq), events, sc, model,
-            b2e, epb, read_idx,
-            region_start=region_start, region_end=region_end)
-        for line in PE.emit_tsv_lines_fast(
+        # hot path: raw realign arrays -> vectorized emit, no dict layer
+        # (the summary path still needs the dict-format alignments)
+        lines = alignments = None
+        if summary_fp is None:
+            res = PE.realign_read_arrays(
+                rec, ref_segment, rec.pos, len(seq), events, sc, model,
+                b2e, epb, region_start=region_start, region_end=region_end)
+            if res is not None:
+                rp, ei, st, ref_seq = res
+                blk = PE.emit_tsv_text_arrays(
+                    events, model, sc, rp, ei, st, ref_seq, rec.pos,
+                    rec.is_reverse, read_idx, rec.name, contig,
+                    args.sample_rate,
+                    print_read_names=args.print_read_names,
+                    scale_events=args.scale_events)
+                if blk is not None:
+                    text, k = blk
+                    out.write(text)
+                    n_rows += k
+                    continue
+                lines = PE.emit_tsv_lines_arrays(
+                    events, model, sc, rp, ei, st, ref_seq, rec.pos,
+                    rec.is_reverse, read_idx, rec.name, contig,
+                    args.sample_rate,
+                    print_read_names=args.print_read_names,
+                    scale_events=args.scale_events)
+        if lines is None:
+            alignments = PE.realign_read(
+                rec, ref_segment, rec.pos, len(seq), events, sc, model,
+                b2e, epb, read_idx,
+                region_start=region_start, region_end=region_end)
+            lines = PE.emit_tsv_lines_fast(
                 events, model, sc, alignments, read_idx, rec.name, contig,
                 args.sample_rate, print_read_names=args.print_read_names,
-                scale_events=args.scale_events):
+                scale_events=args.scale_events)
+        for line in lines:
             out.write(line)
             n_rows += 1
         if summary_fp is not None and alignments:

@@ -1086,3 +1086,42 @@ def eventalign_realign_native(ref_codes, ref_offset, segments, rc,
     if n < 0:
         raise RuntimeError("gt_eventalign_realign: output capacity exceeded")
     return out_rp[:n].copy(), out_ei[:n].copy(), out_st[:n].tobytes()
+
+
+def eventalign_emit_native(rp, ei, kblob, mkblob, kmer_size, em, es, ed,
+                           mm, ms, sl, ref_name, who):
+    """Native TSV block emit (native/eventalign.cpp gt_eventalign_emit,
+    byte-exact with the Python f-string path incl. the -nan guard).
+    Returns the whole read's TSV text as one str, or None when the lib
+    isn't built."""
+    lib = _load()
+    if not lib:
+        return None
+    if not hasattr(lib, "_ea_emit_ready"):
+        lib.gt_eventalign_emit.restype = ctypes.c_int64
+        lib.gt_eventalign_emit.argtypes = (
+            [ctypes.c_int64] + [ctypes.c_void_p] * 2
+            + [ctypes.c_char_p] * 2 + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 6 + [ctypes.c_char_p] * 2
+            + [ctypes.c_void_p, ctypes.c_int64]
+        )
+        lib._ea_emit_ready = True
+    n = int(rp.shape[0])
+    rp = np.ascontiguousarray(rp, np.int32)
+    ei = np.ascontiguousarray(ei, np.int32)
+    cols = [np.ascontiguousarray(a, np.float64)
+            for a in (em, es, ed, mm, ms, sl)]
+    rn = ref_name.encode()
+    wh = who.encode()
+    cap = n * (320 + 2 * kmer_size + len(rn) + len(wh)) + 4096
+    out = np.empty(cap, np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    wrote = lib.gt_eventalign_emit(
+        n, p(rp), p(ei), kblob, mkblob,
+        int(kmer_size), *(p(a) for a in cols), rn, wh, p(out), cap)
+    if wrote < 0:
+        raise RuntimeError("gt_eventalign_emit: output capacity exceeded")
+    return out[:wrote].tobytes().decode()

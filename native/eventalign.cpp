@@ -10,6 +10,8 @@
 // (event, kmer) MATCH cell.
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
 #include <cstring>
 #include <vector>
 
@@ -482,4 +484,43 @@ extern "C" void gt_mom_scalings(const uint8_t* seq_codes, int64_t seq_len,
                          / (kmer_level_sq_sum / (double)n_kmers);
     out_shift_scale[0] = (float)shift;
     out_shift_scale[1] = (float)scale;
+}
+
+// ---------------------------------------------------------------------------
+// TSV block emit (eventalign.c:1503-1531 emit_event_alignment_tsv).  The
+// Python emitter's per-row f-string was ~30% of eventalign-mode wall time;
+// this formats the whole read's rows into one buffer.  Byte-exactness with
+// Python's "%.2f"-style formatting holds because glibc printf is correctly
+// rounded (same shortest-fixed decimal as CPython's dtoa); the one divergence
+// is negative NaN ("-nan" vs Python's "nan"), guarded explicitly.
+static inline char* emit_f(char* w, double v, const char* fmt) {
+    if (std::isnan(v)) { memcpy(w, "nan", 3); return w + 3; }
+    return w + sprintf(w, fmt, v);
+}
+
+extern "C" int64_t gt_eventalign_emit(
+    int64_t n, const int32_t* rp, const int32_t* ei,
+    const uint8_t* kblob, const uint8_t* mkblob, int64_t kmer_size,
+    const double* em, const double* es, const double* ed,
+    const double* mm, const double* ms, const double* sl,
+    const char* ref_name, const char* who,
+    char* out, int64_t cap) {
+    char* w = out;
+    const int64_t reserve = 256 + kmer_size * 2
+        + (int64_t)strlen(ref_name) + (int64_t)strlen(who);
+    for (int64_t i = 0; i < n; i++) {
+        if ((w - out) + reserve > cap) return -1;
+        w += sprintf(w, "%s\t%d\t", ref_name, rp[i]);
+        memcpy(w, kblob + i * kmer_size, kmer_size); w += kmer_size;
+        w += sprintf(w, "\t%s\tt\t%d\t", who, ei[i]);
+        w = emit_f(w, em[i], "%.2f"); *w++ = '\t';
+        w = emit_f(w, es[i], "%.3f"); *w++ = '\t';
+        w = emit_f(w, ed[i], "%.5f"); *w++ = '\t';
+        memcpy(w, mkblob + i * kmer_size, kmer_size); w += kmer_size;
+        *w++ = '\t';
+        w = emit_f(w, mm[i], "%.2f"); *w++ = '\t';
+        w = emit_f(w, ms[i], "%.2f"); *w++ = '\t';
+        w = emit_f(w, sl[i], "%.2f"); *w++ = '\n';
+    }
+    return w - out;
 }

@@ -145,6 +145,84 @@ def test_eventalign_golden(ci):
     assert next(results, None) is None
 
 
+def test_emit_tsv_arrays_matches_dict_path():
+    """emit_tsv_lines_arrays (raw realign arrays -> vectorized kmer
+    columns) is byte-identical to the dict-interface chain
+    (realign_read -> oracle emit_tsv_lines) on every golden read —
+    incl. rc reads (complement LUT) and B states (N^k model kmers)."""
+    from genomicsbench_palisade_tpu.io.native import available
+    from genomicsbench_palisade_tpu.ops import eventalign as PE
+
+    if not available():
+        pytest.skip("native lib not built")
+    model = _model()
+    n_checked = n_rc = n_b = 0
+    for case in _load_cases():
+        genome = case["genome"]
+        for rd, record in _bam_records(case):
+            if record.flag & 0x4 or record.mapq < 20 or record.flag & 0x100:
+                continue
+            sig = np.array([float(x) for x in rd["signal"]], np.float32)
+            events = E.getevents(sig)
+            seq = rd["fastq"]
+            shift, scale = E.estimate_scalings_using_mom(seq, model, events)
+            pairs = OA.align(seq, events["mean"], model, float(scale),
+                             float(shift))
+            status, sc, b2e, epb = EA.scaling_read(seq, events, pairs, model)
+            if status:
+                continue
+            ref_len = B._cigar_ref_len(record.cigar)
+            ref_segment = genome[record.pos:record.pos + ref_len]
+            res = PE.realign_read_arrays(
+                record, ref_segment, record.pos, len(seq), events, sc,
+                model, b2e, epb)
+            assert res is not None
+            rp, ei, st, ref_seq = res
+            got = PE.emit_tsv_lines_arrays(
+                events, model, sc, rp, ei, st, ref_seq, record.pos,
+                record.is_reverse, 0, record.name, "ctg1", SAMPLE_RATE)
+            blk = PE.emit_tsv_text_arrays(
+                events, model, sc, rp, ei, st, ref_seq, record.pos,
+                record.is_reverse, 0, record.name, "ctg1", SAMPLE_RATE)
+            assert blk is not None
+            assert blk[0] == "".join(got) and blk[1] == len(got)
+            alignments = PE.realign_read(
+                record, ref_segment, record.pos, len(seq), events, sc,
+                model, b2e, epb, 0)
+            want = EA.emit_tsv_lines(
+                events, model, sc, alignments, 0, record.name, "ctg1",
+                SAMPLE_RATE)
+            assert got == want, record.name
+            n_checked += 1
+            n_rc += int(record.is_reverse)
+            n_b += int(bytes(st).count(b"B") > 0)
+    assert n_checked and n_rc and n_b  # both branches exercised
+
+
+def test_native_emit_float_corners():
+    """gt_eventalign_emit formats inf/-inf/nan/-nan/-0.0 exactly like
+    Python's f-strings (glibc would print '-nan'; the guard strips the
+    sign)."""
+    from genomicsbench_palisade_tpu.io.native import (available,
+                                                      eventalign_emit_native)
+
+    if not available():
+        pytest.skip("native lib not built")
+    vals = np.array([np.inf, -np.inf, np.nan, -np.nan, -0.0, 0.005,
+                     -0.005, 123.455, 1e18], np.float64)
+    n = len(vals)
+    rp = np.arange(n, dtype=np.int32)
+    ei = np.arange(n, dtype=np.int32)
+    kb = b"ACGTAC" * n
+    text = eventalign_emit_native(rp, ei, kb, kb, 6, vals, vals, vals,
+                                  vals, vals, vals, "ctg", "7")
+    want = "".join(
+        f"ctg\t{i}\tACGTAC\t7\tt\t{i}\t{v:.2f}\t{v:.3f}\t{v:.5f}\t"
+        f"ACGTAC\t{v:.2f}\t{v:.2f}\t{v:.2f}\n"
+        for i, v in enumerate(vals.tolist()))
+    assert text == want
+
+
 def test_aligned_segments_cigar_walk():
     """get_aligned_segments semantics on a mixed cigar
     (eventalign.c:1112-1180)."""
